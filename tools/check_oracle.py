@@ -1,0 +1,143 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each registered query through Spark AND its DuckDB oracle at sf0.01,
+compares row count, column names, and an order-insensitive value hash
+(rows sorted after sorting columns by name; floats normalized via repr of
+round(…, 6)). Usage:
+
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 6)
+        if r == int(r) and abs(r) < 1e15:
+            return repr(int(r))
+        return repr(r)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if hasattr(v, "asDict"):
+        d = v.asDict()
+        return "{" + ",".join(f"{k}:{_norm(d[k])}" for k in sorted(d)) + "}"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8", "replace"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from data_rivers_spark.plans import registry
+    from data_rivers_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="check_oracle")
+
+    con = duckdb.connect()
+    for tname in TABLES:
+        path = os.path.join(args.sf_dir, f"{tname}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{path}')")
+
+    names = args.names or sorted(registry.QUERIES)
+    failures = []
+    for name in names:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_t = time.time() - t0
+        if name not in registry.ORACLES:
+            print(f"weak  {name}: rows={len(srows)} (no oracle) [{spark_t:.1f}s]")
+            continue
+        try:
+            res = con.execute(registry.ORACLES[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        elif value_hash(scols, srows) != value_hash(ocols, orows):
+            problems.append("value-hash mismatch")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            if "value-hash mismatch" in problems and srows and orows:
+                oi = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                si = sorted(range(len(scols)), key=lambda i: scols[i])
+                sset = sorted("\x01".join(_norm(r[i]) for i in si) for r in srows)
+                oset = sorted("\x01".join(_norm(r[i]) for i in oi) for r in orows)
+                sonly = [x for x in sset if x not in set(oset)][:3]
+                oonly = [x for x in oset if x not in set(sset)][:3]
+                for x in sonly:
+                    print(f"        spark-only: {x[:200]!r}")
+                for x in oonly:
+                    print(f"        duck-only : {x[:200]!r}")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: rows={len(srows)} [{spark_t:.1f}s]")
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
