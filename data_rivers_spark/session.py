@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata (events.ts) uses TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long nanos and convert in load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -68,9 +71,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "documents",
         "embeddings",
     ]
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as long via nanosAsLong: truncate to micros
+            # (matches DuckDB's ns→µs truncation) and restore TimestampType
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
