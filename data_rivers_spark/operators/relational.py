@@ -1,0 +1,303 @@
+"""Relational operator library (SURVEY.md §2.3) — the reference's BigQuery
+SQL-builder capabilities as reusable DataFrame functions.
+
+Design stance: each BigQuery mutation pattern (INSERT…NOT IN, correlated
+UPDATE, DELETE+INSERT, snapshot append) becomes a *pure* function
+``(master, incoming, …) -> new_master`` — the managed-table layer
+(data_rivers_spark.catalog) handles atomic persistence. Every function keeps
+the plan shuffle-minimal: anti/semi joins on narrow keys, broadcast for
+small sides, window functions partitioned by the natural key.
+
+Parity citations into /root/reference/af2_dags/dependencies/bq_queries/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Dedup / latest-wins
+# ---------------------------------------------------------------------------
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep the latest row per key: ROW_NUMBER() OVER (PARTITION BY keys ORDER
+    BY order_cols DESC) = 1 (general_queries.py:31-43).
+
+    Scale notes: one shuffle on ``keys``; with AQE the window runs after
+    skew-aware partitioning. Add a tiebreaker column to order_cols for
+    determinism."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def distinct_values_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality distinct-values table: DISTINCT cols WHERE all NOT NULL
+    ORDER BY (general_queries.py:4-28)."""
+    out = df.select(*cols)
+    for c in cols:
+        out = out.filter(F.col(c).isNotNull())
+    return out.distinct().orderBy(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Incremental merge (the reference's generic algorithm, SURVEY §3.2)
+# ---------------------------------------------------------------------------
+
+
+def insert_new_records(master: DataFrame, incoming: DataFrame, key: str | list[str]) -> DataFrame:
+    """Anti-join append: master ∪ incoming rows whose key is absent
+    (general_queries.py:87-98 INSERT … WHERE id NOT IN master)."""
+    keys = [key] if isinstance(key, str) else key
+    fresh = incoming.join(master.select(*keys).distinct(), keys, "left_anti")
+    return master.unionByName(fresh.select(*master.columns))
+
+
+def sync_update(
+    master: DataFrame, staging: DataFrame, key: str | list[str], update_cols: list[str]
+) -> DataFrame:
+    """Correlated UPDATE: overwrite ``update_cols`` from staging where the key
+    matches; unmatched master rows unchanged (general_queries.py:132-142).
+
+    Staging must be key-unique (the reference dedups first to avoid BigQuery's
+    'UPDATE must match at most one source row' — clean_311_records_airflow.py:58-69);
+    enforce with dedup_latest upstream."""
+    keys = [key] if isinstance(key, str) else key
+    staged = staging.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in update_cols]
+    )
+    joined = master.join(staged, keys, "left")
+    out_cols: list[Column] = []
+    for c in master.columns:
+        if c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def detect_changed_rows(
+    master: DataFrame, staging: DataFrame, key: str | list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Change detection: staging rows whose key exists in master but whose
+    IFNULL-normalized compare_cols differ (general_queries.py:101-129)."""
+    keys = [key] if isinstance(key, str) else key
+    m = master.select(*keys, *[F.col(c).alias(f"__m_{c}") for c in compare_cols])
+    joined = staging.join(m, keys, "inner")
+    diff = None
+    for c in compare_cols:
+        ne = F.coalesce(F.col(c).cast("string"), F.lit("")) != F.coalesce(
+            F.col(f"__m_{c}").cast("string"), F.lit("")
+        )
+        diff = ne if diff is None else (diff | ne)
+    return joined.filter(diff).select(*staging.columns)
+
+
+def upsert(
+    master: DataFrame,
+    incoming: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """DELETE matching keys then INSERT fresh rows — replace-by-key upsert
+    (integrate_new_requests.py:84-106 delete_old_insert_new)."""
+    keys = [key] if isinstance(key, str) else key
+    kept = master.join(incoming.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(incoming.select(*master.columns))
+
+
+def incremental_merge(
+    master: DataFrame,
+    incoming: DataFrame,
+    key: str | list[str],
+    update_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """The reference's generic incremental-merge triple (SURVEY §3.2):
+    insert_new + sync_update + dedup_latest, as one pure recomputation
+    (cherwell pattern: general_queries.py:31-43, :87-98, :132-142)."""
+    keys = [key] if isinstance(key, str) else key
+    latest_incoming = dedup_latest(incoming, keys, order_cols)
+    inserted = insert_new_records(master, latest_incoming, keys)
+    return sync_update(inserted, latest_incoming, keys, update_cols)
+
+
+def snapshot_append(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Snapshot-append: new ∪ old rows whose composite key is absent from new
+    (general_queries.py:172-184; intime_admin.py:46-58)."""
+    return new.unionByName(old.join(new.select(*key_cols).distinct(), key_cols, "left_anti"))
+
+
+def full_refresh_merge(new: DataFrame, old: DataFrame, key: str | list[str]) -> DataFrame:
+    """Full-refresh union-merge: DISTINCT new ∪ old records missing from new
+    (condemned_dead_end_properties.py:4-46)."""
+    keys = [key] if isinstance(key, str) else key
+    return new.distinct().unionByName(old.join(new.select(*keys).distinct(), keys, "left_anti"))
+
+
+def filter_old_values(master: DataFrame, temp: DataFrame, key: str | list[str]) -> DataFrame:
+    """DELETE WHERE key IN (temp) → anti-join rewrite (general_queries.py:165-169)."""
+    keys = [key] if isinstance(key, str) else key
+    return master.join(temp.select(*keys).distinct(), keys, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Top-k / groupwise-max
+# ---------------------------------------------------------------------------
+
+
+def top_k_join(
+    df: DataFrame, group_col: str, k: int, order_tiebreak: bool = True
+) -> DataFrame:
+    """Dashburgh top-k pattern: keep rows whose ``group_col`` value is among
+    the k most frequent (transform_enrich_requests.py:38-68 — INNER JOIN
+    against a GROUP BY/ORDER BY/LIMIT k subquery).
+
+    Scale notes: the top-k list is tiny → broadcast semi-join back onto the
+    fact; only the counting aggregation shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    order = [F.desc("__cnt")] + ([F.asc(group_col)] if order_tiebreak else [])
+    top = counts.orderBy(*order).limit(k).select(group_col)
+    return df.join(F.broadcast(top), group_col, "left_semi")
+
+
+def groupwise_max(df: DataFrame, group_cols: list[str], max_col: str) -> DataFrame:
+    """Rows carrying the per-group maximum of ``max_col`` — JOIN against
+    (SELECT MAX(..) GROUP BY ..) (condemned_dead_end_properties.py:66-85).
+    Ties keep all tied rows, exactly like the reference's join formulation."""
+    mx = df.groupBy(*group_cols).agg(F.max(max_col).alias(max_col))
+    return df.join(mx, group_cols + [max_col], "left_semi")
+
+
+def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "seq") -> DataFrame:
+    """ROW_NUMBER() OVER (ORDER BY …) global sequence
+    (condemned_dead_end_properties.py:71).
+
+    Scale notes: a global window is a single-partition sort — fine for the
+    reference's export-sized tables, unacceptable on a 100 TB fact. For large
+    inputs prefer zipWithIndex-style: repartitionByRange + per-partition
+    offsets. This implementation keeps the exact SQL semantics."""
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Parent/child ticket aggregation (qscend family model)
+# ---------------------------------------------------------------------------
+
+
+def child_ticket_rollup(
+    children: DataFrame,
+    parent_key: str,
+    id_col: str,
+    comment_col: str,
+    id_delim: str = ", ",
+    comment_delim: str = " <BREAK> ",
+) -> DataFrame:
+    """STRING_AGG ids + comments and COUNT per parent
+    (integrate_new_requests.py:18-81). Aggregated values are ordered by the
+    child id for determinism (BigQuery STRING_AGG is unordered; the reference
+    relies on insertion order — we pin a canonical order instead)."""
+    pairs = F.array_agg(F.struct(F.col(id_col).alias("i"), F.col(comment_col).alias("c")))
+    sorted_pairs = F.array_sort(pairs)
+    return children.groupBy(parent_key).agg(
+        F.concat_ws(id_delim, F.transform(sorted_pairs, lambda s: s["i"].cast("string"))).alias(
+            "child_ids"
+        ),
+        F.concat_ws(
+            comment_delim, F.transform(sorted_pairs, lambda s: s["c"].cast("string"))
+        ).alias("child_comments"),
+        F.count(F.lit(1)).alias("cts"),
+    )
+
+
+def linked_tickets_array(
+    children: DataFrame,
+    parent_key: str,
+    struct_cols: list[str],
+) -> DataFrame:
+    """ARRAY_AGG(STRUCT(...)) GROUP BY parent with num_requests =
+    ARRAY_LENGTH + 1 (integrate_new_requests.py:200-232), canonically ordered."""
+    arr = F.array_sort(F.array_agg(F.struct(*[F.col(c) for c in struct_cols])))
+    return children.groupBy(parent_key).agg(
+        arr.alias("child_tickets"),
+        (F.size(arr) + 1).alias("num_requests"),
+    )
+
+
+def append_to_text_field(
+    master: DataFrame,
+    src: DataFrame,
+    key: str,
+    field: str,
+    delim: str,
+) -> DataFrame:
+    """master.field = CONCAT(IFNULL(field||delim, ''), src.field) unless the
+    value is already contained (integrate_new_requests.py:4-15)."""
+    s = src.select(F.col(key), F.col(field).alias("__src_field"))
+    joined = master.join(s, key, "left")
+    appended = F.when(
+        F.col("__src_field").isNull() | F.col(field).contains(F.col("__src_field")), F.col(field)
+    ).otherwise(
+        F.concat(F.coalesce(F.concat(F.col(field), F.lit(delim)), F.lit("")), F.col("__src_field"))
+    )
+    return joined.withColumn(field, appended).drop("__src_field")
+
+
+# ---------------------------------------------------------------------------
+# Reporting aggregates
+# ---------------------------------------------------------------------------
+
+
+def bucketed_report(
+    df: DataFrame,
+    bucket_col: str,
+    buckets: list[tuple[float, float, str]],
+    group_cols: list[str],
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CASE WHEN x BETWEEN a AND b THEN label bucketing × group-by count —
+    the EEO4 salary-band report shape (ceridian_admin.py:5-57)."""
+    expr: Column | None = None
+    for lo, hi, label in buckets:
+        cond = F.col(bucket_col).between(lo, hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    assert expr is not None
+    bucketed = df.withColumn(out_col, expr.otherwise(F.lit("other")))
+    return bucketed.groupBy(*(group_cols + [out_col])).agg(F.count(F.lit(1)).alias("n"))
+
+
+def percentage_table(
+    df: DataFrame, group_cols: list[str], id_col: str, pct_decimals: int = 4
+) -> DataFrame:
+    """COUNT(DISTINCT id) per group ÷ grand total via an empty-frame window —
+    SUM(COUNT(*)) OVER () (ceridian_admin.py:60-79).
+
+    Scale notes: the grand-total window over an aggregated (tiny) frame is
+    cheap; never run an empty-partition window over the raw fact."""
+    counts = df.groupBy(*group_cols).agg(F.countDistinct(id_col).alias("n"))
+    w = Window.partitionBy()
+    return counts.withColumn(
+        "pct", F.round(F.col("n") / F.sum("n").over(w), pct_decimals)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharding
+# ---------------------------------------------------------------------------
+
+
+def split_table_by_range(
+    df: DataFrame, ts_col: str, boundaries: list
+) -> list[DataFrame]:
+    """Range-shard into N frames by [b_i, b_{i+1}) (airflow_utils.py:130-160).
+    For writes prefer ``df.repartitionByRange(n, ts_col)`` + partitioned
+    parquet — same pruning, no N scans."""
+    out = []
+    for lo, hi in zip(boundaries, boundaries[1:]):
+        out.append(df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi)))
+    return out

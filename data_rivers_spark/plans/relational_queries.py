@@ -1,1 +1,429 @@
-"""Placeholder — queries registered in later milestones."""
+"""Driver-contract queries exercising the relational library
+(operators/relational.py) against the DuckDB oracle.
+
+Each query models one reference SQL-builder pattern (SURVEY.md §2.3) on the
+driver's synthetic tables. Master/incoming splits are derived deterministically
+from the tables themselves (modulo keys / date cutoffs) so the same split is
+expressible in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators import relational as R
+from data_rivers_spark.plans.registry import query
+from data_rivers_spark.session import load_tables
+
+
+@query(
+    "q_dedup_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window dedup latest-wins (general_queries.py:31-43)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    out = R.dedup_latest(t["orders"], ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return out.select(
+        "o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate")
+    )
+
+
+@query(
+    "q_distinct_values",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality distinct-values table (general_queries.py:4-28)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return R.distinct_values_table(t["orders"], ["o_orderstatus", "o_orderpriority"])
+
+
+@query(
+    "q_insert_new_records",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_custkey % 2 = 0
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+    """,
+)
+def q_insert_new_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join append (general_queries.py:87-98)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = t["orders"].select("o_orderkey", "o_custkey", "o_orderstatus")
+    master = base.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "o_orderstatus")
+    incoming = base.filter(F.col("o_custkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    return R.insert_new_records(master, incoming, "o_orderkey")
+
+
+@query(
+    "q_sync_update",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000 ELSE c_acctbal END, 2) AS bal
+    FROM customer
+    """,
+)
+def q_sync_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated UPDATE via join+coalesce (general_queries.py:132-142)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    master = t["customer"]
+    staging = (
+        master.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+    )
+    out = R.sync_update(master, staging, "c_custkey", ["c_acctbal"])
+    return out.select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+
+
+@query(
+    "q_detect_changed",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey < 5 AND COALESCE(c_mktsegment, '') != 'CHANGED'
+    """,
+)
+def q_detect_changed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-detection diff (general_queries.py:101-129)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    master = t["customer"]
+    staging = master.filter(F.col("c_nationkey") < 5).withColumn(
+        "c_mktsegment", F.lit("CHANGED")
+    )
+    out = R.detect_changed_rows(master, staging, "c_custkey", ["c_mktsegment"])
+    return out.select("c_custkey")
+
+
+@query(
+    "q_snapshot_append",
+    oracle="""
+    WITH new AS (
+      SELECT user_id, STRFTIME(ts, '%Y-%m-%d') AS d, ROUND(SUM(value), 2) AS bal, 'new' AS src
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id, STRFTIME(ts, '%Y-%m-%d')
+    ), old AS (
+      SELECT user_id, STRFTIME(ts, '%Y-%m-%d') AS d, ROUND(SUM(value), 2) AS bal, 'old' AS src
+      FROM events WHERE ts < TIMESTAMP '2024-01-25' GROUP BY user_id, STRFTIME(ts, '%Y-%m-%d')
+    )
+    SELECT * FROM new
+    UNION ALL
+    SELECT * FROM old
+    WHERE (CAST(user_id AS VARCHAR) || ':' || d) NOT IN
+          (SELECT CAST(user_id AS VARCHAR) || ':' || d FROM new)
+    """,
+)
+def q_snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-append on a composite key (general_queries.py:172-184)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    day = F.date_format("ts", "yyyy-MM-dd").alias("d")
+
+    def snap(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("user_id", day).agg(
+            F.round(F.sum("value"), 2).alias("bal"), F.lit(label).alias("src")
+        )
+
+    new = snap(ev.filter(F.col("ts") >= F.lit("2024-01-20").cast("timestamp")), "new")
+    old = snap(ev.filter(F.col("ts") < F.lit("2024-01-25").cast("timestamp")), "old")
+    return R.snapshot_append(old, new, ["user_id", "d"])
+
+
+@query(
+    "q_top_k_types",
+    oracle="""
+    WITH fact AS (
+      SELECT l_orderkey, l_partkey, p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), top AS (
+      SELECT p_type FROM fact GROUP BY p_type ORDER BY COUNT(*) DESC, p_type LIMIT 10
+    )
+    SELECT l_orderkey, l_partkey, p_type FROM fact WHERE p_type IN (SELECT p_type FROM top)
+    """,
+)
+def q_top_k_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashburgh top-k join-back (transform_enrich_requests.py:38-68)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    fact = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_orderkey", "l_partkey", "p_type")
+    return R.top_k_join(fact, "p_type", 10)
+
+
+@query(
+    "q_groupwise_max",
+    oracle="""
+    SELECT l.l_partkey, EPOCH_US(l.l_shipdate) AS ship_us, l.l_orderkey, l.l_linenumber
+    FROM lineitem l
+    JOIN (SELECT l_partkey, MAX(l_shipdate) AS m FROM lineitem GROUP BY l_partkey) mx
+      ON l.l_partkey = mx.l_partkey AND l.l_shipdate = mx.m
+    """,
+)
+def q_groupwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise-max join (condemned_dead_end_properties.py:66-85)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    out = R.groupwise_max(t["lineitem"], ["l_partkey"], "l_shipdate")
+    return out.select(
+        "l_partkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@query(
+    "q_child_rollup",
+    oracle="""
+    SELECT l_orderkey,
+           STRING_AGG(l_linenumber, ', ' ORDER BY l_linenumber, l_returnflag) AS child_ids,
+           STRING_AGG(l_returnflag, ' <BREAK> ' ORDER BY l_linenumber, l_returnflag) AS child_comments,
+           COUNT(*) AS cts
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_child_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent/child STRING_AGG + COUNT rollup (integrate_new_requests.py:18-81)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return R.child_ticket_rollup(t["lineitem"], "l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@query(
+    "q_linked_array",
+    oracle="""
+    SELECT l_orderkey,
+           TO_JSON(LIST(STRUCT_PACK(l_linenumber := l_linenumber, l_quantity := l_quantity)
+                        ORDER BY l_linenumber, l_quantity)) AS children_json,
+           COUNT(*) + 1 AS num_requests
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_linked_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_AGG(STRUCT(...)) linkage array (integrate_new_requests.py:200-232),
+    serialized to JSON for cross-engine comparison."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    out = R.linked_tickets_array(t["lineitem"], "l_orderkey", ["l_linenumber", "l_quantity"])
+    return out.select(
+        "l_orderkey", F.to_json("child_tickets").alias("children_json"), "num_requests"
+    )
+
+
+@query(
+    "q_percentage_table",
+    oracle="""
+    SELECT c_mktsegment, n, ROUND(n / SUM(n) OVER (), 4) AS pct
+    FROM (SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n FROM customer GROUP BY c_mktsegment)
+    """,
+)
+def q_percentage_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand-total window percentage report (ceridian_admin.py:60-79)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    return R.percentage_table(t["customer"], ["c_mktsegment"], "c_custkey")
+
+
+@query(
+    "q_eeo4_buckets",
+    oracle="""
+    SELECT c_mktsegment,
+           CASE WHEN c_acctbal BETWEEN -1000 AND 0 THEN 'negative'
+                WHEN c_acctbal BETWEEN 0 AND 5000 THEN 'low'
+                WHEN c_acctbal BETWEEN 5000 AND 10000 THEN 'high'
+                ELSE 'other' END AS bucket,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def q_eeo4_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salary-band bucketing report shape (ceridian_admin.py:5-57)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    return R.bucketed_report(
+        t["customer"],
+        "c_acctbal",
+        [(-1000, 0, "negative"), (0, 5000, "low"), (5000, 10000, "high")],
+        ["c_mktsegment"],
+    )
+
+
+@query(
+    "q_self_join_pairs",
+    oracle="""
+    SELECT a.s_suppkey AS k1, b.s_suppkey AS k2, a.s_nationkey AS nation
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+)
+def q_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join (employee→manager shape, ceridian_admin.py:112-119)."""
+    t = load_tables(spark, sf_dir, ["supplier"])
+    a = t["supplier"].alias("a")
+    b = t["supplier"].alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("k1"),
+        F.col("b.s_suppkey").alias("k2"),
+        F.col("a.s_nationkey").alias("nation"),
+    )
+
+
+@query(
+    "q_personas_multijoin",
+    oracle="""
+    SELECT c_custkey, n_name, r_name, COALESCE(c_mktsegment, 'UNKNOWN') AS segment
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_personas_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way LEFT JOIN + coalesce fallback (ad_admin.py:4-18)."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .select(
+            "c_custkey",
+            "n_name",
+            "r_name",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+    )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT accumulation (transform_enrich_requests.py:88-94)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    a = t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "q_replace_matched_rows",
+    oracle="""
+    SELECT c_custkey, ROUND(0, 2) AS bal FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS bal FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_replace_matched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN ∪ UNION ALL replace-matched-rows (ad_admin.py:39-50)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    base = t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = base.filter(F.col("c_mktsegment") == "BUILDING").withColumn("c_acctbal", F.lit(0.0))
+    out = R.upsert(base, new, "c_custkey")
+    return out.select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+
+
+@query(
+    "q_global_rownum",
+    oracle="""
+    SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ROW_NUMBER sequence (condemned_dead_end_properties.py:71)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    out = R.global_row_number(
+        t["orders"].filter(F.col("o_orderkey") < 200), ["o_orderdate", "o_orderkey"]
+    )
+    return out.select("o_orderkey", "seq")
+
+
+@query(
+    "q_incremental_merge",
+    oracle="""
+    SELECT user_id, event_id, event_type, EPOCH_US(ts) AS ts_us
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic incremental-merge triple (SURVEY §3.2): master (pre-cutoff
+    latest per user) merged with incoming (post-cutoff) must equal a direct
+    latest-per-user recomputation — the oracle states the simple form."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select("user_id", "event_id", "event_type", "ts")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    master = R.dedup_latest(ev.filter(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"])
+    incoming = ev.filter(F.col("ts") >= cutoff)
+    merged = R.incremental_merge(
+        master, incoming, "user_id", ["event_id", "event_type", "ts"], ["ts", "event_id"]
+    )
+    return merged.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+
+
+@query(
+    "q_append_text_field",
+    oracle="""
+    WITH src AS (SELECT l_orderkey, MIN(l_returnflag) AS f FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN src.f IS NULL OR CONTAINS(o_orderpriority, src.f) THEN o_orderpriority
+                ELSE o_orderpriority || ' | ' || src.f END AS comments
+    FROM orders LEFT JOIN src ON o_orderkey = src.l_orderkey
+    """,
+)
+def q_append_text_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded text append (integrate_new_requests.py:4-15)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    master = t["orders"].select("o_orderkey", F.col("o_orderpriority").alias("comments"))
+    src = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.min("l_returnflag").alias("comments"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    return R.append_to_text_field(master, src, "o_orderkey", "comments", " | ")
+
+
+@query(
+    "q_range_shard",
+    oracle="""
+    SELECT event_id, EPOCH_US(ts) AS ts_us FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+)
+def q_range_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range sharding of a table by timestamp (airflow_utils.py:130-160)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    shards = R.split_table_by_range(
+        t["events"],
+        "ts",
+        [
+            F.lit("2024-01-10").cast("timestamp"),
+            F.lit("2024-01-20").cast("timestamp"),
+        ],
+    )
+    return shards[0].select("event_id", F.unix_micros("ts").alias("ts_us"))

@@ -79,7 +79,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # TIMESTAMP(NANOS) read as long via nanosAsLong: truncate to micros
             # (matches DuckDB's ns→µs truncation) and restore TimestampType
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer div — double division loses precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

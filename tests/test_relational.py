@@ -1,0 +1,42 @@
+"""Unit tests for relational ops not covered by the driver oracle queries."""
+
+from __future__ import annotations
+
+from data_rivers_spark.operators import relational as R
+
+
+def test_full_refresh_merge(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    new = spark.createDataFrame([(1, "a2"), (1, "a2"), (3, "c")], ["k", "v"])
+    out = {(r.k, r.v) for r in R.full_refresh_merge(new, old, "k").collect()}
+    assert out == {(1, "a2"), (3, "c"), (2, "b")}
+
+
+def test_filter_old_values(spark):
+    master = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    temp = spark.createDataFrame([(2,)], ["k"])
+    out = {r.k for r in R.filter_old_values(master, temp, "k").collect()}
+    assert out == {1, 3}
+
+
+def test_upsert_replaces_and_inserts(spark):
+    master = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "v"])
+    incoming = spark.createDataFrame([(1, "new"), (9, "ins")], ["k", "v"])
+    out = {(r.k, r.v) for r in R.upsert(master, incoming, "k").collect()}
+    assert out == {(1, "new"), (2, "keep"), (9, "ins")}
+
+
+def test_split_table_by_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    shards = R.split_table_by_range(df, "x", [0, 5, 10])
+    assert [s.count() for s in shards] == [5, 5]
+
+
+def test_incremental_merge_updates_and_inserts(spark):
+    master = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], ["k", "v", "t"])
+    incoming = spark.createDataFrame(
+        [(1, "a9", 30), (1, "a8", 20), (3, "c", 5)], ["k", "v", "t"]
+    )
+    out = {(r.k, r.v, r.t) for r in
+           R.incremental_merge(master, incoming, "k", ["v", "t"], ["t"]).collect()}
+    assert out == {(1, "a9", 30), (2, "b", 10), (3, "c", 5)}
