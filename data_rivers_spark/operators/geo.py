@@ -1,0 +1,125 @@
+"""Geospatial relational operators (SURVEY.md §2.3 geo_queries).
+
+revgeo_timebound: the reference's signature query — reverse geocode by
+LEFT-joining point facts against small polygon zone tables with a validity
+interval (geo_queries.py:4-108, build_piecemeal_revgeo_query
+airflow_utils.py:100-127). city_limits_classify: point-in-city with an
+exclusion polygon (geo_queries.py:123-154).
+
+Scale design: zone tables are dozens-to-hundreds of rows → explicit
+broadcast; the join is a BroadcastNestedLoopJoin whose probe-side predicate
+(ray casting) is pure codegen. The fact side streams — no shuffle at any SF.
+For thousands of zones, pre-filter with a bounding-box equi-join on a grid
+key before the exact test (TODO round 2 if needed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_rivers_spark.functions.geo import point_in_polygon, wkt_polygon_vertices
+
+
+def _prepared_zones(zones: DataFrame, wkt_col: str) -> DataFrame:
+    """Parse zone WKT once on the (tiny) build side."""
+    return zones.withColumn("__verts", wkt_polygon_vertices(F.col(wkt_col)))
+
+
+def revgeo_timebound_join(
+    points: DataFrame,
+    zones: DataFrame,
+    x_col: str,
+    y_col: str,
+    point_date_col: str,
+    zone_col: str = "zone",
+    wkt_col: str = "geometry",
+    start_col: str = "start_date",
+    end_col: str = "end_date",
+    out_col: str | None = None,
+) -> DataFrame:
+    """LEFT OUTER spatial-interval join: attach the zone containing each point
+    whose validity interval covers the point's date; non-matching points keep
+    NULL (geo_queries.py:53-107: ST_CONTAINS(zone.geometry, point) AND
+    start_date <= date <= IFNULL(end_date, CURRENT_DATETIME))."""
+    out_col = out_col or zone_col
+    z = _prepared_zones(zones, wkt_col).select(
+        F.col(zone_col).alias("__zone_val"),
+        F.col("__verts"),
+        F.col(start_col).alias("__zstart"),
+        F.col(end_col).alias("__zend"),
+    )
+    cond: Column = (
+        point_in_polygon(F.col(x_col), F.col(y_col), F.col("__verts"))
+        & (F.col("__zstart") <= F.col(point_date_col))
+        & (F.col(point_date_col) <= F.coalesce(F.col("__zend"), F.current_timestamp()))
+    )
+    joined = points.join(F.broadcast(z), cond, "left")
+    return joined.withColumn(out_col, F.col("__zone_val")).drop(
+        "__zone_val", "__verts", "__zstart", "__zend"
+    )
+
+
+def revgeo_multi_zone(
+    points: DataFrame,
+    zone_tables: dict[str, DataFrame],
+    x_col: str,
+    y_col: str,
+    point_date_col: str,
+    **kwargs,
+) -> DataFrame:
+    """The 8-way enrichment: one timebound revgeo join per zone type, each
+    broadcast (geo_queries.py:4-108 joins neighborhoods, council_districts,
+    wards, fire/police zones, dpw_* in a single statement)."""
+    out = points
+    for out_col, zones in zone_tables.items():
+        out = revgeo_timebound_join(
+            out, zones, x_col, y_col, point_date_col, out_col=out_col, **kwargs
+        )
+    return out
+
+
+def city_limits_classify(
+    points: DataFrame,
+    city_wkt: str,
+    exclusion_wkt: str | None,
+    x_col: str,
+    y_col: str,
+    type_col: str = "address_type",
+    outside_label: str = "Outside of City",
+) -> DataFrame:
+    """Set address_type = 'Outside of City' where the point is not inside the
+    city polygon or falls in the exclusion polygon (Mt Oliver), preserving the
+    prior classification otherwise (geo_queries.py:123-154;
+    transform_enrich_requests.py:4-35)."""
+    in_city = point_in_polygon(
+        F.col(x_col), F.col(y_col), wkt_polygon_vertices(F.lit(city_wkt))
+    )
+    outside = ~in_city
+    if exclusion_wkt is not None:
+        in_excl = point_in_polygon(
+            F.col(x_col), F.col(y_col), wkt_polygon_vertices(F.lit(exclusion_wkt))
+        )
+        outside = outside | in_excl
+    return points.withColumn(
+        type_col, F.when(outside, F.lit(outside_label)).otherwise(F.col(type_col))
+    )
+
+
+def parcel_centroid_join(
+    facts: DataFrame,
+    parcels: DataFrame,
+    parc_col: str,
+    parcel_key: str = "zone",
+    wkt_col: str = "geometry",
+) -> DataFrame:
+    """LEFT JOIN facts to the parcel dim and attach centroid lat/long
+    (general_queries.py:75-84: ST_Y(ST_CENTROID(geometry))…)."""
+    from data_rivers_spark.functions.geo import polygon_centroid
+
+    p = parcels.withColumn("__c", polygon_centroid(wkt_polygon_vertices(F.col(wkt_col))))
+    p = p.select(
+        F.col(parcel_key).alias(parc_col),
+        F.col("__c")["y"].alias("latitude"),
+        F.col("__c")["x"].alias("longitude"),
+    )
+    return facts.join(F.broadcast(p), parc_col, "left")

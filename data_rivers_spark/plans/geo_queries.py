@@ -1,1 +1,133 @@
-"""Placeholder — queries registered in later milestones."""
+"""Driver-contract geo queries. Zone fixtures are synthesized from the nation/
+supplier dims as axis-aligned rectangle WKT polygons, so the oracle can state
+containment as pure arithmetic while the Spark side runs the real WKT-parse +
+ray-casting machinery (functions/geo.py). Points are derived from orders keys
+with fractional offsets so no point ever lies on a polygon edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators.geo import (
+    city_limits_classify,
+    parcel_centroid_join,
+    revgeo_timebound_join,
+)
+from data_rivers_spark.plans.registry import query
+from data_rivers_spark.session import load_tables
+
+
+def _rect_wkt(x1, y1, x2, y2):
+    """Closed-ring rectangle WKT from numeric columns."""
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("POLYGON(("),
+        s(x1), F.lit(" "), s(y1), F.lit(", "),
+        s(x2), F.lit(" "), s(y1), F.lit(", "),
+        s(x2), F.lit(" "), s(y2), F.lit(", "),
+        s(x1), F.lit(" "), s(y2), F.lit(", "),
+        s(x1), F.lit(" "), s(y1),
+        F.lit("))"),
+    )
+
+
+def _order_points(orders: DataFrame) -> DataFrame:
+    return orders.select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 50) + 0.5).alias("px"),
+        ((F.col("o_custkey") % 9) + 0.25).alias("py"),
+        F.col("o_orderdate").cast("timestamp").alias("create_date"),
+    )
+
+
+@query(
+    "q_revgeo_timebound",
+    oracle="""
+    WITH zones AS (
+      SELECT n_name AS zone, n_nationkey * 2 AS x1, n_nationkey * 2 + 2 AS x2,
+             TIMESTAMP '1990-01-01' AS sd,
+             CASE WHEN n_nationkey % 2 = 1 THEN TIMESTAMP '1996-01-01' END AS ed
+      FROM nation
+    ), pts AS (
+      SELECT o_orderkey, (o_orderkey % 50) + 0.5 AS px, (o_custkey % 9) + 0.25 AS py, o_orderdate
+      FROM orders
+    )
+    SELECT o_orderkey, zone
+    FROM pts LEFT JOIN zones
+      ON px > x1 AND px < x2 AND py > 0 AND py < 10
+     AND sd <= o_orderdate AND o_orderdate <= COALESCE(ed, NOW())
+    """,
+)
+def q_revgeo_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timebound reverse-geocode spatial join (geo_queries.py:4-108): broadcast
+    polygon zones, ray-casting containment + validity-interval condition."""
+    t = load_tables(spark, sf_dir, ["orders", "nation"])
+    zones = t["nation"].select(
+        F.col("n_name").alias("zone"),
+        _rect_wkt(
+            F.col("n_nationkey") * 2, F.lit(0), F.col("n_nationkey") * 2 + 2, F.lit(10)
+        ).alias("geometry"),
+        F.lit("1990-01-01").cast("timestamp").alias("start_date"),
+        F.when(
+            F.col("n_nationkey") % 2 == 1, F.lit("1996-01-01").cast("timestamp")
+        ).alias("end_date"),
+    )
+    pts = _order_points(t["orders"])
+    out = revgeo_timebound_join(pts, zones, "px", "py", "create_date")
+    return out.select("o_orderkey", "zone")
+
+
+@query(
+    "q_city_limits",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN NOT (px > 0 AND px < 40 AND py > 0 AND py < 8)
+                     OR (px > 10 AND px < 12 AND py > 2 AND py < 4)
+                THEN 'Outside of City' ELSE 'Precise' END AS address_type
+    FROM (
+      SELECT o_orderkey, (o_orderkey % 50) + 0.5 AS px, (o_custkey % 9) + 0.25 AS py
+      FROM orders
+    )
+    """,
+)
+def q_city_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City-limits classification with exclusion polygon (geo_queries.py:123-154,
+    the Mt-Oliver containment quirk)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    pts = _order_points(t["orders"]).withColumn("address_type", F.lit("Precise"))
+    city = "POLYGON((0 0, 40 0, 40 8, 0 8, 0 0))"
+    mt_oliver = "POLYGON((10 2, 12 2, 12 4, 10 4, 10 2))"
+    out = city_limits_classify(pts, city, mt_oliver, "px", "py")
+    return out.select("o_orderkey", "address_type")
+
+
+@query(
+    "q_parcel_centroid",
+    oracle="""
+    WITH parcels AS (
+      SELECT s_name AS parc, CAST(s_suppkey * 3 + 1 AS DOUBLE) AS longitude,
+             CAST(6 AS DOUBLE) AS latitude
+      FROM supplier
+    ), facts AS (
+      SELECT c_custkey, s_name AS parc FROM customer JOIN supplier ON c_custkey % 10 = s_suppkey
+    )
+    SELECT c_custkey, parc, latitude, longitude FROM facts LEFT JOIN parcels USING (parc)
+    """,
+)
+def q_parcel_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parcel-centroid enrichment join (general_queries.py:75-84)."""
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    parcels = t["supplier"].select(
+        F.col("s_name").alias("zone"),
+        _rect_wkt(
+            F.col("s_suppkey") * 3, F.lit(5), F.col("s_suppkey") * 3 + 2, F.lit(7)
+        ).alias("geometry"),
+    )
+    facts = (
+        t["customer"]
+        .join(F.broadcast(t["supplier"]), F.col("c_custkey") % 10 == F.col("s_suppkey"))
+        .select("c_custkey", F.col("s_name").alias("parc"))
+    )
+    out = parcel_centroid_join(facts, parcels, "parc")
+    return out.select("c_custkey", "parc", "latitude", "longitude")
