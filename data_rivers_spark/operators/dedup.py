@@ -1,0 +1,305 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+Beyond the reference's dropDuplicates-style dedup (SURVEY §2.1 #Deduplicate),
+these are the operators a 100 TB corpus pipeline needs: exact (hash-keyed),
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
+
+Scale design notes:
+- exact_dedup groups on xxhash64(text), never the full text — the shuffle key
+  is 8 bytes instead of kilobytes; collisions are resolved by a second exact
+  comparison within hash groups.
+- minhash_lsh is the classic shingle → k-minhash → band-bucket → candidate
+  join pipeline: only documents sharing a band bucket are ever paired, so the
+  quadratic step is confined to bucket-local candidates. All hashing is
+  xxhash64 (JVM codegen) — no Python in the pipeline.
+- simhash uses one Arrow-batched pandas UDF (numpy bit-twiddling beats a
+  64-term codegen expression tree); hamming distance stays native via
+  bit_count(xor).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenize / shingle helpers (shared with textstats)
+# ---------------------------------------------------------------------------
+
+
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty text → empty array."""
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles as strings ('w1 w2 w3'); documents shorter than n
+    words yield the whole text as a single shingle."""
+    ws = words(text)
+    k = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    make = lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))  # noqa: E731
+    return F.when(k <= n, F.array(F.concat_ws(" ", ws))).otherwise(F.transform(idx, make))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact text value.
+
+    Hash-first grouping: shuffle on xxhash64(text) (8-byte key), then resolve
+    the (astronomically rare) hash collision by grouping again on the full
+    text within each hash group. At 100 TB this halves shuffle bytes vs
+    grouping on raw text."""
+    h = F.xxhash64(F.col(text_col))
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h", text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h")
+    )
+    return df.join(keep, [id_col, text_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 32) -> Column:
+    """k-minhash signature as array<long>: min over shingles of
+    xxhash64(shingle, seed_i) per seed. Pass a *materialized column* of
+    shingles — passing the shingle expression directly would re-evaluate the
+    tokenize+shingle tree once per hash."""
+
+    def hasher(seed: int):
+        # single-arg lambda only: a 2-arg lambda would be treated by
+        # F.transform as (element, index) and the seed silently replaced
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sigs = [F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """Convenience single-expression form (prefer the two-step via
+    minhash_signature_from_shingles inside pipelines)."""
+    return minhash_signature_from_shingles(word_shingles(text, shingle_n), num_hashes)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    rows_per_band = num_hashes // bands; two docs collide when any band of
+    their signatures matches exactly. Returns distinct (id_a, id_b).
+
+    Scale: the only shuffle is the band-bucket exchange, keyed on
+    (band_idx, band_hash) — 12 bytes. Bucket-local self-join sizes are bounded
+    by bucket occupancy; pathological buckets (boilerplate docs) should be
+    capped upstream with a frequency filter."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    banded = (
+        shingled.select(
+            F.col(id_col),
+            minhash_signature_from_shingles(F.col("__sh"), num_hashes).alias("__sig"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_words(text_a: Column, text_b: Column) -> Column:
+    """Jaccard similarity of distinct word sets."""
+    wa = F.array_distinct(words(text_a))
+    wb = F.array_distinct(words(text_b))
+    inter = F.size(F.array_intersect(wa, wb)).cast("double")
+    union = F.size(F.array_union(wa, wb)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact shingle-Jaccard verify →
+    survivors (docs that are not a higher-id duplicate of any kept doc).
+
+    Note: transitively-linked clusters are collapsed greedily by min-id (a doc
+    is dropped if it pairs above threshold with ANY lower id) — the standard
+    single-pass approximation of connected components; exact CC needs an
+    iterative join (see docstring TODO)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    verified = (
+        cands.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "__ta"}), "id_a")
+        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "__tb"}), "id_b")
+        .withColumn("jaccard", jaccard_words(F.col("__ta"), F.col("__tb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float,
+) -> DataFrame:
+    """All-pairs n-gram (word-set) Jaccard within blocking groups — the
+    brute-force verifier (and the oracle-checkable flavor): pairs (id_a <
+    id_b) sharing block_cols with Jaccard ≥ threshold.
+
+    Scale: blocking bounds the quadratic term; use LSH (above) when no natural
+    blocking key exists."""
+    cols_a = [F.col(c).alias(f"__blk_{c}") for c in block_cols]
+    base = df.select(F.col(id_col), F.col(text_col), *cols_a)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"), *[F.col(f"__blk_{c}") for c in block_cols]
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"), *[F.col(f"__blk_{c}").alias(f"__blk2_{c}") for c in block_cols]
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__blk_{c}") == F.col(f"__blk2_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", F.round(jaccard_words(F.col("__ta"), F.col("__tb")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_udf(num_bits: int = 64):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(batch: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for text in batch:
+            toks = str(text or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            # deterministic 64-bit token hashes (FNV-1a), vectorized bit vote
+            hs = np.array(
+                [_fnv1a64(t) for t in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i, v in enumerate(votes):
+                if v > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out)
+
+    return simhash
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_column(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched; one pass)."""
+    return df.withColumn(out_col, _simhash_udf()(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, sim_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within hamming distance ≤ max_hamming, blocked on 16-bit chunks:
+    near-identical signatures must share at least one of 4 chunks when
+    max_hamming ≤ 3 (pigeonhole), so the join is equi on (chunk_idx, chunk)."""
+    chunks = F.array(
+        *[F.shiftright(F.col(sim_col), i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
+    )
+    blocked = df.select(id_col, sim_col).select(
+        id_col, sim_col, F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

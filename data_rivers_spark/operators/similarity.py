@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; sign-LSH bucketing is the
+scale path (candidates only within matching hyperplane-sign buckets).
+
+Scale design: queries are broadcast (top-k is usually a small query set
+against a huge corpus); the dot product is a zip_with/aggregate expression —
+JVM-side, no Python. For billion-vector corpora swap the bucketing for a
+trained IVF (centroid assignment), same join shape.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (cast floats upstream)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine: broadcast queries × corpus,
+    window row_number per query ordered (sim desc, neighbor id).
+
+    Output: (query_id, neighbor_id, sim, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    pairs = c.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def signlsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, num_planes: int = 8, dim: int = 64, seed: int = 7
+) -> DataFrame:
+    """Random-hyperplane sign LSH bucket per vector: bucket = bits of
+    sign(v · h_p). Hyperplanes are deterministic (seeded) literal arrays, so
+    the same buckets reproduce across runs/engines."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def signlsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    num_planes: int = 8,
+    dim: int = 64,
+    exclude_self: bool = True,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (plus, with multiprobe, every bucket one sign-flip away — the standard
+    recall lever: P(≤1 plane disagrees) ≫ P(all agree) for mid-similarity
+    neighbors).
+
+    Scale: the corpus shuffles once on the 4-byte bucket key; the query side
+    (broadcast) fans out ×(num_planes+1) probes, so probe cost stays
+    ~corpus/2^planes per probe."""
+    cb = signlsh_buckets(corpus, vec_col, id_col, num_planes, dim).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv"), "bucket"
+    )
+    q = signlsh_buckets(queries, vec_col, id_col, num_planes, dim).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv"), "bucket"
+    )
+    if multiprobe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+        )
+        q = q.select(
+            "query_id", "__qv", F.explode(probe_buckets).alias("bucket")
+        )
+    qb = F.broadcast(q)
+    pairs = cb.join(qb, "bucket").dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, optionally
+    blocked on a category column (all-pairs within block)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("__va"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+        *([F.col(block_col).alias("__blk2")] if block_col else []),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("__blk") == F.col("__blk2"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for corpus pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators.dedup import words
+
+# Tiny per-language stopword lists for the heuristic language-ID. Deliberately
+# short: the operator demonstrates the scoring shape; swap in real lists (or a
+# fastText UDF) for production quality.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "pour", "les"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist", "von", "mit"],
+}
+
+# BPE-ish token heuristic: word pieces, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + individual symbols —
+    a cheap proxy for subword tokenizer counts."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    ws = words(text)
+    n = F.size(ws)
+    hits = F.size(F.filter(ws, lambda w: w.isin(stopwords)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def quality_features(df: DataFrame, text_col: str, prefix: str = "q_") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length quality
+    signals (the standard pre-training corpus filters)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    ws = words(text)
+    n_words = F.size(ws)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n_words
+    )
+    return (
+        df.withColumn(f"{prefix}n_chars", n_chars)
+        .withColumn(f"{prefix}n_words", n_words)
+        .withColumn(
+            f"{prefix}punct_ratio",
+            F.when(n_chars == 0, F.lit(0.0)).otherwise(punct.cast("double") / n_chars),
+        )
+        .withColumn(f"{prefix}stopword_ratio", stopword_ratio(text, STOPWORDS["en"]))
+        .withColumn(f"{prefix}mean_word_len", mean_wl)
+    )
+
+
+def language_scores(text: Column) -> Column:
+    """map<lang, stopword-hit-ratio> over the configured languages."""
+    entries = []
+    for lang, sw in STOPWORDS.items():
+        entries.append(F.lit(lang))
+        entries.append(stopword_ratio(text, sw))
+    return F.create_map(*entries)
+
+
+def detect_language(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language-ID: argmax stopword-hit ratio; 'und' when nothing
+    hits. Ties resolve by language-code order for determinism."""
+    text = F.col(text_col)
+    best = None
+    best_score = None
+    for lang in sorted(STOPWORDS):
+        score = stopword_ratio(text, STOPWORDS[lang])
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return df.withColumn(
+        out_col, F.when(best_score > 0, best).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """64-bit document fingerprint over normalized text (lowercased,
+    whitespace-collapsed) — xxhash64, stable across runs."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.xxhash64(normalized))
+
+
+def shingle_fingerprints(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Rolling n-word shingle fingerprints, exploded to (id, pos, shingle_hash)
+    — the building block for substring-level contamination checks."""
+    from data_rivers_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(F.col(text_col), n)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(sh, lambda s: F.xxhash64(s))).alias("pos", "shingle_hash"),
+    )

@@ -1,1 +1,254 @@
-"""Placeholder — queries registered in later milestones."""
+"""Driver-contract queries for the training-data pipeline operators
+(dedup / similarity / text analysis) over the documents and embeddings tables.
+
+The synthetic corpus has no natural duplicates (all 500 texts distinct), so
+dedup fixtures plant duplicates inside the query (id+100000 copies), keeping
+the oracle a pure function of the input tables.
+
+Float protocol: cosine oracles cast DuckDB lists to DOUBLE[] — verified to
+reproduce Spark's zip_with/aggregate double left-fold bit-for-bit; outputs
+round to 4 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators import dedup as D
+from data_rivers_spark.operators import similarity as S
+from data_rivers_spark.operators import textstats as TX
+from data_rivers_spark.plans.registry import query
+from data_rivers_spark.session import load_tables
+
+_STOP_EN = "'the','a','of','and','to','in','is','it','that','for'"
+
+
+@query(
+    "q_exact_dedup",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY text
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, hash-first grouping (keep lowest doc_id per text)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    return D.exact_dedup(aug, "text", "doc_id").select("doc_id")
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END AS n_ws,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_ws"),
+        TX.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@query(
+    "q_quality_features",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           LEN(text) AS q_n_chars,
+           LEN(ws) AS q_n_words,
+           ROUND(CASE WHEN LEN(text) = 0 THEN 0
+                 ELSE LEN(REGEXP_REPLACE(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / LEN(text) END, 4)
+             AS q_punct_ratio,
+           ROUND(CASE WHEN LEN(ws) = 0 THEN 0
+                 ELSE LEN(LIST_FILTER(ws, x -> x IN ({_STOP_EN}))) * 1.0 / LEN(ws) END, 4)
+             AS q_stopword_ratio,
+           ROUND(CASE WHEN LEN(ws) = 0 THEN 0
+                 ELSE LIST_SUM(LIST_TRANSFORM(ws, x -> LEN(x))) * 1.0 / LEN(ws) END, 4)
+             AS q_mean_word_len
+    FROM w
+    """,
+)
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punct / stopword / word-length signals."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = TX.quality_features(t["documents"], "text")
+    return out.select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_words",
+        F.round("q_punct_ratio", 4).alias("q_punct_ratio"),
+        F.round("q_stopword_ratio", 4).alias("q_stopword_ratio"),
+        F.round("q_mean_word_len", 4).alias("q_mean_word_len"),
+    )
+
+
+@query(
+    "q_detect_language",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+        CASE WHEN LEN(ws)=0 THEN 0 ELSE LEN(LIST_FILTER(ws, x -> x IN ('der','die','das','und','zu','in','ein','ist','von','mit')))*1.0/LEN(ws) END AS r_de,
+        CASE WHEN LEN(ws)=0 THEN 0 ELSE LEN(LIST_FILTER(ws, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))*1.0/LEN(ws) END AS r_en,
+        CASE WHEN LEN(ws)=0 THEN 0 ELSE LEN(LIST_FILTER(ws, x -> x IN ('el','la','de','y','que','en','un','es','por','los')))*1.0/LEN(ws) END AS r_es,
+        CASE WHEN LEN(ws)=0 THEN 0 ELSE LEN(LIST_FILTER(ws, x -> x IN ('le','la','de','et','que','en','un','est','pour','les')))*1.0/LEN(ws) END AS r_fr
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(r_de, r_en, r_es, r_fr) = 0 THEN 'und'
+                WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+                WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+                WHEN r_es >= r_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM r
+    """,
+)
+def q_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword-hit argmax, alphabetic tie-break)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return TX.detect_language(t["documents"], "text").select("doc_id", "lang_pred")
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS ws
+      FROM documents WHERE TRIM(text) != ''
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+                 LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))), 4) AS jaccard
+    FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE ROUND(LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
+                LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))), 4) >= 0.8
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-set Jaccard ≥ 0.8 within language blocks."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].filter(F.trim(F.col("text")) != "")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", ["lang"], 0.8)
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20
+    ), pairs AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             LIST_COSINE_SIMILARITY(qe, e.embedding::DOUBLE[]) AS sim
+      FROM q, embeddings e WHERE e.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 vectors."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5)
+    return out.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+@query(
+    "q_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (label-blocked, threshold 0.3)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return S.embedding_near_dup_pairs(t["embeddings"], "embedding", "vec_id", 0.3, "label")
+
+
+# --- non-SQL-expressible sketch operators: rows-only driver check + unit tests
+
+
+@query("q_minhash_lsh_dedup")
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup dedup with planted duplicates: base corpus plus
+    word-dropped copies (doc_id+100000); survivors must drop the copies.
+    Hash sketches aren't expressible in the DuckDB oracle — correctness is
+    pinned by tests/test_dataops.py::test_minhash_lsh_planted instead."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    # planted near-dups: drop the first word of every 5th doc
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    aug = docs.unionByName(copies)
+    return D.minhash_lsh_dedup(aug, "text", "doc_id", threshold=0.7).select("doc_id")
+
+
+@query("q_simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs over documents + planted copies (hamming ≤ 3).
+    Rows-only driver check; semantics pinned in tests/test_dataops.py."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    sigs = D.simhash_column(docs.unionByName(copies), "text")
+    return D.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+
+
+@query("q_signlsh_topk")
+def q_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (the ANN scale path). Rows-only;
+    recall vs the exact q_cosine_topk is asserted in tests/test_dataops.py."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    out = S.signlsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
+    )
+    return out.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+@query("q_fingerprint")
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 document fingerprints (engine-specific hash → rows-only);
+    normalization invariance pinned in tests/test_dataops.py."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return TX.fingerprint(t["documents"], "text").select("doc_id", "fingerprint")

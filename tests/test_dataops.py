@@ -1,0 +1,124 @@
+"""Semantics tests for the training-data operators (dedup / similarity /
+textstats / multimodal) — especially the sketch ops the DuckDB oracle can't
+express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators import dedup as D
+from data_rivers_spark.operators import multimodal as M
+from data_rivers_spark.operators import similarity as S
+from data_rivers_spark.operators import textstats as TX
+
+
+def _docs(spark, sf_dir):
+    from data_rivers_spark.session import load_tables
+
+    return load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id", "text")
+
+
+def test_minhash_lsh_planted(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    aug = docs.unionByName(copies)
+    survivors = {r.doc_id for r in D.minhash_lsh_dedup(aug, "text", "doc_id", 0.7).collect()}
+    planted = {r.doc_id for r in copies.select("doc_id").collect()}
+    # every planted near-dup (higher id than its original) must be dropped
+    assert not (survivors & planted), sorted(survivors & planted)[:5]
+
+
+def test_minhash_no_false_negatives_on_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in D.minhash_lsh_dedup(df, "text", "doc_id", 0.9).collect()}
+    assert out == {1, 3}
+
+
+def test_simhash_close_and_far(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (3, "entirely unrelated content about spark query engines and columnar execution"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = D.simhash_column(df, "text")
+    rows = {r.doc_id: r.simhash for r in sigs.collect()}
+    ham12 = bin(rows[1] ^ rows[2]).count("1")
+    ham13 = bin(rows[1] ^ rows[3]).count("1")
+    assert ham12 < ham13
+    pairs = D.simhash_near_pairs(sigs, "doc_id", max_hamming=ham12)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_signlsh_recall_vs_exact(spark, sf_dir):
+    from data_rivers_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, "embedding", "vec_id", 5)
+    approx = S.signlsh_topk(emb, queries, "embedding", "vec_id", 5, num_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 planes → 16 buckets over 500 vecs; recall is approximate by design but
+    # must beat random chance (5/500) by a wide margin
+    assert recall > 0.2, recall
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fingerprint for r in TX.fingerprint(df, "text").collect()}
+    assert rows[1] == rows[2] != rows[3]
+
+
+def test_shingle_fingerprints(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    out = D.word_shingles(F.col("text"), 5)
+    n = TX.shingle_fingerprints(df, "text", "doc_id", 5).count()
+    assert n == 3  # 7 words → 3 rolling 5-shingles
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, b"\x00\x01imagebytes", "image", (64, 48, None, "png")),
+        (2, b"\x00\x02audiobytes", "audio", (None, None, 120000, "wav")),
+        (3, None, "image", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = M.extract_features(df).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id[1].feature) == 16 and by_id[1].decode_ok
+    # determinism: same bytes → same feature
+    again = {r.media_id: r for r in M.extract_features(df).collect()}
+    assert again[1].feature == by_id[1].feature
+    # stats run natively
+    stats = {r.media_type: r.n for r in M.media_stats(df).collect()}
+    assert stats == {"image": 2, "audio": 1}
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [(1, b"v", "video", (None, None, 1000, "mp4"))]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    frames = M.sample_video_frames(df, every_ms=250).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 250, 500, 750, 1000]
+
+
+def test_quality_features_edge_cases(spark):
+    df = spark.createDataFrame([(1, ""), (2, "the the the")], "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.quality_features(df, "text").collect()}
+    assert out[1].q_n_words == 0 and out[1].q_punct_ratio == 0.0
+    assert out[2].q_stopword_ratio == 1.0
