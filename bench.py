@@ -1,0 +1,75 @@
+"""Engine benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully via a noop-format write (drains every partition
+through the whole plan, no driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_rivers_spark.plans import registry  # noqa: E402
+from data_rivers_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # TPC-H-shaped scan/join/agg core
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    # reference workload: window dedup, merge, spatial join, parent/child agg
+    "q_dedup_latest",
+    "q_incremental_merge",
+    "q_revgeo_timebound",
+    "q_top_k_types",
+    "q_child_rollup",
+    # training-data ops
+    "q_exact_dedup",
+    "q_cosine_topk",
+    "q_minhash_lsh_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry.load_all()
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM + parquet footers so per-query numbers measure the engine
+    registry.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

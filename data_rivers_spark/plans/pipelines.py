@@ -1,0 +1,137 @@
+"""End-to-end pipeline definitions mirroring the reference DAGs as plain
+Python functions over one SparkSession (SURVEY.md §3: extract → transform →
+land → SQL chain collapses into DataFrame lineage + managed-table swaps).
+
+qalert_pipeline is the canonical slice (qalert_airflow.py:247-249): transform
+chain → landing table → format/dedupe → revgeo enrichment → parent/child
+integration → master tables → scrubbed export.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_rivers_spark.catalog.tables import ManagedCatalog
+from data_rivers_spark.operators import relational as R
+from data_rivers_spark.operators import transforms as X
+from data_rivers_spark.operators.geo import revgeo_multi_zone
+
+
+def qalert_transform_chain(raw: DataFrame) -> DataFrame:
+    """The 12-ParDo Beam chain (qalert_requests_dataflow.py:128-147) as one
+    DataFrame expression chain — single codegen stage, no Python."""
+    df = X.replace_pii(raw, "comments", "anon_comments")
+    df = X.swap_field_names(
+        df,
+        [
+            ("id", "ticket_id"),
+            ("master", "parent_ticket_id"),
+            ("status", "status_code"),
+            ("addDateUnix", "create_date_unix"),
+            ("lastActionUnix", "last_action_unix"),
+        ],
+    )
+    df = X.columns_camel_to_snake_case(df)
+    df = X.get_date_strings_from_unix(
+        df,
+        [
+            ("create_date_unix", "create_date_utc", "create_date_est"),
+            ("last_action_unix", "last_action_utc", "last_action_est"),
+        ],
+    )
+    df = X.change_data_types(
+        df,
+        [
+            ("ticket_id", "int"),
+            ("parent_ticket_id", "int"),
+            ("latitude", "float"),
+            ("longitude", "float"),
+        ],
+    )
+    df = X.decode_status(df)
+    df = X.get_closed_date(df)
+    df = X.detect_child_ticket(df)
+    df = X.format_and_classify_address(
+        df,
+        {
+            "street_num_field": "street_num",
+            "street_name_field": "street_name",
+            "cross_street_field": "cross_street_name",
+            "city_field": "city_name",
+            "lat_field": "latitude",
+            "long_field": "longitude",
+        },
+        contains_pii=True,
+    )
+    df = X.anonymize_lat_long(df, [("latitude", "longitude", 200)])
+    return df
+
+
+def qalert_pipeline(
+    catalog: ManagedCatalog,
+    raw: DataFrame,
+    zone_tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Full QAlert-shaped run (SURVEY §3.1 steps 2-4). Returns the scrubbed
+    export DataFrame; master tables land in the catalog."""
+    # 2) transform
+    incoming = qalert_transform_chain(raw)
+
+    # 3) land (WRITE_TRUNCATE)
+    catalog.create_or_replace(incoming, "qalert_incoming")
+    incoming = catalog.read("qalert_incoming")
+
+    # 4a) format + defensive dedup (transform_enrich_requests.py:120-151)
+    incoming = R.dedup_latest(incoming, ["ticket_id"], ["last_action_unix"])
+
+    # 4b) revgeo enrichment (geo_queries.py:4-108)
+    if zone_tables:
+        incoming = revgeo_multi_zone(
+            incoming,
+            zone_tables,
+            "anon_longitude",
+            "anon_latitude",
+            "create_date_ts",
+        )
+
+    # 4c) parent/child integration (integrate_new_requests.py)
+    parents = incoming.filter(~F.col("child_ticket"))
+    children = incoming.filter(F.col("child_ticket"))
+    rollup = R.child_ticket_rollup(
+        children, "parent_ticket_id", "ticket_id", "anon_comments"
+    ).withColumnRenamed("parent_ticket_id", "ticket_id")
+    linked = (
+        parents.join(rollup, "ticket_id", "left")
+        .withColumn("num_requests", F.coalesce(F.col("cts"), F.lit(0)) + 1)
+        .withColumn("parent_closed", F.col("status_name") == "closed")
+        .drop("cts")
+    )
+
+    # master tables: latest-wins upsert
+    if catalog.exists("all_tickets_current_status"):
+        catalog.merge_upsert(
+            "all_tickets_current_status",
+            incoming,
+            "ticket_id",
+            [c for c in incoming.columns if c != "ticket_id"],
+            ["last_action_unix"],
+        )
+    else:
+        catalog.create_or_replace(incoming, "all_tickets_current_status")
+    if catalog.exists("all_linked_requests"):
+        catalog.merge_upsert(
+            "all_linked_requests",
+            linked,
+            "ticket_id",
+            [c for c in linked.columns if c != "ticket_id"],
+            ["last_action_unix"],
+        )
+    else:
+        catalog.create_or_replace(linked, "all_linked_requests")
+
+    # 4d) scrubbed export (drop_pii, transform_enrich_requests.py:97-117)
+    export = catalog.read("all_linked_requests").drop(
+        "comments", "pii_input_address", "street_num", "cross_street_name"
+    )
+    return export

@@ -1,0 +1,94 @@
+"""Structured Streaming variants of the engine's incremental patterns.
+
+The reference is batch-cron (SURVEY.md §2.6: no streaming operators exist;
+incrementality = watermark-since extraction + merge). These modules are the
+Spark-native upgrade path: the same transforms applied over readStream with
+event-time watermarks, so an hourly-cron pipeline becomes a continuous one
+without operator changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream over an ndjson landing directory — the streaming
+    twin of the reference's GCS-landing pattern."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark: the
+    continuous version of the reference's hourly batch rollups."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: dropDuplicates over
+    a stream — the streaming twin of the defensive-DISTINCT posture
+    (qalert_airflow.py:110-113)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def latest_state_per_user(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Continuous latest-wins state per user — the streaming twin of
+    dedup_latest/incremental_merge. applyInPandasWithState generalizes this to
+    arbitrary state; for plain latest-wins the windowed max-struct aggregation
+    below stays fully JVM-side."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s"))
+        .select("user_id", "s.ts", "s.event_id", "s.event_type", "s.value")
+    )
+
+
+def write_stream_to_parquet(df: DataFrame, path: str, checkpoint: str, trigger_once: bool = True):
+    """Sink with checkpointing; trigger_once runs one incremental batch —
+    exactly the cron-cadence semantics of the reference DAGs, but with
+    streaming bookkeeping (no watermark file management needed)."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,162 @@
+"""Catalog / sources / streaming / pipeline integration tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_rivers_spark.catalog.tables import ManagedCatalog
+from data_rivers_spark.sources.avro_schema import avsc_to_struct_type, schema_from_df
+from data_rivers_spark.sources.ndjson import read_ndjson, split_quarantine
+from data_rivers_spark.sources.watermark import RunLog
+
+
+def test_managed_catalog_verbs(spark, tmp_path):
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 10)], "k long, v string, t long")
+    cat.create_or_replace(df, "t1")
+    assert cat.read("t1").count() == 2
+
+    cat.insert_into("t1", spark.createDataFrame([(3, "c", 10)], "k long, v string, t long"))
+    assert cat.read("t1").count() == 3
+
+    cat.insert_new_records(
+        "t1", spark.createDataFrame([(3, "dup", 11), (4, "d", 11)], "k long, v string, t long"), "k"
+    )
+    got = {r.k: r.v for r in cat.read("t1").collect()}
+    assert got[3] == "c" and got[4] == "d"  # 3 was not re-inserted
+
+    cat.merge_upsert(
+        "t1",
+        spark.createDataFrame([(1, "a2", 20), (9, "i", 20)], "k long, v string, t long"),
+        "k",
+        ["v", "t"],
+        ["t"],
+    )
+    got = {r.k: r.v for r in cat.read("t1").collect()}
+    assert got[1] == "a2" and got[9] == "i" and got[2] == "b"
+
+    cat.delete_where("t1", F.col("k") == 2)
+    assert 2 not in {r.k for r in cat.read("t1").collect()}
+
+    assert cat.list_tables() == ["t1"]
+    cat.drop_table_group("t")
+    assert cat.list_tables() == []
+
+
+def test_ndjson_repair_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        '{"a": 2, "b": "y"}{"a": 3, "b": "z"}\n'  # concatenated objects
+        '{"a": 4, "b":,"c": 1}\n'  # missing value glitch
+        '{"a": 5, "b": "q\\\' s"}\n'  # escaped single quote
+        "not json at all\n"
+    )
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = read_ndjson(spark, str(p), schema)
+    clean, bad = split_quarantine(df)
+    rows = {r.a for r in clean.collect()}
+    assert rows == {1, 2, 3, 4, 5}
+    assert bad.count() == 1
+
+
+def test_avsc_roundtrip(spark):
+    avsc = {
+        "type": "record",
+        "name": "ticket",
+        "fields": [
+            {"name": "id", "type": ["null", "integer"]},
+            {"name": "score", "type": ["null", "float"]},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "flag", "type": ["null", "boolean"]},
+        ],
+    }
+    st = avsc_to_struct_type(avsc)
+    assert [f.dataType.simpleString() for f in st.fields] == [
+        "bigint",
+        "double",
+        "string",
+        "boolean",
+    ]
+    df = spark.createDataFrame([], st)
+    back = schema_from_df(df)
+    assert [f["name"] for f in back["fields"]] == ["id", "score", "name", "flag"]
+
+
+def test_run_log(tmp_path):
+    log = RunLog(str(tmp_path))
+    assert log.last_successful_run("qalert") is None
+    assert log.last_successful_run("qalert", "0") == "0"
+    log.record_successful_run("qalert", "1700000000", rows=42)
+    assert log.last_successful_run("qalert") == "1700000000"
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from data_rivers_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+        write_stream_to_parquet,
+    )
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00.000Z", "user_id": 2, "event_type": "click", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:10:00.000Z", "user_id": 1, "event_type": "view", "value": 3.0, "props": "{}"},
+    ]
+    (src / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    # second batch pushes the watermark past the first windows so append mode
+    # finalizes them (its own open window is intentionally not emitted)
+    pusher = {"event_id": 9, "ts": "2024-01-01T05:00:00.000Z", "user_id": 9,
+              "event_type": "late_marker", "value": 0.0, "props": "{}"}
+    (src / "part2.json").write_text(json.dumps(pusher))
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    out = tmp_path / "stream_out"
+    q = write_stream_to_parquet(agg, str(out), str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    got = {
+        (r.event_type, r.n, r.total_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {("click", 2, 3.0), ("view", 1, 3.0)}
+
+
+def test_qalert_pipeline_end_to_end(spark, tmp_path):
+    from data_rivers_spark.plans.pipelines import qalert_pipeline
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"))
+    raw = spark.createDataFrame(
+        [
+            # parent open ticket, precise address
+            (1, 0, 1600000000, 1600000100, 0, "call 412-636-8126", "5939", "5TH AVE", "", "Pittsburgh", 40.45, -79.92),
+            # child of 1, closed
+            (2, 1, 1600000200, 1600000300, 1, "email bob@x.com", "", "S 22ND ST", "E CARSON ST", "Pittsburgh", 40.43, -79.97),
+            # another parent, closed, missing address
+            (3, 0, 1600000400, 1600000500, 1, "plain text", "", None, "", "Pittsburgh", 0.0, 0.0),
+        ],
+        "id long, master long, addDateUnix long, lastActionUnix long, status long, "
+        "comments string, streetNum string, streetName string, crossStreetName string, "
+        "cityName string, latitude double, longitude double",
+    )
+    export = qalert_pipeline(cat, raw)
+    rows = {r.ticket_id: r for r in export.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].num_requests == 2  # one child rolled up
+    assert rows[1].child_ids == "2"
+    assert "[PHONE_NUMBER]" in cat.read("all_tickets_current_status").filter(
+        F.col("ticket_id") == 1
+    ).collect()[0].anon_comments
+    assert rows[3].parent_closed is True
+    # idempotent re-run (merge path)
+    export2 = qalert_pipeline(cat, raw)
+    assert {r.ticket_id for r in export2.collect()} == {1, 3}
