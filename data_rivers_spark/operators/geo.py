@@ -21,8 +21,20 @@ from data_rivers_spark.functions.geo import point_in_polygon, wkt_polygon_vertic
 
 
 def _prepared_zones(zones: DataFrame, wkt_col: str) -> DataFrame:
-    """Parse zone WKT once on the (tiny) build side."""
-    return zones.withColumn("__verts", wkt_polygon_vertices(F.col(wkt_col)))
+    """Parse zone WKT once on the (tiny) build side, with bounding box.
+
+    The bbox leads the join condition: AND short-circuits left-to-right, so
+    the (interpreted, per-edge) ray cast only runs for the ~1 zone whose box
+    contains the point instead of all broadcast zones."""
+    z = zones.withColumn("__verts", wkt_polygon_vertices(F.col(wkt_col)))
+    xs = F.transform(F.col("__verts"), lambda v: v["x"])
+    ys = F.transform(F.col("__verts"), lambda v: v["y"])
+    return (
+        z.withColumn("__xmin", F.array_min(xs))
+        .withColumn("__xmax", F.array_max(xs))
+        .withColumn("__ymin", F.array_min(ys))
+        .withColumn("__ymax", F.array_max(ys))
+    )
 
 
 def revgeo_timebound_join(
@@ -45,17 +57,26 @@ def revgeo_timebound_join(
     z = _prepared_zones(zones, wkt_col).select(
         F.col(zone_col).alias("__zone_val"),
         F.col("__verts"),
+        F.col("__xmin"),
+        F.col("__xmax"),
+        F.col("__ymin"),
+        F.col("__ymax"),
         F.col(start_col).alias("__zstart"),
         F.col(end_col).alias("__zend"),
     )
+    px, py = F.col(x_col), F.col(y_col)
     cond: Column = (
-        point_in_polygon(F.col(x_col), F.col(y_col), F.col("__verts"))
+        (px >= F.col("__xmin"))
+        & (px <= F.col("__xmax"))
+        & (py >= F.col("__ymin"))
+        & (py <= F.col("__ymax"))
         & (F.col("__zstart") <= F.col(point_date_col))
         & (F.col(point_date_col) <= F.coalesce(F.col("__zend"), F.current_timestamp()))
+        & point_in_polygon(px, py, F.col("__verts"))
     )
     joined = points.join(F.broadcast(z), cond, "left")
     return joined.withColumn(out_col, F.col("__zone_val")).drop(
-        "__zone_val", "__verts", "__zstart", "__zend"
+        "__zone_val", "__verts", "__xmin", "__xmax", "__ymin", "__ymax", "__zstart", "__zend"
     )
 
 
