@@ -301,3 +301,49 @@ def split_table_by_range(
     for lo, hi in zip(boundaries, boundaries[1:]):
         out.append(df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# False-parent demotion (qalert family-model maintenance)
+# ---------------------------------------------------------------------------
+
+
+def remove_false_parents(
+    linked: DataFrame,
+    incoming: DataFrame,
+    group_key: str = "group_id",
+    id_col: str = "ticket_id",
+    child_flag: str = "child_ticket",
+) -> tuple[DataFrame, DataFrame]:
+    """A ticket first seen as a parent can be reclassified as a child; its row
+    must leave the linked-family table and its data re-enter as child data
+    (qalert_airflow.py:156-190 inline SQL: CREATE temp of now-child rows +
+    DELETE matching group_ids).
+
+    Returns (linked_without_false_parents, demoted_children)."""
+    demoted = incoming.filter(F.col(child_flag)).join(
+        linked.select(F.col(group_key).alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    cleaned = linked.join(
+        demoted.select(F.col(id_col).alias(group_key)).distinct(), group_key, "left_anti"
+    )
+    return cleaned, demoted
+
+
+# ---------------------------------------------------------------------------
+# Data-quality distinct-diff check
+# ---------------------------------------------------------------------------
+
+
+def data_quality_new_values(
+    new_ref: DataFrame, old_ref: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Previously-untracked distinct values: rows of the fresh distinct-values
+    table absent from the stored one (perform_data_quality_check,
+    airflow_utils.py:354-391 — the reference diffs ndjson files in Python;
+    here it is an anti-join over the same distinct tables)."""
+    return (
+        distinct_values_table(new_ref, cols)
+        .join(distinct_values_table(old_ref, cols), cols, "left_anti")
+        .orderBy(*cols)
+    )

@@ -1,0 +1,174 @@
+"""Analytics coverage beyond the reference's SQL surface: session windows,
+window frames (running totals, lag deltas), pivot, plus the reference's
+data-quality diff and false-parent demotion — all under the oracle gate.
+
+The reference has no frame-spec windows or sessions (SURVEY §2.6); these are
+the Spark-native extensions a migrating user expects from an analytics engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators import relational as R
+from data_rivers_spark.plans.registry import query
+from data_rivers_spark.session import load_tables
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via Spark's native
+    session_window — the batch twin of streaming sessionization. The oracle
+    states the classic gaps-and-islands formulation."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+@query(
+    "q_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2)
+             AS running_value
+    FROM events
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: per-user running sum (ROWS UNBOUNDED PRECEDING)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["events"].select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+@query(
+    "q_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) -
+             LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS secs_since_prev
+    FROM events
+    """,
+)
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap per user."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    return t["events"].select(
+        "user_id", "event_id", (sec - F.lag(sec).over(w)).alias("secs_since_prev")
+    )
+
+
+@query(
+    "q_pivot_monthly",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status columns per priority) — groupBy().pivot() with explicit
+    value list so the plan needs no extra distinct-scan pass."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "q_dq_new_values",
+    oracle="""
+    SELECT o_orderpriority FROM (
+      SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL
+    ) WHERE o_orderpriority NOT IN (
+      SELECT DISTINCT o_orderpriority FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderpriority NOT LIKE '1-%'
+    )
+    ORDER BY o_orderpriority
+    """,
+)
+def q_dq_new_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality distinct-diff: values present in the fresh reference table
+    but not the stored one (airflow_utils.py:354-391)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    new_ref = t["orders"]
+    old_ref = t["orders"].filter(~F.col("o_orderpriority").like("1-%"))
+    return R.data_quality_new_values(new_ref, old_ref, ["o_orderpriority"])
+
+
+@query(
+    "q_remove_false_parents",
+    oracle="""
+    WITH linked AS (
+      SELECT o_orderkey AS group_id, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    ), incoming AS (
+      SELECT o_orderkey AS ticket_id, (o_orderkey % 3 = 0) AS child_ticket FROM orders
+    )
+    SELECT group_id FROM linked
+    WHERE group_id NOT IN (
+      SELECT ticket_id FROM incoming
+      WHERE child_ticket AND ticket_id IN (SELECT group_id FROM linked)
+    )
+    """,
+)
+def q_remove_false_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-parent demotion: linked-family rows whose id re-arrived flagged
+    as a child are deleted (qalert_airflow.py:156-190)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    linked = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("group_id"), "o_orderpriority")
+    )
+    incoming = t["orders"].select(
+        F.col("o_orderkey").alias("ticket_id"),
+        (F.col("o_orderkey") % 3 == 0).alias("child_ticket"),
+    )
+    cleaned, _demoted = R.remove_false_parents(linked, incoming)
+    return cleaned.select("group_id")
