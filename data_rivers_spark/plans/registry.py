@@ -45,6 +45,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from data_rivers_spark.plans import (  # noqa: F401
+        admin_queries,
         analytics_queries,
         dataops_queries,
         geo_queries,
