@@ -347,3 +347,26 @@ def data_quality_new_values(
         .join(distinct_values_table(old_ref, cols), cols, "left_anti")
         .orderBy(*cols)
     )
+
+
+def merge_linked_arrays(
+    master: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    arr_col: str = "child_tickets",
+) -> DataFrame:
+    """Append newly-arrived child structs onto the master's array column and
+    refresh num_requests = ARRAY_LENGTH + 1 (update_linked_tix_info,
+    integrate_new_requests.py:200-232: ARRAY_CONCAT of existing and incoming
+    ARRAY_AGG results)."""
+    inc = incoming.select(F.col(key), F.col(arr_col).alias("__inc_arr"))
+    joined = master.join(inc, key, "left")
+    merged = F.concat(
+        F.coalesce(F.col(arr_col), F.array()),
+        F.coalesce(F.col("__inc_arr"), F.array()),
+    )
+    return (
+        joined.withColumn(arr_col, merged)
+        .withColumn("num_requests", F.size(F.col(arr_col)) + 1)
+        .drop("__inc_arr")
+    )

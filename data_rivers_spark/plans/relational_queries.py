@@ -427,3 +427,40 @@ def q_range_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return shards[0].select("event_id", F.unix_micros("ts").alias("ts_us"))
+
+
+@query(
+    "q_linked_array_merge",
+    oracle="""
+    WITH m AS (
+      SELECT l_orderkey,
+             LIST(STRUCT_PACK(l_linenumber := l_linenumber) ORDER BY l_linenumber) AS arr
+      FROM lineitem WHERE l_linenumber <= 3 GROUP BY l_orderkey
+    ), inc AS (
+      SELECT l_orderkey,
+             LIST(STRUCT_PACK(l_linenumber := l_linenumber) ORDER BY l_linenumber) AS arr
+      FROM lineitem WHERE l_linenumber > 3 GROUP BY l_orderkey
+    )
+    SELECT m.l_orderkey,
+           TO_JSON(LIST_CONCAT(m.arr, COALESCE(inc.arr, []))) AS children_json,
+           LEN(LIST_CONCAT(m.arr, COALESCE(inc.arr, []))) + 1 AS num_requests
+    FROM m LEFT JOIN inc ON m.l_orderkey = inc.l_orderkey
+    """,
+)
+def q_linked_array_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY_CONCAT append of new children onto the master linkage array
+    (update_linked_tix_info, integrate_new_requests.py:200-232)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_orderkey").agg(
+            F.array_sort(F.array_agg(F.struct(F.col("l_linenumber")))).alias("child_tickets")
+        )
+
+    master = rollup(li.filter(F.col("l_linenumber") <= 3))
+    incoming = rollup(li.filter(F.col("l_linenumber") > 3))
+    out = R.merge_linked_arrays(master, incoming, "l_orderkey")
+    return out.select(
+        "l_orderkey", F.to_json("child_tickets").alias("children_json"), "num_requests"
+    )

@@ -160,3 +160,14 @@ def test_qalert_pipeline_end_to_end(spark, tmp_path):
     # idempotent re-run (merge path)
     export2 = qalert_pipeline(cat, raw)
     assert {r.ticket_id for r in export2.collect()} == {1, 3}
+
+
+def test_export_csv_json(spark, tmp_path):
+    from data_rivers_spark.sources.export import export_csv, export_json
+
+    df = spark.createDataFrame([(1, "a,b"), (2, "c")], "k long, v string")
+    export_csv(df, str(tmp_path / "csv"), delimiter="|", single_file=True)
+    back = spark.read.option("header", "true").option("sep", "|").csv(str(tmp_path / "csv"))
+    assert {(r.k, r.v) for r in back.collect()} == {("1", "a,b"), ("2", "c")}
+    export_json(df, str(tmp_path / "json"))
+    assert spark.read.json(str(tmp_path / "json")).count() == 2
