@@ -235,3 +235,49 @@ def q_sync_311_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("price"),
     )
     return untouched.unionByName(refreshed)
+
+
+@query(
+    "q_current_assignment",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey,
+             l_returnflag || CAST(l_linenumber AS VARCHAR) AS nm,
+             STRFTIME(l_shipdate, '%Y-%m-%d') AS vf,
+             CASE WHEN l_linestatus = 'F'
+                  THEN CAST(YEAR(l_shipdate) + 1 AS VARCHAR) || STRFTIME(l_shipdate, '-%m-%d')
+             END AS vt
+      FROM lineitem
+    ), valid AS (
+      SELECT * FROM a WHERE vf < '1997-06-01' AND (vt IS NULL OR vt > '1997-06-01')
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY vf DESC, nm DESC) AS rn
+      FROM valid
+    )
+    SELECT o.l_orderkey, r.nm AS rank, r.vf AS rank_valid_date
+    FROM (SELECT DISTINCT l_orderkey FROM lineitem) o
+    LEFT JOIN ranked r ON o.l_orderkey = r.l_orderkey AND r.rn = 1
+    """,
+)
+def q_current_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validFrom/validTo current-assignment resolution over an assignment
+    history array (InTime deep-nest, intime_employees_pandas.py:77-135) —
+    the array-native operator vs the oracle's ROW_NUMBER formulation."""
+    from data_rivers_spark.operators import nested as N
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    item = F.struct(
+        F.concat(F.col("l_returnflag"), F.col("l_linenumber").cast("string")).alias("rankName"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("validFrom"),
+        F.when(
+            F.col("l_linestatus") == "F",
+            F.concat(
+                (F.year("l_shipdate") + 1).cast("string"),
+                F.date_format("l_shipdate", "-MM-dd"),
+            ),
+        ).alias("validTo"),
+    )
+    ranks = li.groupBy("l_orderkey").agg(F.array_agg(item).alias("ranks"))
+    out = N.current_assignment(ranks, "ranks", "rankName", "rank", F.lit("1997-06-01"))
+    return out.select("l_orderkey", "rank", "rank_valid_date")
