@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -159,3 +162,60 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k like cosine_topk but with the similarity matrix computed in
+    numpy (Arrow-batched mapInPandas): each corpus batch is one BLAS matmul
+    against the collected query matrix.
+
+    Scale notes: this is the high-throughput path once queries × dims fits in
+    executor memory (queries are collected once per task). FP caveat: matmul
+    accumulation order differs from the expression left-fold in the last ulp —
+    use the expression form (cosine_topk) when hash-exact reproducibility
+    against a sequential oracle matters."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, n_queries)
+            n_b, n_q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], n_b, axis=0).ravel(),
+                    "neighbor_id": np.repeat(c_ids, n_q),
+                    "sim": sims.ravel(),
+                }
+            )
+
+    pairs = corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -122,3 +122,16 @@ def test_quality_features_edge_cases(spark):
     out = {r.doc_id: r for r in TX.quality_features(df, "text").collect()}
     assert out[1].q_n_words == 0 and out[1].q_punct_ratio == 0.0
     assert out[2].q_stopword_ratio == 1.0
+
+
+def test_cosine_topk_vectorized_matches_exact(spark, sf_dir):
+    from data_rivers_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, "embedding", "vec_id", 5)
+    fast = S.cosine_topk_vectorized(emb, queries, "embedding", "vec_id", 5)
+    e = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    f = {(r.query_id, r.neighbor_id): r.sim for r in fast.collect()}
+    assert set(e) == set(f)
+    assert max(abs(e[k] - f[k]) for k in e) < 1e-9
