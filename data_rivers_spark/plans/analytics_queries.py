@@ -172,3 +172,21 @@ def q_remove_false_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cleaned, _demoted = R.remove_false_parents(linked, incoming)
     return cleaned.select("group_id")
+
+
+@query("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch approximate distinct users per event type (rows-only: HLL
+    estimates are engine-specific). Accuracy vs exact countDistinct is pinned
+    in tests/test_analytics.py within rsd bounds; at 100 TB this replaces the
+    exact distinct's full shuffle with a mergeable fixed-size sketch."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

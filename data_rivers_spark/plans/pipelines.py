@@ -78,8 +78,13 @@ def qalert_pipeline(
     # 2) transform
     incoming = qalert_transform_chain(raw)
 
-    # 3) land (WRITE_TRUNCATE)
-    catalog.create_or_replace(incoming, "qalert_incoming")
+    # 3) land (WRITE_TRUNCATE), day-partitioned like the reference's
+    # DAY-partitioned BQ tables (airflow_utils.py:163-190) → downstream scans
+    # of a date range prune partitions instead of reading the full landing set
+    incoming = incoming.withColumn(
+        "create_date_day", F.substring(F.col("create_date_utc"), 1, 10)
+    )
+    catalog.create_or_replace(incoming, "qalert_incoming", partition_by=["create_date_day"])
     incoming = catalog.read("qalert_incoming")
 
     # 4a) format + defensive dedup (transform_enrich_requests.py:120-151)
