@@ -370,3 +370,40 @@ def merge_linked_arrays(
         .withColumn("num_requests", F.size(F.col(arr_col)) + 1)
         .drop("__inc_arr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: the big side gets a random salt in
+    [0, salt_buckets), the small side is replicated once per salt value, and
+    the join key becomes (key, salt) — a hot key's rows spread across
+    salt_buckets tasks instead of one straggler.
+
+    Use when AQE skew-join splitting isn't enough (e.g. one key is >50% of
+    the table). The small side must tolerate replication (dim-sized)."""
+    salted_big = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    replicated = skewed_small.select("*", salts)
+    out = salted_big.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase skew-resistant count per key: partial count on (key, salt),
+    then final sum on key — the hot key's partial aggregation parallelizes
+    across salt_buckets tasks. (With map-side combine Spark usually does this
+    already; the explicit form is for extreme single-key skew where even the
+    combined partials overload one reducer.)"""
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    return partial.groupBy(key).agg(F.sum("__c").alias("n"))

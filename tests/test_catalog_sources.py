@@ -171,3 +171,30 @@ def test_export_csv_json(spark, tmp_path):
     assert {(r.k, r.v) for r in back.collect()} == {("1", "a,b"), ("2", "c")}
     export_json(df, str(tmp_path / "json"))
     assert spark.read.json(str(tmp_path / "json")).count() == 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import shutil
+
+    from data_rivers_spark.catalog.tables import write_bucketed_table
+
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed_table(a, "bkt_a", ["k"], num_buckets=8)
+    write_bucketed_table(b, "bkt_b", ["k"], num_buckets=8)
+    # small inputs would auto-broadcast; force the shuffle-join path to show
+    # bucketing removes the exchanges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE bkt_a")
+        spark.sql("DROP TABLE bkt_b")

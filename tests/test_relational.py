@@ -40,3 +40,25 @@ def test_incremental_merge_updates_and_inserts(spark):
     out = {(r.k, r.v, r.t) for r in
            R.incremental_merge(master, incoming, "k", ["v", "t"], ["t"]).collect()}
     assert out == {(1, "a9", 30), (2, "b", 10), (3, "c", 5)}
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 10000).select(
+        (F.when(F.col("id") % 100 < 90, 1).otherwise(F.col("id") % 7)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], "k long, name string")
+    plain = {(r.v, r.name) for r in big.join(small, "k").collect()}
+    salted = {(r.v, r.name) for r in R.salted_join(big, small, "k").collect()}
+    assert salted == plain
+
+
+def test_salted_count_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select((F.col("id") % 3).alias("k"))
+    plain = {(r.k, r["count"]) for r in df.groupBy("k").count().collect()}
+    salted = {(r.k, r.n) for r in R.salted_count(df, "k").collect()}
+    assert salted == plain
