@@ -65,11 +65,24 @@ class ManagedCatalog:
 
     # -- verbs --------------------------------------------------------------
 
-    def read(self, name: str) -> DataFrame:
-        v = self._current_version(name)
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current version, or time-travel to a retained older one
+        (versions survive ``keep_versions`` mutations back)."""
+        v = version if version is not None else self._current_version(name)
         if v is None:
             raise FileNotFoundError(f"managed table not found: {name}")
-        return self.spark.read.parquet(self._data_dir(name, v))
+        path = self._data_dir(name, v)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"version v{v} of {name} not retained")
+        return self.spark.read.parquet(path)
+
+    def versions(self, name: str) -> list[int]:
+        tdir = self._tdir(name)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(tdir) if d.startswith("v") and d[1:].isdigit()
+        )
 
     def create_or_replace(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None

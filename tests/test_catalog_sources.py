@@ -198,3 +198,12 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE bkt_a")
         spark.sql("DROP TABLE bkt_b")
+
+
+def test_catalog_time_travel(spark, tmp_path):
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"), keep_versions=3)
+    cat.create_or_replace(spark.createDataFrame([(1,)], "k long"), "tt")
+    cat.create_or_replace(spark.createDataFrame([(1,), (2,)], "k long"), "tt")
+    assert cat.versions("tt") == [1, 2]
+    assert cat.read("tt", version=1).count() == 1
+    assert cat.read("tt").count() == 2
