@@ -131,3 +131,52 @@ def q_parcel_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = parcel_centroid_join(facts, parcels, "parc")
     return out.select("c_custkey", "parc", "latitude", "longitude")
+
+
+@query(
+    "q_convert_geography_roundtrip",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, (o_orderkey % 50) + 0.5 AS px, (o_custkey % 9) + 0.25 AS py
+      FROM orders
+    ), zones AS (
+      SELECT n_name AS zone, n_nationkey * 2 AS x1, n_nationkey * 2 + 2 AS x2 FROM nation
+    )
+    SELECT o_orderkey, zone
+    FROM pts LEFT JOIN zones ON px > x1 AND px < x2 AND py > 0 AND py < 10
+    """,
+)
+def q_convert_geography_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvertGeography parse (dataflow_utils.py:266-297: '[{lat: y, lng: x},…]'
+    text → WKT POLYGON) feeding the containment join — the full geometry
+    string pipeline under the oracle gate."""
+    from data_rivers_spark.functions.geo import point_in_polygon, wkt_polygon_vertices
+    from data_rivers_spark.operators.transforms import convert_geography
+
+    t = load_tables(spark, sf_dir, ["orders", "nation"])
+    k = F.col("n_nationkey")
+    # build the reference's raw coordinate-list text, then parse it with the op
+    def pt(x, y):
+        return F.concat(F.lit("lat: "), y.cast("string"), F.lit(", lng: "), x.cast("string"))
+
+    raw = F.concat(
+        F.lit("[{"),
+        F.concat_ws(
+            "}, {",
+            pt(k * 2, F.lit(0)), pt(k * 2 + 2, F.lit(0)),
+            pt(k * 2 + 2, F.lit(10)), pt(k * 2, F.lit(10)), pt(k * 2, F.lit(0)),
+        ),
+        F.lit("}]"),
+    )
+    zones = convert_geography(
+        t["nation"].select(F.col("n_name").alias("zone"), raw.alias("geo")), "geo", "POLYGON"
+    )
+    # parse WKT once on the broadcast side (25 rows), not per probe pair
+    zones = zones.select("zone", wkt_polygon_vertices(F.col("geo")).alias("verts"))
+    pts = _order_points(t["orders"])
+    joined = pts.join(
+        F.broadcast(zones),
+        point_in_polygon(F.col("px"), F.col("py"), F.col("verts")),
+        "left",
+    )
+    return joined.select("o_orderkey", "zone")

@@ -207,3 +207,28 @@ def test_catalog_time_travel(spark, tmp_path):
     assert cat.versions("tt") == [1, 2]
     assert cat.read("tt", version=1).count() == 1
     assert cat.read("tt").count() == 2
+
+
+def test_streaming_latest_state(spark, tmp_path):
+    from data_rivers_spark.streaming.events import latest_state_per_user, read_events_stream
+
+    src = tmp_path / "latest_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00.000Z", "user_id": 1, "event_type": "b", "value": 2.0, "props": "{}"},
+    ]
+    (src / "p.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = read_events_stream(spark, str(src))
+    q = (
+        latest_state_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM latest_state").collect()
+    assert len(got) == 1 and got[0].event_id == 2 and got[0].event_type == "b"

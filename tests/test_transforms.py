@@ -363,3 +363,35 @@ def test_account_code_conversion(spark):
 def test_deduplicate(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
     assert X.deduplicate(df).count() == 2
+
+
+def test_extract_field_nested_paths(spark):
+    df = spark.createDataFrame(
+        [Row(src=Row(nested="v1", deeper=Row(extra="v2")))]
+    )
+    out = rows(
+        X.extract_field(
+            df,
+            source_fields=["src", "src"],
+            nested_fields=["nested", "deeper"],
+            new_field_names=["flat1", "flat2"],
+            additional_nested_fields=["", "extra"],
+        )
+    )[0]
+    assert out["flat1"] == "v1" and out["flat2"] == "v2"
+
+
+def test_identify_active_permits(spark):
+    import time
+
+    now = int(time.time())
+    df = spark.createDataFrame(
+        [(now - 100, now + 100), (now + 1000, now + 2000), (now - 2000, now - 1000)],
+        "from_unix long, to_unix long",
+    )
+    out = [r.active for r in rows_df(X.identify_active_permits(df, "from_unix", "to_unix"))]
+    assert out == [1, 0, 0]
+
+
+def rows_df(df):
+    return df.collect()
