@@ -351,3 +351,72 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (exact transitive dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Exact connected components over a near-dup pair graph: (id, component)
+    where component = the minimum id reachable from the node.
+
+    minhash_lsh_dedup's greedy min-id drop is a single-pass approximation; CC
+    is the exact closure (a chain a~b~c collapses to one survivor even when
+    a and c never paired directly). Iterative min-label propagation: each
+    round every node takes min(own label, neighbors' labels); lineage is cut
+    per round with localCheckpoint; stops at fixpoint.
+
+    Rounds needed = graph diameter (near-dup clusters are shallow; ≤5 rounds
+    in practice). Input columns: id_a, id_b."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.id == msgs.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one representative (minimum id) per connected near-dup cluster;
+    rows not in any pair survive untouched."""
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -219,3 +219,106 @@ def cosine_topk_vectorized(
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    iterations: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic mini k-means (Lloyd) for IVF coarse quantization.
+
+    Init = the n_centroids corpus vectors with the lowest ids (deterministic,
+    no RNG); each iteration assigns every vector to its nearest centroid with
+    a broadcast argmin and recomputes means with one groupBy. Lineage is cut
+    per iteration with localCheckpoint so the plan doesn't grow O(iters).
+
+    Returns [(centroid_id, vector)] — small, driver-side (n_centroids × dim)."""
+    import numpy as np
+
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    cents = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v")).localCheckpoint()
+    for _ in range(iterations):
+        assigned = _assign_to_centroids(vecs, "__v", cents).localCheckpoint()
+        means = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.array(*[
+                    F.avg(F.col("__v").getItem(i)) for i in range(cents.shape[1])
+                ]).alias("mean")
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r["centroid_id"]] = np.array(r["mean"], dtype=np.float64)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+
+
+def _assign_to_centroids(df: DataFrame, vec_col: str, cents) -> DataFrame:
+    """argmin centroid by squared L2, as a fold over a centroid literal array
+    (small: n_centroids × dim doubles inlined into the plan)."""
+    best_id = F.lit(-1)
+    best_d = F.lit(float("inf"))
+    for i, c in enumerate(cents):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        closer = d < best_d
+        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return df.withColumn("centroid_id", best_id)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid; each
+    query probes its nprobe nearest centroid lists and reranks exactly.
+
+    Scale: the inverted lists shuffle once on a 4-byte centroid id (like a
+    trained version of signlsh buckets); probe cost ≈ nprobe/n_centroids of
+    the corpus per query. n_centroids grows with sqrt(corpus) in practice."""
+    import numpy as np
+
+    cents = train_ivf_centroids(corpus, vec_col, id_col, n_centroids)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+    lists = _assign_to_centroids(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")),
+        "__cv",
+        cmat,
+    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        d = ((cmat - qv) ** 2).sum(axis=1)
+        for cid in np.argsort(d)[:nprobe]:
+            probe_rows.append((int(r[0]), [float(x) for x in qv], int(cid)))
+    probes = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probe_rows, "query_id long, __qv array<double>, centroid_id int"
+        )
+    )
+    pairs = lists.join(probes, "centroid_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -252,3 +252,28 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization invariance pinned in tests/test_dataops.py."""
     t = load_tables(spark, sf_dir, ["documents"])
     return TX.fingerprint(t["documents"], "text").select("doc_id", "fingerprint")
+
+
+@query("q_minhash_cc_dedup")
+def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup dedup with EXACT transitive closure: LSH
+    candidates → Jaccard verify → connected components → keep the min-id
+    representative per cluster (vs the greedy single-pass q_minhash_lsh_dedup).
+    Rows-only; chain semantics pinned in tests/test_dataops.py."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    aug = docs.unionByName(copies)
+    cands = D.minhash_lsh_candidates(aug, "text", "doc_id")
+    texts = aug.select("doc_id", "text")
+    verified = (
+        cands.join(texts.withColumnsRenamed({"doc_id": "id_a", "text": "__ta"}), "id_a")
+        .join(texts.withColumnsRenamed({"doc_id": "id_b", "text": "__tb"}), "id_b")
+        .filter(D.jaccard_words(F.col("__ta"), F.col("__tb")) >= 0.7)
+        .select("id_a", "id_b")
+    )
+    return D.dedup_by_components(aug, verified, "doc_id").select("doc_id")

@@ -135,3 +135,32 @@ def test_cosine_topk_vectorized_matches_exact(spark, sf_dir):
     f = {(r.query_id, r.neighbor_id): r.sim for r in fast.collect()}
     assert set(e) == set(f)
     assert max(abs(e[k] - f[k]) for k in e) < 1e-9
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from data_rivers_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, "embedding", "vec_id", 5)
+    approx = S.ivf_topk(emb, queries, "embedding", "vec_id", 5, n_centroids=8, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.3, recall
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (3, 4)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_dedup_by_components(spark):
+    df = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 4, 7, 9, 50]],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    out = {r.doc_id for r in D.dedup_by_components(df, pairs, "doc_id").collect()}
+    assert out == {1, 4, 7, 50} | {4}  # chain 1-2-3 -> keep 1; 7-9 -> keep 7
