@@ -281,3 +281,45 @@ def q_current_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = li.groupBy("l_orderkey").agg(F.array_agg(item).alias("ranks"))
     out = N.current_assignment(ranks, "ranks", "rankName", "rank", F.lit("1997-06-01"))
     return out.select("l_orderkey", "rank", "rank_valid_date")
+
+
+@query(
+    "q_update_submitter",
+    oracle="""
+    WITH fresh AS (
+      SELECT o_custkey, o_orderstatus,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey, o_orderstatus
+    ), old AS (
+      SELECT o_custkey, o_orderstatus,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_custkey, o_orderstatus
+    )
+    SELECT * FROM fresh
+    UNION ALL
+    SELECT * FROM old
+    WHERE (CAST(o_custkey AS VARCHAR) || ':' || o_orderstatus) NOT IN
+          (SELECT CAST(o_custkey AS VARCHAR) || ':' || o_orderstatus FROM fresh)
+    """,
+)
+def q_update_submitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submitter-table refresh: re-aggregated fresh groups ∪ old rows whose
+    composite key didn't re-appear (update_submitter_table,
+    submitter_admin.py:25-38)."""
+    from data_rivers_spark.operators import relational as R
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey", "o_orderstatus").agg(
+            F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n")
+        )
+
+    fresh = agg(o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")))
+    old = agg(o)
+    return R.snapshot_append(old, fresh, ["o_custkey", "o_orderstatus"])

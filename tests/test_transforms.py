@@ -395,3 +395,17 @@ def test_identify_active_permits(spark):
 
 def rows_df(df):
     return df.collect()
+
+
+def test_replace_chars(spark):
+    df = spark.createDataFrame([("a-b-c", "x.y")], ["f1", "f2"])
+    out = rows(X.replace_chars(df, [("f1", "-", "_"), ("f2", r"\.", "/")]))[0]
+    assert out == {"f1": "a_b_c", "f2": "x/y"}
+
+
+def test_unnest_two_level(spark):
+    df = spark.createDataFrame(
+        [Row(xref=Row(inner=Row(PARCEL="0001X", ADDRESS="1 Main St")))]
+    )
+    out = rows(X.unnest_two_level(df, "xref", "inner", ["PARCEL", "ADDRESS"], prefix="p_"))[0]
+    assert out["p_parcel"] == "0001X" and out["p_address"] == "1 Main St"
