@@ -109,3 +109,32 @@ def shingle_fingerprints(df: DataFrame, text_col: str, id_col: str, n: int = 5) 
         F.col(id_col),
         F.posexplode(F.transform(sh, lambda s: F.xxhash64(s))).alias("pos", "shingle_hash"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    strip_punct: bool = False,
+    mask_digits: bool = False,
+) -> DataFrame:
+    """Corpus text normalization (the standard pre-tokenization cleanup
+    pipeline): lowercase → strip control chars → optional punctuation strip /
+    digit masking → whitespace collapse + trim. Pure regexp expressions;
+    composable with fingerprint() for normalized-dedup keys."""
+    out_col = out_col or text_col
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    if strip_punct:
+        c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", " ")
+    if mask_digits:
+        c = F.regexp_replace(c, r"[0-9]", "0")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

@@ -277,3 +277,25 @@ def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return D.dedup_by_components(aug, verified, "doc_id").select("doc_id")
+
+
+@query(
+    "q_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(LOWER(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+               '[0-9]', '0', 'g'),
+             '\\s+', ' ', 'g')) AS norm
+    FROM documents
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: lowercase, control-char strip, digit
+    masking, whitespace collapse."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = TX.normalize_text(
+        t["documents"], "text", out_col="norm", mask_digits=True
+    )
+    return out.select("doc_id", "norm")
