@@ -323,3 +323,58 @@ def q_update_submitter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = agg(o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")))
     old = agg(o)
     return R.snapshot_append(old, fresh, ["o_custkey", "o_orderstatus"])
+
+
+@query(
+    "q_eeo4_full_report",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        (0.0, 2500.0, 'B1'), (2500.0, 5000.0, 'B2'),
+        (5000.0, 7500.0, 'B3'), (7500.0, 100000.0, 'B4')) AS t(lo, hi, band)
+    ), emp AS (
+      SELECT c_mktsegment AS job_function, c_acctbal AS salary,
+             CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END AS gender
+      FROM customer WHERE c_acctbal >= 0
+    ), joined AS (
+      SELECT b.band, e.job_function, e.gender
+      FROM emp e RIGHT JOIN bands b ON e.salary >= b.lo AND e.salary < b.hi
+    )
+    SELECT job_function, band, gender, COUNT(job_function) AS n FROM joined
+    GROUP BY job_function, band, gender
+    UNION ALL
+    SELECT 'ALL' AS job_function, band, gender, COUNT(job_function) AS n FROM joined
+    GROUP BY band, gender
+    """,
+)
+def q_eeo4_full_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EEO4 report's full relational shape (ceridian_admin.py:5-57):
+    salary bands as a dimension RIGHT OUTER JOINed to employees (empty bands
+    survive) + UNION ALL of per-function and all-function sections."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    bands = spark.createDataFrame(
+        [(0.0, 2500.0, "B1"), (2500.0, 5000.0, "B2"),
+         (5000.0, 7500.0, "B3"), (7500.0, 100000.0, "B4")],
+        "lo double, hi double, band string",
+    )
+    emp = (
+        t["customer"]
+        .filter(F.col("c_acctbal") >= 0)
+        .select(
+            F.col("c_mktsegment").alias("job_function"),
+            F.col("c_acctbal").alias("salary"),
+            F.when(F.col("c_custkey") % 2 == 0, "F").otherwise("M").alias("gender"),
+        )
+    )
+    joined = emp.join(
+        F.broadcast(bands),
+        (F.col("salary") >= F.col("lo")) & (F.col("salary") < F.col("hi")),
+        "right",
+    ).select("band", "job_function", "gender")
+    per_fn = joined.groupBy("job_function", "band", "gender").agg(
+        F.count("job_function").alias("n")
+    )
+    overall = joined.groupBy("band", "gender").agg(
+        F.count("job_function").alias("n")
+    ).select(F.lit("ALL").alias("job_function"), "band", "gender", "n")
+    return per_fn.unionByName(overall)

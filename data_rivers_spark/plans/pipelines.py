@@ -140,3 +140,45 @@ def qalert_pipeline(
         "comments", "pii_input_address", "street_num", "cross_street_name"
     )
     return export
+
+
+def cherwell_pipeline(
+    catalog: ManagedCatalog,
+    raw: DataFrame,
+    master_table: str = "all_incidents",
+    key: str = "incident_id",
+    order_col: str = "last_modified_unix",
+) -> DataFrame:
+    """Master-table sync pipeline (SURVEY §3.2, cherwell_incidents_airflow.py:
+    140-141): fields[]-array unnesting → format dedup → generic incremental
+    merge (insert_new + sync_update + dedup_latest) into the master table.
+
+    ``raw`` carries a Cherwell-shaped ``fields`` array<struct<name,value>>;
+    the extraction list mirrors ExtractFieldWithComplexity usage
+    (cherwell_incidents_dataflow.py:39-75)."""
+    incoming = raw
+    for field_name, out_col in [
+        ("IncidentID", key),
+        ("Status", "status"),
+        ("LastModifiedDateTime", "last_modified"),
+    ]:
+        incoming = X.extract_field_with_complexity(
+            incoming, "fields", "name", field_name, "value", out_col
+        )
+    incoming = incoming.drop("fields")
+    incoming = X.change_data_types(
+        incoming, [(key, "int"), ("last_modified", "int")]
+    ).withColumnRenamed("last_modified", order_col)
+    incoming = R.dedup_latest(incoming, [key], [order_col])
+
+    if catalog.exists(master_table):
+        catalog.merge_upsert(
+            master_table,
+            incoming,
+            key,
+            [c for c in incoming.columns if c != key],
+            [order_col],
+        )
+    else:
+        catalog.create_or_replace(incoming, master_table)
+    return catalog.read(master_table)

@@ -232,3 +232,29 @@ def test_streaming_latest_state(spark, tmp_path):
     q.awaitTermination(60)
     got = spark.sql("SELECT * FROM latest_state").collect()
     assert len(got) == 1 and got[0].event_id == 2 and got[0].event_type == "b"
+
+
+def test_cherwell_pipeline_incremental_merge(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from data_rivers_spark.plans.pipelines import cherwell_pipeline
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh2"))
+
+    def raw(rows):
+        return spark.createDataFrame(
+            [Row(fields=[Row(name="IncidentID", value=str(i)),
+                         Row(name="Status", value=s),
+                         Row(name="LastModifiedDateTime", value=str(t))])
+             for i, s, t in rows]
+        )
+
+    # first batch: two incidents
+    out1 = cherwell_pipeline(cat, raw([(1, "Open", 100), (2, "Open", 100)]))
+    assert {(r.incident_id, r.status) for r in out1.collect()} == {(1, "Open"), (2, "Open")}
+    # second batch: update #1 (newer), stale duplicate of #1 (older), new #3
+    out2 = cherwell_pipeline(
+        cat, raw([(1, "Closed", 200), (1, "Stale", 50), (3, "Open", 150)])
+    )
+    got = {(r.incident_id, r.status) for r in out2.collect()}
+    assert got == {(1, "Closed"), (2, "Open"), (3, "Open")}
