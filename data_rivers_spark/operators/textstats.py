@@ -138,3 +138,40 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥ min_hits
+    n-gram shingles with a benchmark/eval set (the standard n-gram overlap
+    contamination check for pre-training corpora).
+
+    Scale: both sides reduce to (id, shingle_hash) rows; the join is equi on
+    the 8-byte hash with the (small) benchmark side broadcast. Returns docs
+    with a ``contaminated`` bool and ``contam_hits`` count."""
+    from data_rivers_spark.operators.dedup import word_shingle_rows
+
+    doc_sh = word_shingle_rows(docs, text_col, id_col, shingle_n).select(
+        id_col, F.xxhash64("shingle").alias("__h")
+    )
+    bench_sh = F.broadcast(
+        word_shingle_rows(benchmark, text_col, id_col, shingle_n)
+        .select(F.xxhash64("shingle").alias("__h"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contam_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("contam_hits") >= min_hits)
+    )

@@ -299,3 +299,15 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], "text", out_col="norm", mask_digits=True
     )
     return out.select("doc_id", "norm")
+
+
+@query("q_decontaminate")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th document plays the benchmark set;
+    docs sharing any 5-gram with it are flagged (rows-only — hash-join
+    internals; overlap semantics pinned in tests/test_dataops.py)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    out = TX.flag_contaminated(docs, bench, "text", "doc_id")
+    return out.select("doc_id", "contam_hits", "contaminated")

@@ -258,3 +258,46 @@ def test_cherwell_pipeline_incremental_merge(spark, tmp_path):
     )
     got = {(r.incident_id, r.status) for r in out2.collect()}
     assert got == {(1, "Closed"), (2, "Open"), (3, "Open")}
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks: purchases joined to the
+    click that preceded them within an hour — the Structured Streaming twin
+    of the reference's correlated temporal joins."""
+    from data_rivers_spark.streaming.events import read_events_stream
+
+    src = tmp_path / "ssj_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:40:00.000Z", "user_id": 1, "event_type": "purchase", "value": 9.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T03:00:00.000Z", "user_id": 2, "event_type": "purchase", "value": 5.0, "props": "{}"},
+    ]
+    (src / "p.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = read_events_stream(spark, str(src))
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select("user_id", F.col("ts").alias("buy_ts"), "value")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, value FROM ssj").collect()
+    assert [(r.user_id, r.value) for r in got] == [(1, 9.0)]

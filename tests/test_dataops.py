@@ -164,3 +164,20 @@ def test_dedup_by_components(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
     out = {r.doc_id for r in D.dedup_by_components(df, pairs, "doc_id").collect()}
     assert out == {1, 4, 7, 50} | {4}  # chain 1-2-3 -> keep 1; 7-9 -> keep 7
+
+
+def test_flag_contaminated(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # contains benchmark 5-gram
+            (2, "totally unrelated words with no overlap at all here"),
+            (3, "xx quick brown fox jumps over yy"),              # shares the 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.contaminated for r in
+           TX.flag_contaminated(docs, bench, "text", "doc_id").collect()}
+    assert out == {1: True, 2: False, 3: True}
