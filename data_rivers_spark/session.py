@@ -73,6 +73,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     ]
     from pyspark.sql import functions as F
 
+    # the driver testdata's events.ts is TIMESTAMP(NANOS) which Spark's reader
+    # rejects; this SQL conf is runtime-settable, so enforce it here rather
+    # than relying on the session builder (an externally-built SparkSession —
+    # e.g. the verification driver's — won't have it)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - conf may be locked; reads then fail loudly
+        pass
+
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
