@@ -175,3 +175,34 @@ def flag_contaminated(
         .withColumn("contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0)))
         .withColumn("contaminated", F.col("contam_hits") >= min_hits)
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = term count in doc, idf =
+    ln(N / doc-freq), ranked (score desc, term asc).
+
+    All-native: explode → two counted aggregations → broadcast idf join →
+    window top-k. The idf table is vocabulary-sized (small) → broadcast."""
+    from pyspark.sql import Window
+
+    from data_rivers_spark.operators.dedup import words
+
+    n_docs = df.count()
+    tokens = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    scored = tf.join(F.broadcast(idf.select("term", "idf")), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 4)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

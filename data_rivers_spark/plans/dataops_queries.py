@@ -311,3 +311,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     out = TX.flag_contaminated(docs, bench, "text", "doc_id")
     return out.select("doc_id", "contam_hits", "contaminated")
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS term
+      FROM documents WHERE TRIM(text) != ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, LN((SELECT COUNT(*) FROM documents) * 1.0 / COUNT(DISTINCT doc_id)) AS idf
+      FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, ROUND(tf.tf * idf.idf, 4) AS tfidf
+      FROM tf JOIN idf ON tf.term = idf.term
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].filter(F.trim(F.col("text")) != "")
+    # N in idf counts ALL documents (matching the oracle's subquery)
+    out = TX.tf_idf_top_terms(
+        docs, "text", "doc_id", k=3
+    )
+    return out

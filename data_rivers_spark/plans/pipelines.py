@@ -72,11 +72,18 @@ def qalert_pipeline(
     catalog: ManagedCatalog,
     raw: DataFrame,
     zone_tables: dict[str, DataFrame] | None = None,
+    geocode_crosswalk: DataFrame | None = None,
 ) -> DataFrame:
     """Full QAlert-shaped run (SURVEY §3.1 steps 2-4). Returns the scrubbed
     export DataFrame; master tables land in the catalog."""
     # 2) transform
     incoming = qalert_transform_chain(raw)
+    if geocode_crosswalk is not None:
+        from data_rivers_spark.operators.geocode import geocode_with_crosswalk
+
+        incoming = geocode_with_crosswalk(
+            incoming, geocode_crosswalk, "pii_input_address"
+        )
 
     # 3) land (WRITE_TRUNCATE), day-partitioned like the reference's
     # DAY-partitioned BQ tables (airflow_utils.py:163-190) → downstream scans
