@@ -50,6 +50,7 @@ def load_all() -> None:
         dataops_queries,
         geo_queries,
         relational_queries,
+        sql_breadth_queries,
         tpch_queries,
         transform_queries,
     )
