@@ -92,3 +92,33 @@ def write_stream_to_parquet(df: DataFrame, path: str, checkpoint: str, trigger_o
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_merge_into_catalog(
+    events: DataFrame,
+    catalog,
+    table: str,
+    key: str,
+    update_cols: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+):
+    """Continuous incremental merge: each micro-batch runs the engine's
+    generic merge (insert_new + sync_update + dedup_latest) into a managed
+    table via foreachBatch — the reference's hourly master-table sync
+    (SURVEY §3.2) as a streaming job with exactly-once batch bookkeeping."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if catalog.exists(table):
+            catalog.merge_upsert(table, batch_df, key, update_cols, order_cols)
+        else:
+            catalog.create_or_replace(batch_df, table)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -301,3 +301,31 @@ def test_stream_stream_join(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT user_id, value FROM ssj").collect()
     assert [(r.user_id, r.value) for r in got] == [(1, 9.0)]
+
+
+def test_stream_merge_into_catalog(spark, tmp_path):
+    from data_rivers_spark.streaming.events import read_events_stream, stream_merge_into_catalog
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh3"))
+    src = tmp_path / "merge_in"
+    src.mkdir()
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1, "event_type": "open", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00.000Z", "user_id": 2, "event_type": "open", "value": 2.0, "props": "{}"},
+    ]
+    b2 = [
+        {"event_id": 3, "ts": "2024-01-01T00:30:00.000Z", "user_id": 1, "event_type": "closed", "value": 3.0, "props": "{}"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b2.json").write_text(json.dumps(b2[0]))
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    q = stream_merge_into_catalog(
+        stream, cat, "user_state", "user_id",
+        ["event_id", "event_type", "ts"], ["ts", "event_id"], str(tmp_path / "mck"),
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.event_type for r in cat.read("user_state").collect()}
+    assert got == {1: "closed", 2: "open"}
