@@ -329,3 +329,14 @@ def test_stream_merge_into_catalog(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.user_id: r.event_type for r in cat.read("user_state").collect()}
     assert got == {1: "closed", 2: "open"}
+
+
+def test_catalog_reader_survives_overwrite(spark, tmp_path):
+    """A reader holding the old version keeps working through an overwrite
+    (versions are retained for keep_versions generations)."""
+    cat = ManagedCatalog(spark, str(tmp_path / "wh4"), keep_versions=2)
+    cat.create_or_replace(spark.range(0, 100).withColumnRenamed("id", "k"), "t")
+    old_reader = cat.read("t")  # lazy plan pinned to v1 files
+    cat.create_or_replace(spark.range(0, 5).withColumnRenamed("id", "k"), "t")
+    assert old_reader.count() == 100  # v1 files still on disk
+    assert cat.read("t").count() == 5

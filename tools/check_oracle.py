@@ -88,6 +88,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{path}')")
 
     names = args.names or sorted(registry.QUERIES)
+    unknown = [n for n in names if n not in registry.QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}; available: {sorted(registry.QUERIES)}")
+        return 2
     failures = []
     for name in names:
         fn = registry.QUERIES[name]
