@@ -809,3 +809,45 @@ def account_code_conversion(df: DataFrame, code_field: str, out_field: str = "en
         .when(F.col(code_field).try_cast("long").isin(AD_DISABLED_CODES), F.lit(False))
         .otherwise(F.lit(None).cast("boolean")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pandas-layer operators (SURVEY.md §2.4) with distinct semantics
+# ---------------------------------------------------------------------------
+
+
+def fill_leading_zeroes(df: DataFrame, field: str, length: int) -> DataFrame:
+    """zfill when the value is all-numeric, else NULL
+    (pandas_utils.py:109-112 — note: unlike PrependCharacters, non-numeric
+    values are nulled, not passed through)."""
+    col = F.col(field).cast("string")
+    return df.withColumn(
+        field, F.when(col.rlike("^[0-9]+$"), F.lpad(col, length, "0"))
+    )
+
+
+def swap_two_columns(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Swap the positions of two columns (pandas_utils.py:242-247)."""
+    cols = list(df.columns)
+    ia, ib = cols.index(col_a), cols.index(col_b)
+    cols[ia], cols[ib] = cols[ib], cols[ia]
+    return df.select(*cols)
+
+
+def set_col_b_based_on_col_a_val(
+    df: DataFrame, col_a: str, col_b: str, match_val, new_val
+) -> DataFrame:
+    """Conditional assignment: b = new_val where a == match_val
+    (pandas_utils.py:183-190)."""
+    return df.withColumn(
+        col_b, F.when(F.col(col_a) == F.lit(match_val), F.lit(new_val)).otherwise(F.col(col_b))
+    )
+
+
+def extract_middle_initial(
+    df: DataFrame, name_field: str, out_field: str = "middle_initial"
+) -> DataFrame:
+    """Parse 'Last, First M' → middle initial; missing → NULL
+    (ceridian_new_hires_etl.py:29-47)."""
+    mi = F.regexp_extract(F.col(name_field), r",\s*\S+\s+([A-Za-z])\.?\s*$", 1)
+    return df.withColumn(out_field, F.nullif(mi, F.lit("")))

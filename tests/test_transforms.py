@@ -409,3 +409,28 @@ def test_unnest_two_level(spark):
     )
     out = rows(X.unnest_two_level(df, "xref", "inner", ["PARCEL", "ADDRESS"], prefix="p_"))[0]
     assert out["p_parcel"] == "0001X" and out["p_address"] == "1 Main St"
+
+
+def test_fill_leading_zeroes(spark):
+    df = spark.createDataFrame([("42",), ("abc",), (None,)], ["v"])
+    out = [r.v for r in X.fill_leading_zeroes(df, "v", 5).collect()]
+    assert out == ["00042", None, None]
+
+
+def test_swap_two_columns(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "c"])
+    assert X.swap_two_columns(df, "a", "c").columns == ["c", "b", "a"]
+
+
+def test_set_col_b_based_on_col_a(spark):
+    df = spark.createDataFrame([("x", "old"), ("y", "old")], ["a", "b"])
+    out = {r.a: r.b for r in X.set_col_b_based_on_col_a_val(df, "a", "b", "x", "new").collect()}
+    assert out == {"x": "new", "y": "old"}
+
+
+def test_extract_middle_initial(spark):
+    df = spark.createDataFrame(
+        [("Doe, John M",), ("Doe, Jane",), ("Smith, A B.",)], ["name"]
+    )
+    out = [r.middle_initial for r in X.extract_middle_initial(df, "name").collect()]
+    assert out == ["M", None, "B"]
