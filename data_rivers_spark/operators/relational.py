@@ -407,3 +407,54 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series alignment — no native Spark equivalent)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """AS-OF join: each left row gets the right row with the greatest
+    timestamp ≤ its own, per ``by`` key (DuckDB/kdb ASOF JOIN semantics;
+    Spark has no native operator).
+
+    Scale design: NOT a range join (which degrades to O(n·m) per key).
+    Union both sides tagged, sort within key by (ts, side), and carry the
+    last-seen right values forward with last_value(ignorenulls) over an
+    unbounded-preceding window — one shuffle on ``by``, one sort, linear
+    scan. Ties (equal ts) resolve right-before-left, matching ASOF '<='."""
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols, F.lit(1).alias("__side"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols]
+    )
+    r_tagged = right.select(
+        F.col(by),
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (by, ts_col)],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).select(*lcols, "__side", *[f"__r_{c}" for c in value_cols])
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

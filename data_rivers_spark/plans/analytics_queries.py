@@ -190,3 +190,32 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, value AS quote FROM events WHERE event_type IN ('view', 'click')
+    ), trades AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT t.event_id, t.user_id, ROUND(q.quote, 2) AS quote
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase aligned to the latest prior view/click value
+    per user — the time-series alignment operator Spark lacks natively,
+    implemented as a union + carry-forward window (single shuffle)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    quotes = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", F.col("value").alias("quote")
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = R.asof_join(trades, quotes, "ts", "user_id", ["quote"])
+    return out.select("event_id", "user_id", F.round("quote", 2).alias("quote"))

@@ -62,3 +62,22 @@ def test_salted_count_matches_plain(spark):
     plain = {(r.k, r["count"]) for r in df.groupBy("k").count().collect()}
     salted = {(r.k, r.n) for r in R.salted_count(df, "k").collect()}
     assert salted == plain
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 5, 50.0)], "k long, ts long, quote double"
+    )
+    trades = spark.createDataFrame(
+        [(1, 15, "a"), (1, 20, "b"), (1, 5, "c"), (2, 99, "d"), (3, 10, "e")],
+        "k long, ts long, tid string",
+    )
+    out = {r.tid: r.quote for r in
+           R.asof_join(trades, quotes, "ts", "k", ["quote"]).collect()}
+    assert out == {
+        "a": 100.0,  # latest quote at ts<=15
+        "b": 200.0,  # equal-ts quote visible
+        "c": None,   # before first quote
+        "d": 50.0,
+        "e": None,   # key with no quotes
+    }
