@@ -458,3 +458,40 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Scalable point-in-interval range join: both sides are keyed to coarse
+    buckets of ``bucket_width`` (intervals explode to every bucket they
+    overlap), the join is EQUI on the bucket, and the exact containment
+    predicate filters after.
+
+    Without bucketing, an inequality-only join is a cartesian
+    BroadcastNestedLoopJoin — fine for broadcast-sized interval dims (see
+    geo.revgeo_timebound_join) but O(n·m) otherwise. Bucketing makes it a
+    hash join whose fan-out is interval_span/bucket_width. Pick bucket_width
+    near the median interval length."""
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor(F.col(end_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, "__bucket", how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bucket")

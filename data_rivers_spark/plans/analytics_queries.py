@@ -219,3 +219,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = R.asof_join(trades, quotes, "ts", "user_id", ["quote"])
     return out.select("event_id", "user_id", F.round("quote", 2).alias("quote"))
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH intervals AS (
+      SELECT s_suppkey AS iid, s_suppkey * 900 AS lo, s_suppkey * 900 + 2000 AS hi
+      FROM supplier
+    ), pts AS (
+      SELECT event_id, CAST(TRUNC(value * 40) AS BIGINT) AS x FROM events
+    )
+    SELECT event_id, iid
+    FROM pts JOIN intervals ON x >= lo AND x <= hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval range join: equi join on coarse buckets +
+    exact containment filter — a hash join instead of a nested-loop
+    inequality join."""
+    t = load_tables(spark, sf_dir, ["events", "supplier"])
+    intervals = t["supplier"].select(
+        F.col("s_suppkey").alias("iid"),
+        (F.col("s_suppkey") * 900).alias("lo"),
+        (F.col("s_suppkey") * 900 + 2000).alias("hi"),
+    )
+    pts = t["events"].select(
+        "event_id", (F.col("value") * 40).cast("long").alias("x")
+    )
+    out = R.range_join_bucketed(pts, intervals, "x", "lo", "hi", bucket_width=1000)
+    return out.select("event_id", "iid")
