@@ -144,3 +144,47 @@ def parcel_centroid_join(
         F.col("__c")["x"].alias("longitude"),
     )
     return facts.join(F.broadcast(p), parc_col, "left")
+
+
+def nearest_zone_fallback(
+    points: DataFrame,
+    zones: DataFrame,
+    x_col: str,
+    y_col: str,
+    zone_col: str = "zone",
+    wkt_col: str = "geometry",
+    out_col: str = "nearest_zone",
+) -> DataFrame:
+    """Nearest zone by centroid distance — the practical fallback for points
+    that fall outside every polygon (coastline gaps, geocoder jitter).
+    Deterministic ties resolve by zone name.
+
+    Scale: centroids are computed once on the tiny zone table and folded into
+    an argmin expression — the probe side streams, no shuffle, no UDF."""
+    from data_rivers_spark.functions.geo import polygon_centroid, wkt_polygon_vertices
+
+    cents = (
+        zones.select(
+            F.col(zone_col),
+            polygon_centroid(wkt_polygon_vertices(F.col(wkt_col))).alias("__c"),
+        )
+        .select(zone_col, F.col("__c.x").alias("cx"), F.col("__c.y").alias("cy"))
+        .orderBy(zone_col)
+        .collect()
+    )
+    # argmin as array_min over (distance, zone) structs — linear expression
+    # size; a chained when(closer, …) fold doubles the tree per zone (OOMs
+    # past ~20 zones)
+    candidates = F.array(
+        *[
+            F.struct(
+                (
+                    (F.col(x_col) - F.lit(r.cx)) * (F.col(x_col) - F.lit(r.cx))
+                    + (F.col(y_col) - F.lit(r.cy)) * (F.col(y_col) - F.lit(r.cy))
+                ).alias("d"),
+                F.lit(r[zone_col]).alias("z"),
+            )
+            for r in cents
+        ]
+    )
+    return points.withColumn(out_col, F.array_min(candidates)["z"])

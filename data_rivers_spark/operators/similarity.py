@@ -260,10 +260,10 @@ def train_ivf_centroids(
 
 
 def _assign_to_centroids(df: DataFrame, vec_col: str, cents) -> DataFrame:
-    """argmin centroid by squared L2, as a fold over a centroid literal array
-    (small: n_centroids × dim doubles inlined into the plan)."""
-    best_id = F.lit(-1)
-    best_d = F.lit(float("inf"))
+    """argmin centroid by squared L2, as array_min over (distance, id)
+    structs — linear expression size (a chained when(closer, …) fold doubles
+    the tree per centroid and OOMs past ~20)."""
+    entries = []
     for i, c in enumerate(cents):
         plane = F.array(*[F.lit(float(x)) for x in c])
         d = F.aggregate(
@@ -271,10 +271,8 @@ def _assign_to_centroids(df: DataFrame, vec_col: str, cents) -> DataFrame:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(i)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return df.withColumn("centroid_id", best_id)
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return df.withColumn("centroid_id", F.array_min(F.array(*entries))["i"])
 
 
 def ivf_topk(

@@ -343,3 +343,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=3
     )
     return out
+
+
+@query(
+    "q_media_stats",
+    oracle="""
+    SELECT lang AS media_type, COUNT(*) AS n,
+           SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
+           MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes
+    FROM documents GROUP BY lang
+    """,
+)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal byte-size profile (operators/multimodal.media_stats) over a
+    binary column synthesized from document text — the cheap native profile
+    that precedes any decode fan-out."""
+    from data_rivers_spark.operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.col("lang").alias("media_type"),
+    )
+    return M.media_stats(media)

@@ -245,3 +245,38 @@ def q_revgeo_multizone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create_date",
     )
     return out.select("o_orderkey", "neighborhood", "ward", "council_district")
+
+
+@query(
+    "q_nearest_zone",
+    oracle="""
+    WITH cents AS (
+      SELECT n_name AS zone, n_nationkey * 2 + 1.0 AS cx, 5.0 AS cy FROM nation
+    ), pts AS (
+      SELECT o_orderkey, (o_orderkey % 50) + 0.5 AS px, (o_custkey % 9) + 0.25 AS py
+      FROM orders
+    ), scored AS (
+      SELECT o_orderkey, zone,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY (px - cx) * (px - cx) + (py - cy) * (py - cy), zone) AS rn
+      FROM pts, cents
+    )
+    SELECT o_orderkey, zone AS nearest_zone FROM scored WHERE rn = 1
+    """,
+)
+def q_nearest_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-zone-by-centroid fallback for unmatched points
+    (operators/geo.nearest_zone_fallback)."""
+    from data_rivers_spark.operators.geo import nearest_zone_fallback
+
+    t = load_tables(spark, sf_dir, ["orders", "nation"])
+    zones = t["nation"].select(
+        F.col("n_name").alias("zone"),
+        _rect_wkt(
+            F.col("n_nationkey") * 2, F.lit(0), F.col("n_nationkey") * 2 + 2, F.lit(10)
+        ).alias("geometry"),
+    )
+    pts = _order_points(t["orders"])
+    out = nearest_zone_fallback(pts, zones, "px", "py")
+    return out.select("o_orderkey", "nearest_zone")
