@@ -495,3 +495,19 @@ def range_join_bucketed(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def increment_counts(
+    master: DataFrame,
+    increments: DataFrame,
+    key: str,
+    count_col: str,
+    inc_col: str = "cts",
+) -> DataFrame:
+    """UPDATE master SET count = count + incoming_cts per key; unmatched rows
+    unchanged (increment_ticket_counts, integrate_new_requests.py:109-121)."""
+    inc = increments.select(F.col(key), F.col(inc_col).alias("__inc"))
+    joined = master.join(inc, key, "left")
+    return joined.withColumn(
+        count_col, F.col(count_col) + F.coalesce(F.col("__inc"), F.lit(0))
+    ).drop("__inc")

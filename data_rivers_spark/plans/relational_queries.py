@@ -464,3 +464,35 @@ def q_linked_array_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", F.to_json("child_tickets").alias("children_json"), "num_requests"
     )
+
+
+@query(
+    "q_increment_counts",
+    oracle="""
+    WITH master AS (
+      SELECT o_custkey, COUNT(*) AS num_requests FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey
+    ), inc AS (
+      SELECT o_custkey, COUNT(*) AS cts FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY o_custkey
+    )
+    SELECT m.o_custkey, m.num_requests + COALESCE(i.cts, 0) AS num_requests
+    FROM master m LEFT JOIN inc i ON m.o_custkey = i.o_custkey
+    """,
+)
+def q_increment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter increment merge (integrate_new_requests.py:109-121)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    master = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("num_requests"))
+    )
+    inc = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cts"))
+    )
+    return R.increment_counts(master, inc, "o_custkey", "num_requests")
