@@ -249,3 +249,28 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = R.range_join_bucketed(pts, intervals, "x", "lo", "hi", bucket_width=1000)
     return out.select("event_id", "iid")
+
+
+@query(
+    "q_sliding_range_window",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h
+    FROM events
+    """,
+)
+def q_sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding window: per-user rolling 1-hour sum over event
+    time — the batch twin of a sliding streaming window."""
+    t = load_tables(spark, sf_dir, ["events"])
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return t["events"].select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("rolling_1h")
+    )
