@@ -160,6 +160,6 @@ def media_stats(df: DataFrame) -> DataFrame:
     always run before any decode fan-out."""
     return df.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.length(F.col("content"))).alias("total_bytes"),
-        F.max(F.length(F.col("content"))).alias("max_bytes"),
+        F.sum(F.length(F.col("content")).cast("long")).alias("total_bytes"),
+        F.max(F.length(F.col("content")).cast("long")).alias("max_bytes"),
     )

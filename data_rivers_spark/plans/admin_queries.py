@@ -19,10 +19,10 @@ from data_rivers_spark.session import load_tables
     "q_timebank_discrepancy",
     oracle="""
     WITH a AS (SELECT o_custkey AS emp,
-                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS bal_a_cents
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS bal_a_cents
                FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
          b AS (SELECT o_custkey AS emp,
-                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS bal_b_cents
+                      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS bal_b_cents
                FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderstatus = 'F'
                GROUP BY o_custkey)
     SELECT a.emp, bal_a_cents, bal_b_cents
@@ -288,13 +288,13 @@ def q_current_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fresh AS (
       SELECT o_custkey, o_orderstatus,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
              COUNT(*) AS n
       FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       GROUP BY o_custkey, o_orderstatus
     ), old AS (
       SELECT o_custkey, o_orderstatus,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
              COUNT(*) AS n
       FROM orders GROUP BY o_custkey, o_orderstatus
     )

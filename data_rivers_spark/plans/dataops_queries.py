@@ -349,8 +349,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_stats",
     oracle="""
     SELECT lang AS media_type, COUNT(*) AS n,
-           SUM(OCTET_LENGTH(ENCODE(text))) AS total_bytes,
-           MAX(OCTET_LENGTH(ENCODE(text))) AS max_bytes
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS max_bytes
     FROM documents GROUP BY lang
     """,
 )

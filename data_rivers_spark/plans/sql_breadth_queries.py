@@ -18,7 +18,7 @@ from data_rivers_spark.session import load_tables
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
