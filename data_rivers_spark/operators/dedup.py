@@ -212,6 +212,20 @@ def jaccard_words(text_a: Column, text_b: Column) -> Column:
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
+def jaccard_shingles(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Jaccard similarity of distinct n-gram word-shingle sets — the measure
+    MinHash actually approximates. Verifying LSH candidates with THIS (not
+    word-set jaccard) keeps the pipeline internally consistent: word-set
+    jaccard can be high for texts sharing vocabulary but no phrasing, which
+    LSH on shingles will (correctly) never pair. HOF form is interpreted, but
+    it only runs on candidate pairs — a vanishing fraction of the corpus."""
+    sa = F.array_distinct(word_shingles(text_a, n))
+    sb = F.array_distinct(word_shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -220,20 +234,27 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    verify: str = "shingle",
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact shingle-Jaccard verify →
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
     survivors (docs that are not a higher-id duplicate of any kept doc).
+
+    verify='shingle' (default) checks candidates with the n-gram shingle
+    Jaccard that MinHash approximates — the internally-consistent choice;
+    'word' uses word-set jaccard (a looser, vocabulary-level notion).
 
     Note: transitively-linked clusters are collapsed greedily by min-id (a doc
     is dropped if it pairs above threshold with ANY lower id) — the standard
-    single-pass approximation of connected components; exact CC needs an
-    iterative join (see docstring TODO)."""
+    single-pass approximation of connected components; use
+    ``dedup_by_components`` for the exact closure."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     texts = df.select(F.col(id_col), F.col(text_col))
+    sim = jaccard_shingles if verify == "shingle" else jaccard_words
+    sim_args = (shingle_n,) if verify == "shingle" else ()
     verified = (
         cands.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "__ta"}), "id_a")
         .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "__tb"}), "id_b")
-        .withColumn("jaccard", jaccard_words(F.col("__ta"), F.col("__tb")))
+        .withColumn("jaccard", sim(F.col("__ta"), F.col("__tb"), *sim_args))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )

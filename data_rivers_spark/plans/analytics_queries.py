@@ -174,19 +174,40 @@ def q_remove_false_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.select("group_id")
 
 
-@query("q_approx_distinct")
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch approximate distinct users per event type (rows-only: HLL
-    estimates are engine-specific). Accuracy vs exact countDistinct is pinned
-    in tests/test_analytics.py within rsd bounds; at 100 TB this replaces the
-    exact distinct's full shuffle with a mergeable fixed-size sketch."""
+    """HLL-sketch approximate distinct users per event type. The raw HLL
+    estimate is engine-specific, so the query emits the exact count plus a
+    tolerance check (|approx - exact| ≤ 5×rsd×exact — deterministic for
+    fixed data) that the oracle pins to TRUE; at 100 TB the approx path
+    replaces the exact distinct's full shuffle with a mergeable fixed-size
+    sketch."""
     t = load_tables(spark, sf_dir, ["events"])
     return (
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("within_tolerance"),
         )
         .orderBy("event_type")
     )

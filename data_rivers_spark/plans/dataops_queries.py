@@ -201,12 +201,46 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- non-SQL-expressible sketch operators: rows-only driver check + unit tests
 
 
-@query("q_minhash_lsh_dedup")
+@query(
+    "q_minhash_lsh_dedup",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM aug WHERE TRIM(text) != ''
+    ), w AS (
+      SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+              FROM toks)
+      ) GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+    )
+    SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup dedup with planted duplicates: base corpus plus
-    word-dropped copies (doc_id+100000); survivors must drop the copies.
-    Hash sketches aren't expressible in the DuckDB oracle — correctness is
-    pinned by tests/test_dataops.py::test_minhash_lsh_planted instead."""
+    word-dropped copies (doc_id+100000); survivors must drop the copies (and
+    the corpus's natural near-identical pairs).
+
+    Oracle = EXACT all-pairs 3-gram shingle Jaccard ≥ 0.7 with greedy min-id
+    drop (drop any id that is the greater side of a qualifying pair) — the
+    same measure the MinHash signatures approximate and the verify step
+    checks. On this corpus the shingle-similarity distribution is bimodal
+    (nothing between 0.3 and 0.8), so banded LSH (32 hashes / 8 bands,
+    per-pair miss ≤ 1e-3 at s=0.875, deterministic for fixed data) recalls
+    every qualifying pair. Token-less docs can never enter an LSH bucket (no
+    shingles), so the oracle likewise excludes TRIM(text)='' rows."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     # planted near-dups: drop the first word of every 5th doc
@@ -222,7 +256,13 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_simhash_pairs")
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents + planted copies (hamming ≤ 3).
-    Rows-only driver check; semantics pinned in tests/test_dataops.py."""
+
+    ROWS-ONLY by design: which pairs fall within hamming ≤ 3 depends on the
+    64-bit FNV-1a token hashes inside the signature — there is no
+    hash-independent characterization of the output (unlike LSH+verify,
+    where an exact-similarity oracle exists). Semantics are pinned by
+    tests/test_dataops.py::test_simhash_close_and_far (near/far separation)
+    and the planted-copy containment assertion."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     copies = (
@@ -236,8 +276,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_signlsh_topk")
 def q_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed approximate top-k (the ANN scale path). Rows-only;
-    recall vs the exact q_cosine_topk is asserted in tests/test_dataops.py."""
+    """Sign-LSH bucketed approximate top-k (the ANN scale path).
+
+    ROWS-ONLY by design: the approximate result set is a function of the
+    random-hyperplane bucket assignment — an exact-SQL oracle would have to
+    re-derive the same buckets, i.e. be the implementation itself. The
+    meaningful external check is recall vs the exact q_cosine_topk (which IS
+    oracled); tests/test_dataops.py asserts that recall bound."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
     out = S.signlsh_topk(
@@ -246,20 +291,99 @@ def q_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
-@query("q_fingerprint")
+@query(
+    "q_fingerprint",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, '  ' || UPPER(REPLACE(text, ' ', '  ')) || ' '
+      FROM documents WHERE doc_id % 4 = 0
+    ), norm AS (
+      SELECT doc_id, REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g') AS k
+      FROM aug
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY k) AS rep_id,
+           COUNT(*) OVER (PARTITION BY k) AS n_dups
+    FROM norm
+    """,
+)
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 document fingerprints (engine-specific hash → rows-only);
-    normalization invariance pinned in tests/test_dataops.py."""
+    """xxhash64 document fingerprints grouped into duplicate clusters.
+
+    The raw 64-bit hash values are engine-specific, so the oracle instead
+    pins the EQUALITY RELATION the fingerprint induces: planted copies
+    (case-flipped, whitespace-doubled, space-padded) must land in their
+    base document's fingerprint group. DuckDB groups by the normalized text
+    itself — identical cluster structure unless xxhash64 collides
+    (P ≈ 1e-13 at this scale, and deterministic for fixed data)."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir, ["documents"])
-    return TX.fingerprint(t["documents"], "text").select("doc_id", "fingerprint")
+    docs = t["documents"].select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn(
+            "text",
+            F.concat(F.lit("  "), F.upper(F.regexp_replace(F.col("text"), " ", "  ")), F.lit(" ")),
+        )
+    )
+    fp = TX.fingerprint(docs.unionByName(copies), "text")
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("rep_id"),
+        F.count(F.lit(1)).over(w).alias("n_dups"),
+    )
 
 
-@query("q_minhash_cc_dedup")
+@query(
+    "q_minhash_cc_dedup",
+    oracle="""
+    WITH RECURSIVE aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM aug WHERE TRIM(text) != ''
+    ), w AS (
+      SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+              FROM toks)
+      ) GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT doc_id FROM aug
+    WHERE doc_id NOT IN (SELECT id FROM reach GROUP BY id HAVING MIN(r) < id)
+    """,
+)
 def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup dedup with EXACT transitive closure: LSH
     candidates → Jaccard verify → connected components → keep the min-id
     representative per cluster (vs the greedy single-pass q_minhash_lsh_dedup).
-    Rows-only; chain semantics pinned in tests/test_dataops.py."""
+
+    Oracle = exact all-pairs 3-gram shingle Jaccard pairs + recursive-CTE
+    transitive closure (drop every id that can reach a smaller id). Matches
+    the Spark side as long as LSH recall is 100% on the qualifying pairs —
+    see q_minhash_lsh_dedup's docstring for the recall argument."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     copies = (
@@ -273,7 +397,7 @@ def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cands.join(texts.withColumnsRenamed({"doc_id": "id_a", "text": "__ta"}), "id_a")
         .join(texts.withColumnsRenamed({"doc_id": "id_b", "text": "__tb"}), "id_b")
-        .filter(D.jaccard_words(F.col("__ta"), F.col("__tb")) >= 0.7)
+        .filter(D.jaccard_shingles(F.col("__ta"), F.col("__tb")) >= 0.7)
         .select("id_a", "id_b")
     )
     return D.dedup_by_components(aug, verified, "doc_id").select("doc_id")
@@ -301,11 +425,33 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "norm")
 
 
-@query("q_decontaminate")
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM documents WHERE TRIM(text) != ''
+    ), grams AS (
+      SELECT doc_id, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 4, 1))) AS i
+            FROM toks)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    ), hits AS (
+      SELECT g.doc_id, COUNT(*) AS contam_hits
+      FROM grams g JOIN bench b ON g.gram = b.gram GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, COALESCE(h.contam_hits, 0) AS contam_hits,
+           COALESCE(h.contam_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 10th document plays the benchmark set;
-    docs sharing any 5-gram with it are flagged (rows-only — hash-join
-    internals; overlap semantics pinned in tests/test_dataops.py)."""
+    docs sharing any 5-gram shingle with it are flagged (with occurrence
+    counts). The Spark side joins on xxhash64(shingle) — the oracle joins on
+    the shingle strings themselves, pinning the same overlap relation."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
