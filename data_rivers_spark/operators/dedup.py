@@ -138,23 +138,17 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
     return minhash_signature_from_shingles(word_shingles(text, shingle_n), num_hashes)
 
 
-def minhash_lsh_candidates(
+def _lsh_banded(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
-
-    rows_per_band = num_hashes // bands; two docs collide when any band of
-    their signatures matches exactly. Returns distinct (id_a, id_b).
-
-    Scale: the only shuffle is the band-bucket exchange, keyed on
-    (band_idx, band_hash) — 12 bytes. Bucket-local self-join sizes are bounded
-    by bucket occupancy; pathological buckets (boilerplate docs) should be
-    capped upstream with a frequency filter."""
+    """(id, band_idx, band_hash) rows — the shared front half of the LSH
+    pipeline (shingle → signature → banding), used by both candidate
+    generation and bucket-occupancy monitoring."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # Explode + flat hash columns + min aggregation: higher-order functions
@@ -176,10 +170,40 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig_df.select(
+    return sig_df.select(
         id_col,
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    rows_per_band = num_hashes // bands; two docs collide when any band of
+    their signatures matches exactly. Returns distinct (id_a, id_b).
+
+    Scale: the only shuffle is the band-bucket exchange, keyed on
+    (band_idx, band_hash) — 12 bytes. Bucket-local pair expansion is
+    quadratic in bucket occupancy, so buckets larger than ``bucket_cap``
+    (boilerplate text: a 10⁵-doc bucket would emit 10¹⁰ pairs) switch to a
+    STAR expansion — every member pairs with the bucket's minimum id only,
+    O(bucket) candidates. Verify + connected components then still collapse
+    a boilerplate clique to one survivor (all members link to the hub), and
+    the greedy min-id drop keeps every member whose hub pair verifies; what
+    a star loses is only candidates between two non-hub members that are
+    near-dups of each other but NOT of the hub — rare inside a band bucket,
+    whose members already share a full signature band. Use
+    ``lsh_bucket_stats`` to monitor occupancy; ``bucket_cap=None``
+    disables the cap."""
+    banded = _lsh_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
     # bucket-group instead of self-join: a self-join would evaluate the
     # signature pipeline twice; grouping shuffles each (id, band) row once and
     # expands pairs inside the (small) bucket with array combinatorics
@@ -193,6 +217,22 @@ def minhash_lsh_candidates(
             ),
         )
     )
+    if bucket_cap is not None:
+        # let-bind the hub: a bare array_min referenced inside the lambda
+        # body would be inlined and re-evaluated per element (O(bucket²)
+        # work — the exact blowup the cap exists to prevent)
+        star_structs = let_bound(
+            F.array_min(F.col("__ids")),
+            lambda mn: F.transform(
+                F.filter(F.col("__ids"), lambda b: b != mn),
+                lambda b: F.struct(mn.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+        # Conditional If evaluates exactly one branch per row, so the
+        # quadratic expansion is never materialized for oversized buckets.
+        pair_structs = F.when(
+            F.size(F.col("__ids")) <= F.lit(bucket_cap), pair_structs
+        ).otherwise(star_structs)
     return (
         banded.groupBy("band_idx", "band_hash")
         .agg(ids.alias("__ids"))
@@ -200,6 +240,32 @@ def minhash_lsh_candidates(
         .select(F.explode(pair_structs).alias("__p"))
         .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Bucket-occupancy profile of the LSH banding: one row per occupancy
+    level with bucket count and the quadratic pair mass it would expand to.
+    Run this (cheap: ends at a count aggregation) before a large dedup to
+    pick ``bucket_cap`` — any occupancy whose pairs-share dominates the total
+    is boilerplate to cap or prefilter."""
+    banded = _lsh_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    occ = banded.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("occupancy"))
+    return (
+        occ.groupBy("occupancy")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .withColumn(
+            "allpairs_candidates",
+            (F.col("occupancy") * (F.col("occupancy") - 1) / 2 * F.col("n_buckets")).cast("long"),
+        )
+        .orderBy(F.desc("occupancy"))
     )
 
 
@@ -235,6 +301,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     verify: str = "shingle",
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
     survivors (docs that are not a higher-id duplicate of any kept doc).
@@ -247,7 +314,9 @@ def minhash_lsh_dedup(
     is dropped if it pairs above threshold with ANY lower id) — the standard
     single-pass approximation of connected components; use
     ``dedup_by_components`` for the exact closure."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, bucket_cap
+    )
     texts = df.select(F.col(id_col), F.col(text_col))
     sim = jaccard_shingles if verify == "shingle" else jaccard_words
     sim_args = (shingle_n,) if verify == "shingle" else ()

@@ -32,6 +32,30 @@ def test_minhash_lsh_planted(spark, sf_dir):
     assert not (survivors & planted), sorted(survivors & planted)[:5]
 
 
+def test_lsh_bucket_cap_keeps_candidates_linear(spark):
+    """1000 identical boilerplate docs: all-pairs expansion would emit
+    ~500k candidates; the bucket cap must switch to star expansion (hub =
+    min id), keeping candidates linear while still collapsing the clique."""
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate disclaimer text repeated verbatim in every "
+            "single document of this scraped corpus shard"
+        ).alias("text"),
+    )
+    cands = D.minhash_lsh_candidates(df, "text", "doc_id", bucket_cap=100)
+    rows = cands.collect()
+    assert len(rows) == n - 1, len(rows)  # star: (0, x) for every x > 0
+    assert {r.id_a for r in rows} == {0}
+    # the full dedup still collapses the boilerplate clique to one survivor
+    out = D.minhash_lsh_dedup(df, "text", "doc_id", 0.9, bucket_cap=100)
+    assert out.count() == 1
+    # and occupancy monitoring reports the pathological buckets
+    stats = D.lsh_bucket_stats(df, "text", "doc_id").collect()
+    assert stats[0].occupancy == n and stats[0].n_buckets == 8
+
+
 def test_minhash_no_false_negatives_on_exact_dups(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
