@@ -109,17 +109,20 @@ def city_limits_classify(
     outside_label: str = "Outside of City",
 ) -> DataFrame:
     """Set address_type = 'Outside of City' where the point is not inside the
-    city polygon or falls in the exclusion polygon (Mt Oliver), preserving the
+    city geometry or falls in the exclusion polygon (Mt Oliver), preserving the
     prior classification otherwise (geo_queries.py:123-154;
-    transform_enrich_requests.py:4-35)."""
-    in_city = point_in_polygon(
-        F.col(x_col), F.col(y_col), wkt_polygon_vertices(F.lit(city_wkt))
-    )
+    transform_enrich_requests.py:4-35).
+
+    ``city_wkt`` may be POLYGON (optionally with hole rings) or MULTIPOLYGON —
+    real city-limit exports ship as MULTIPOLYGON; the Mt-Oliver enclave can be
+    expressed either as a hole ring in the city geometry or via
+    ``exclusion_wkt``, identically."""
+    from data_rivers_spark.functions.geo import point_in_wkt_geom
+
+    in_city = point_in_wkt_geom(F.col(x_col), F.col(y_col), F.lit(city_wkt))
     outside = ~in_city
     if exclusion_wkt is not None:
-        in_excl = point_in_polygon(
-            F.col(x_col), F.col(y_col), wkt_polygon_vertices(F.lit(exclusion_wkt))
-        )
+        in_excl = point_in_wkt_geom(F.col(x_col), F.col(y_col), F.lit(exclusion_wkt))
         outside = outside | in_excl
     return points.withColumn(
         type_col, F.when(outside, F.lit(outside_label)).otherwise(F.col(type_col))

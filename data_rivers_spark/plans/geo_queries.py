@@ -103,6 +103,84 @@ def q_city_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_city_limits_multipoly",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN ((px > 0 AND px < 20 AND py > 0 AND py < 8)
+                      AND NOT (px > 10 AND px < 12 AND py > 2 AND py < 4))
+                  OR (px > 30 AND px < 40 AND py > 0 AND py < 8)
+                THEN 'Precise' ELSE 'Outside of City' END AS address_type
+    FROM (
+      SELECT o_orderkey, (o_orderkey % 50) + 0.5 AS px, (o_custkey % 9) + 0.25 AS py
+      FROM orders
+    )
+    """,
+)
+def q_city_limits_multipoly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City-limits classification where the city ships as a MULTIPOLYGON with a
+    hole ring — the shape real zone exports take (the reference's Mt-Oliver
+    enclave, geo_queries.py:133-137, is a hole in the city geometry). Exercises
+    wkt_rings + even-odd point_in_rings: part 1 is a donut (outer + hole), part
+    2 a disjoint rectangle."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    pts = _order_points(t["orders"]).withColumn("address_type", F.lit("Precise"))
+    city = (
+        "MULTIPOLYGON(((0 0, 20 0, 20 8, 0 8, 0 0), (10 2, 12 2, 12 4, 10 4, 10 2)), "
+        "((30 0, 40 0, 40 8, 30 8, 30 0)))"
+    )
+    out = city_limits_classify(pts, city, None, "px", "py")
+    return out.select("o_orderkey", "address_type")
+
+
+@query(
+    "q_parcel_centroid_shoelace",
+    oracle="""
+    WITH parcels AS (
+      SELECT s_name AS parc,
+             ROUND(CAST(s_suppkey * 3 AS DOUBLE) + 1.1, 6) AS longitude,
+             ROUND(CAST(1.1 AS DOUBLE), 6) AS latitude
+      FROM supplier
+    ), facts AS (
+      SELECT c_custkey, s_name AS parc FROM customer JOIN supplier ON c_custkey % 10 = s_suppkey
+    )
+    SELECT c_custkey, parc, latitude, longitude FROM facts LEFT JOIN parcels USING (parc)
+    """,
+)
+def q_parcel_centroid_shoelace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parcel-centroid enrichment over CONCAVE (L-shaped) parcels — pins the
+    area-weighted shoelace centroid (general_queries.py:75-84 ST_CENTROID): the
+    L at base a covers [a,a+3]×[0,1] ∪ [a,a+1]×[1,3], true centroid
+    (a+1.1, 1.1); a vertex average would give (a+4/3, 4/3) and hash-mismatch."""
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    s = lambda c: c.cast("string")  # noqa: E731
+    a = F.col("s_suppkey") * 3
+    lshape = F.concat(
+        F.lit("POLYGON(("),
+        s(a), F.lit(" 0, "),
+        s(a + 3), F.lit(" 0, "),
+        s(a + 3), F.lit(" 1, "),
+        s(a + 1), F.lit(" 1, "),
+        s(a + 1), F.lit(" 3, "),
+        s(a), F.lit(" 3, "),
+        s(a), F.lit(" 0"),
+        F.lit("))"),
+    )
+    parcels = t["supplier"].select(F.col("s_name").alias("zone"), lshape.alias("geometry"))
+    facts = (
+        t["customer"]
+        .join(F.broadcast(t["supplier"]), F.col("c_custkey") % 10 == F.col("s_suppkey"))
+        .select("c_custkey", F.col("s_name").alias("parc"))
+    )
+    out = parcel_centroid_join(facts, parcels, "parc")
+    return out.select(
+        "c_custkey",
+        "parc",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+    )
+
+
+@query(
     "q_parcel_centroid",
     oracle="""
     WITH parcels AS (
