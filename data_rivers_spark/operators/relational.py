@@ -178,11 +178,53 @@ def global_row_number(df: DataFrame, order_cols: list[str], out_col: str = "seq"
     (condemned_dead_end_properties.py:71).
 
     Scale notes: a global window is a single-partition sort — fine for the
-    reference's export-sized tables, unacceptable on a 100 TB fact. For large
-    inputs prefer zipWithIndex-style: repartitionByRange + per-partition
-    offsets. This implementation keeps the exact SQL semantics."""
+    reference's export-sized tables, unacceptable on a 100 TB fact; use
+    ``global_row_number_scalable`` there (same output, range-partitioned)."""
     w = Window.orderBy(*order_cols)
     return df.withColumn(out_col, F.row_number().over(w))
+
+
+def global_row_number_scalable(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global ROW_NUMBER(): identical output to
+    ``global_row_number`` without the single-partition sort.
+
+    Plan: (1) range-repartition on the order keys so partition i holds a
+    contiguous key range; (2) row_number within each range partition — the
+    window partitions on ``spark_partition_id()``, so every task sorts only
+    its own slice; (3) per-partition row counts (a tiny aggregate) become
+    cumulative offsets on the driver side of a broadcast join. Two data
+    shuffles (range + pid hash, both full-width, neither a bottleneck) and
+    one count job replace the all-to-one sort.
+
+    Ties across ``order_cols`` get an arbitrary-but-deterministic order
+    within a partition (same contract as ROW_NUMBER); equal keys never split
+    across range partitions, so tie groups stay contiguous. The counts branch
+    and the output branch share ONE range exchange (Spark ReuseExchange — the
+    subplans are identical), so the sampled range boundaries are computed
+    once and pid assignment is consistent between them. Returns bigint (a
+    global sequence past 2^31 rows cannot be int; the exact variant inherits
+    int from ROW_NUMBER)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*order_cols)
+    numbered = ranged.withColumn("__local", F.row_number().over(local_w))
+    counts = numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        numbered.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -360,6 +360,24 @@ def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_global_rownum_scalable",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+    FROM orders
+    """,
+)
+def q_global_rownum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe global ROW_NUMBER over the FULL orders table — no
+    single-partition sort (range repartition + per-partition offsets,
+    operators/relational.global_row_number_scalable). Unlike q_global_rownum
+    this runs unfiltered: the plan must stay parallel at any SF."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    out = R.global_row_number_scalable(t["orders"], ["o_orderdate", "o_orderkey"])
+    return out.select("o_orderkey", "seq")
+
+
+@query(
     "q_incremental_merge",
     oracle="""
     SELECT user_id, event_id, event_type, EPOCH_US(ts) AS ts_us

@@ -81,3 +81,19 @@ def test_asof_join_semantics(spark):
         "d": 50.0,
         "e": None,   # key with no quotes
     }
+
+
+def test_global_row_number_scalable_matches_exact(spark):
+    # 1000 rows with duplicate order keys (ties) across several input partitions
+    df = (
+        spark.range(1000)
+        .selectExpr("id AS k", "CAST(id % 37 AS INT) AS grp", "id % 3 AS tie")
+        .repartition(7)
+    )
+    exact = R.global_row_number(df, ["grp", "k"], "seq")
+    scal = R.global_row_number_scalable(df, ["grp", "k"], "seq", num_partitions=5)
+    a = {(r.k, r.seq) for r in exact.collect()}
+    b = {(r.k, r.seq) for r in scal.collect()}
+    assert a == b
+    # contract: a dense 1..n permutation
+    assert sorted(s for _, s in b) == list(range(1, 1001))
