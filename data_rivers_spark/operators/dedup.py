@@ -375,26 +375,42 @@ def _simhash_udf(num_bits: int = 64):
     def simhash(batch: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = []
-        for text in batch:
-            toks = str(text or "").lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            # deterministic 64-bit token hashes (FNV-1a), vectorized bit vote
-            hs = np.array(
-                [_fnv1a64(t) for t in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i, v in enumerate(votes):
-                if v > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out)
+        # Whole-batch vectorization: every token of every doc in the Arrow
+        # batch is hashed in ONE padded byte-matrix FNV-1a sweep (loop over
+        # byte POSITIONS, ~max-token-length iterations, not over tokens),
+        # and per-doc bit votes come from a single np.add.reduceat over the
+        # token-segment boundaries. Bit-identical to the per-row reference
+        # loop it replaced (same FNV-1a, same vote rule).
+        toks_per_doc = [str(t or "").lower().split() for t in batch]
+        doc_lens = np.fromiter((len(t) for t in toks_per_doc), np.int64, len(toks_per_doc))
+        result = np.zeros(len(batch), np.int64)
+        n_tok = int(doc_lens.sum())
+        if n_tok == 0:
+            return pd.Series(result)
+        enc = [t.encode("utf-8") for toks in toks_per_doc for t in toks]
+        tok_lens = np.fromiter((len(e) for e in enc), np.int64, n_tok)
+        flat = np.frombuffer(b"".join(enc), np.uint8)
+        # scatter bytes into a (n_tok, maxlen) matrix via computed positions
+        tok_idx = np.repeat(np.arange(n_tok), tok_lens)
+        tok_starts = np.concatenate(([0], np.cumsum(tok_lens)[:-1]))
+        pos = np.arange(tok_lens.sum()) - np.repeat(tok_starts, tok_lens)
+        maxlen = int(tok_lens.max())
+        mat = np.zeros((n_tok, maxlen), np.uint8)
+        mask = np.zeros((n_tok, maxlen), bool)
+        mat[tok_idx, pos] = flat
+        mask[tok_idx, pos] = True
+        h = np.full(n_tok, 0xCBF29CE484222325, np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(maxlen):
+            m = mask[:, j]
+            h[m] = (h[m] ^ mat[:, j][m].astype(np.uint64)) * prime
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        nz = doc_lens > 0
+        doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
+        votes = np.add.reduceat(2 * bits - 1, doc_starts[nz], axis=0)
+        sigs = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        result[nz] = sigs.astype(np.int64)
+        return pd.Series(result)
 
     return simhash
 

@@ -87,10 +87,14 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {"media_id": [], "feature": [], "decode_ok": []}
-            for _, row in batch.iterrows():
-                out["media_id"].append(row["media_id"])
+            # zip over raw column arrays — iterrows() materializes a Series
+            # per row and is the slowest pandas iteration idiom
+            for mid, content, mtype in zip(
+                batch["media_id"], batch["content"], batch["media_type"]
+            ):
+                out["media_id"].append(mid)
                 try:
-                    decoded = decoder(row["content"], row["media_type"])
+                    decoded = decoder(content, mtype)
                     vec = [float(x) for x in decoded["pixels"][:feature_dim]]
                     vec += [0.0] * (feature_dim - len(vec))
                     out["feature"].append(vec)
@@ -123,14 +127,16 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = {"media_id": [], "content": [], "width": [], "height": []}
-            for _, row in batch.iterrows():
-                decoder(row["content"], row["media_type"])  # validate decodability
-                out["media_id"].append(row["media_id"])
-                out["content"].append(row["content"])
-                out["width"].append(width)
-                out["height"].append(height)
-            yield pd.DataFrame(out)
+            for content, mtype in zip(batch["content"], batch["media_type"]):
+                decoder(content, mtype)  # validate decodability
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "content": batch["content"],
+                    "width": width,
+                    "height": height,
+                }
+            )
 
     return df.mapInPandas(run, out_schema)
 
