@@ -340,3 +340,123 @@ def test_catalog_reader_survives_overwrite(spark, tmp_path):
     cat.create_or_replace(spark.range(0, 5).withColumnRenamed("id", "k"), "t")
     assert old_reader.count() == 100  # v1 files still on disk
     assert cat.read("t").count() == 5
+
+
+def test_avro_io_roundtrip_fallback(spark, tmp_path):
+    """write_avro → read_avro round-trip. In this container spark-avro is not
+    on the classpath, so the Parquet-fallback path (with the _avro_schema
+    sidecar) is what actually executes; on a cluster with the module the same
+    call lands real Avro."""
+    from data_rivers_spark.sources.avro_io import (
+        avro_available,
+        read_avro,
+        read_sidecar_schema,
+        write_avro,
+    )
+
+    avsc = {
+        "type": "record",
+        "name": "requests",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "status", "type": ["null", "string"]},
+            {"name": "score", "type": ["null", "float"]},
+            {"name": "extra", "type": ["null", "string"]},  # absent in the df
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, "open", "3.5"), (2, "closed", None)], ["id", "status", "score"]
+    )
+    path = str(tmp_path / "landing")
+    used = write_avro(df, path, avsc=avsc)
+    assert used == ("avro" if avro_available(spark) else "parquet")
+
+    back = read_avro(spark, path)  # schema recovered from the sidecar
+    assert [f.name for f in back.schema.fields] == ["id", "status", "score", "extra"]
+    rows = {r.id: (r.status, r.score, r.extra) for r in back.collect()}
+    assert rows == {1: ("open", 3.5, None), 2: ("closed", None, None)}
+    if not avro_available(spark):
+        assert read_sidecar_schema(spark, path) is not None
+
+
+def test_avro_io_capability_error(spark, tmp_path):
+    from data_rivers_spark.sources.avro_io import (
+        AvroCapabilityError,
+        avro_available,
+        write_avro,
+    )
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    if avro_available(spark):  # pragma: no cover - container has no spark-avro
+        assert write_avro(df, str(tmp_path / "a"), fallback="error") == "avro"
+    else:
+        try:
+            write_avro(df, str(tmp_path / "a"), fallback="error")
+            raise AssertionError("expected AvroCapabilityError")
+        except AvroCapabilityError:
+            pass
+
+
+def test_jdbc_options_builder():
+    from data_rivers_spark.sources.jdbc import jdbc_options, jdbc_url
+    import pytest
+
+    url = jdbc_url("postgresql", "db.internal", "rms")
+    assert url == "jdbc:postgresql://db.internal:5432/rms"
+
+    opts = jdbc_options(
+        url,
+        table="incidents",
+        user="etl",
+        password="s",
+        partition_column="incident_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert opts["driver"] == "org.postgresql.Driver"  # inferred from the URL
+    assert opts["dbtable"] == "incidents"
+    assert (opts["partitionColumn"], opts["lowerBound"], opts["upperBound"],
+            opts["numPartitions"]) == ("incident_id", "0", "1000000", "32")
+    assert opts["fetchsize"] == "10000"
+
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_options(url)
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_options(url, table="t", query="SELECT 1")
+    with pytest.raises(ValueError, match="partition_column with query"):
+        jdbc_options(url, query="SELECT 1", partition_column="id")
+    with pytest.raises(ValueError, match="ALL of"):
+        jdbc_options(url, table="t", partition_column="id", num_partitions=8)
+
+
+def test_read_jdbc_wires_options(spark, monkeypatch):
+    """read_jdbc must pass the validated options through to the reader —
+    asserted against a recording stub (no drivers in this container)."""
+    from data_rivers_spark.sources import jdbc as J
+
+    recorded = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            recorded["format"] = fmt
+            return self
+
+        def options(self, **opts):
+            recorded.update(opts)
+            return self
+
+        def load(self):
+            recorded["loaded"] = True
+            return "sentinel"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    out = J.read_jdbc(
+        FakeSpark(), url="jdbc:postgresql://h:5432/d", table="t", fetch_size=500
+    )
+    assert out == "sentinel"
+    assert recorded["format"] == "jdbc"
+    assert recorded["dbtable"] == "t" and recorded["fetchsize"] == "500"
+    assert recorded["loaded"]
