@@ -35,6 +35,10 @@ HEADLINE = [
     "q_exact_dedup",
     "q_cosine_topk",
     "q_minhash_lsh_dedup",
+    # scale paths: big-agg top-k, ANN bucketing, 8-way broadcast spatial join
+    "q18_large_volume_customer",
+    "q_signlsh_topk",
+    "q_revgeo_multizone",
 ]
 
 
