@@ -9,8 +9,12 @@ exclusion polygon (geo_queries.py:123-154).
 Scale design: zone tables are dozens-to-hundreds of rows → explicit
 broadcast; the join is a BroadcastNestedLoopJoin whose probe-side predicate
 (ray casting) is pure codegen. The fact side streams — no shuffle at any SF.
-For thousands of zones, pre-filter with a bounding-box equi-join on a grid
-key before the exact test (TODO round 2 if needed)."""
+Past ~64 zones the nested-loop probe (every point × every zone bbox) starts
+to dominate, so the join auto-switches to a GRID prefilter: zones explode
+into the coarse grid cells their bbox covers (cell edge = max bbox edge, so
+≤ 4 cells/zone), points map to exactly one cell, and the join becomes a
+Broadcast *Hash* Join on (cell_x, cell_y) with bbox+interval+ray-cast as the
+residual — per-point work drops from O(zones) to O(zones sharing the cell)."""
 
 from __future__ import annotations
 
@@ -48,11 +52,19 @@ def revgeo_timebound_join(
     start_col: str = "start_date",
     end_col: str = "end_date",
     out_col: str | None = None,
+    grid: bool | str = "auto",
+    grid_threshold: int = 64,
 ) -> DataFrame:
     """LEFT OUTER spatial-interval join: attach the zone containing each point
     whose validity interval covers the point's date; non-matching points keep
     NULL (geo_queries.py:53-107: ST_CONTAINS(zone.geometry, point) AND
-    start_date <= date <= IFNULL(end_date, CURRENT_DATETIME))."""
+    start_date <= date <= IFNULL(end_date, CURRENT_DATETIME)).
+
+    ``grid='auto'`` switches from the nested-loop broadcast join to the
+    grid-cell equi-join (see module docstring) when the zone table exceeds
+    ``grid_threshold`` rows; True/False force either plan. Both plans give
+    identical results — the grid only prefilters which (point, zone) pairs
+    reach the exact predicate."""
     out_col = out_col or zone_col
     z = _prepared_zones(zones, wkt_col).select(
         F.col(zone_col).alias("__zone_val"),
@@ -74,7 +86,29 @@ def revgeo_timebound_join(
         & (F.col(point_date_col) <= F.coalesce(F.col("__zend"), F.current_timestamp()))
         & point_in_polygon(px, py, F.col("__verts"))
     )
-    joined = points.join(F.broadcast(z), cond, "left")
+    use_grid = grid if isinstance(grid, bool) else zones.count() > grid_threshold
+    if use_grid:
+        # cell edge = max bbox edge across zones (driver-side stats on the
+        # tiny zone table) → every zone covers ≤ 2 cells per axis; a point
+        # lands in exactly one cell, so candidate pairs per point = zones
+        # sharing its cell, not all zones
+        stats = z.agg(
+            F.max(F.col("__xmax") - F.col("__xmin")).alias("w"),
+            F.max(F.col("__ymax") - F.col("__ymin")).alias("h"),
+        ).collect()[0]
+        cw = max(float(stats.w or 0.0), 1e-9)
+        ch = max(float(stats.h or 0.0), 1e-9)
+        zg = z.withColumn(
+            "__cx", F.explode(F.sequence(F.floor(F.col("__xmin") / cw), F.floor(F.col("__xmax") / cw)))
+        ).withColumn(
+            "__cy", F.explode(F.sequence(F.floor(F.col("__ymin") / ch), F.floor(F.col("__ymax") / ch)))
+        )
+        pcx, pcy = F.floor(px / cw), F.floor(py / ch)
+        joined = points.join(
+            F.broadcast(zg), (pcx == F.col("__cx")) & (pcy == F.col("__cy")) & cond, "left"
+        ).drop("__cx", "__cy")
+    else:
+        joined = points.join(F.broadcast(z), cond, "left")
     return joined.withColumn(out_col, F.col("__zone_val")).drop(
         "__zone_val", "__verts", "__xmin", "__xmax", "__ymin", "__ymax", "__zstart", "__zend"
     )

@@ -184,18 +184,21 @@ def tf_idf_top_terms(
     ln(N / doc-freq), ranked (score desc, term asc).
 
     All-native: explode → two counted aggregations → broadcast idf join →
-    window top-k. The idf table is vocabulary-sized (small) → broadcast."""
+    window top-k. The idf table is vocabulary-sized (small) → broadcast.
+    N (corpus size) is a one-row aggregate cross-joined into the idf branch —
+    part of the same plan, not a separate df.count() job."""
     from pyspark.sql import Window
 
     from data_rivers_spark.operators.dedup import words
 
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     tokens = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.log(F.col("__n_docs") / F.col("df")))
     )
     scored = tf.join(F.broadcast(idf.select("term", "idf")), "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 4)

@@ -393,13 +393,7 @@ def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(copies)
     cands = D.minhash_lsh_candidates(aug, "text", "doc_id")
-    texts = aug.select("doc_id", "text")
-    verified = (
-        cands.join(texts.withColumnsRenamed({"doc_id": "id_a", "text": "__ta"}), "id_a")
-        .join(texts.withColumnsRenamed({"doc_id": "id_b", "text": "__tb"}), "id_b")
-        .filter(D.jaccard_shingles(F.col("__ta"), F.col("__tb")) >= 0.7)
-        .select("id_a", "id_b")
-    )
+    verified = D.verify_pairs_jaccard(aug, cands, "text", "doc_id", 0.7)
     return D.dedup_by_components(aug, verified, "doc_id").select("doc_id")
 
 
@@ -513,3 +507,93 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("media_type"),
     )
     return M.media_stats(media)
+
+
+@query(
+    "q_corpus_prep",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '[0-9]', '0', 'g'),
+               '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), w AS (
+      SELECT doc_id, norm,
+             CASE WHEN TRIM(norm) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(norm), '\\s+') END AS ws
+      FROM norm
+    ), q AS (
+      SELECT doc_id, norm, ws, LEN(ws) AS n_words,
+             CASE WHEN LEN(norm) = 0 THEN 0
+                  ELSE LEN(REGEXP_REPLACE(norm, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / LEN(norm)
+             END AS punct_ratio
+      FROM w
+    ), filt AS (
+      SELECT * FROM q WHERE n_words >= 5 AND punct_ratio <= 0.25
+    ), r AS (
+      SELECT doc_id, norm, ws, n_words,
+        LEN(LIST_FILTER(ws, x -> x IN ('der','die','das','und','zu','in','ein','ist','von','mit')))*1.0/LEN(ws) AS r_de,
+        LEN(LIST_FILTER(ws, x -> x IN ('the','a','of','and','to','in','is','it','that','for')))*1.0/LEN(ws) AS r_en,
+        LEN(LIST_FILTER(ws, x -> x IN ('el','la','de','y','que','en','un','es','por','los')))*1.0/LEN(ws) AS r_es,
+        LEN(LIST_FILTER(ws, x -> x IN ('le','la','de','et','que','en','un','est','pour','les')))*1.0/LEN(ws) AS r_fr
+      FROM filt
+    ), lang AS (
+      SELECT doc_id, norm, ws, n_words,
+             CASE WHEN GREATEST(r_de, r_en, r_es, r_fr) = 0 THEN 'und'
+                  WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+                  WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+                  WHEN r_es >= r_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM r
+    ), kept AS (
+      SELECT * FROM lang WHERE lang_pred != 'und'
+    ), ded AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY norm
+    ), kept2 AS (
+      SELECT k.* FROM kept k JOIN ded USING (doc_id)
+    ), grams AS (
+      SELECT doc_id, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 4, 1))) AS i
+            FROM kept2)
+    ), bench AS (
+      SELECT DISTINCT ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+      FROM (SELECT ws, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 4, 1))) AS i
+            FROM w WHERE doc_id % 10 = 0 AND LEN(ws) > 0)
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+    )
+    SELECT doc_id, lang_pred, n_words AS n_tokens
+    FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus preparation pipeline — every stage is an
+    individually-oracled operator, composed end-to-end the way a real corpus
+    job runs them: normalize (lowercase/control-strip/digit-mask/ws-collapse)
+    → quality gate (≥5 words, punct ratio ≤ 0.25) → heuristic language-ID
+    (drop 'und') → exact dedup on normalized text (keep min doc_id) →
+    benchmark decontamination (5-gram overlap vs the doc_id%10==0 eval slice).
+
+    One shuffle per aggregation stage, language scoring and quality signals
+    are pure expressions on the already-normalized column, the benchmark
+    shingle side is broadcast — the composition adds no operator-level cost
+    beyond its stages."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    norm = TX.normalize_text(docs, "text", out_col="norm", mask_digits=True).drop("text")
+    q = TX.quality_features(norm, "norm")
+    filt = q.filter((F.col("q_n_words") >= 5) & (F.col("q_punct_ratio") <= 0.25))
+    lang = TX.detect_language(filt, "norm").filter(F.col("lang_pred") != "und")
+    keep = lang.join(
+        lang.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    bench = norm.filter((F.col("doc_id") % 10 == 0) & (F.trim(F.col("norm")) != ""))
+    flagged = TX.flag_contaminated(keep, bench, "norm", "doc_id", shingle_n=5)
+    return (
+        flagged.filter(~F.col("contaminated"))
+        .select("doc_id", "lang_pred", F.col("q_n_words").alias("n_tokens"))
+    )

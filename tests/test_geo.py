@@ -120,3 +120,34 @@ def test_multipolygon_with_hole_ring_count(spark):
     )
     #            part1     in hole     part2      gap
     assert got == [True, False, True, False]
+
+
+def test_revgeo_grid_equals_nested_loop(spark):
+    """The grid-cell equi-join prefilter must be a pure optimization: same
+    output as the nested-loop broadcast join on any zone table."""
+    from data_rivers_spark.operators.geo import revgeo_timebound_join
+
+    zones = spark.createDataFrame(
+        [
+            (f"z{i}", f"POLYGON(({2*i} 0, {2*i+2} 0, {2*i+2} 10, {2*i} 10, {2*i} 0))",
+             "2000-01-01", None if i % 2 == 0 else "2015-01-01")
+            for i in range(30)
+        ],
+        "zone string, geometry string, start_date string, end_date string",
+    ).selectExpr(
+        "zone", "geometry",
+        "CAST(start_date AS TIMESTAMP) AS start_date",
+        "CAST(end_date AS TIMESTAMP) AS end_date",
+    )
+    pts = spark.range(500).selectExpr(
+        "id",
+        "CAST(id % 65 AS DOUBLE) + 0.5 AS px",
+        "CAST(id % 11 AS DOUBLE) + 0.25 AS py",
+        "TIMESTAMP '2010-06-01' + INTERVAL '1' DAY * CAST(id % 4000 AS INT) AS d",
+    )
+    a = revgeo_timebound_join(pts, zones, "px", "py", "d", grid=False)
+    b = revgeo_timebound_join(pts, zones, "px", "py", "d", grid=True)
+    ra = {(r.id, r.zone) for r in a.collect()}
+    rb = {(r.id, r.zone) for r in b.collect()}
+    assert ra == rb
+    assert any(z is not None for _, z in ra) and any(z is None for _, z in ra)
