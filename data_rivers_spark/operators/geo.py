@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_rivers_spark.functions.geo import point_in_polygon, wkt_polygon_vertices
+from data_rivers_spark.session import fan_out
 
 
 def _prepared_zones(zones: DataFrame, wkt_col: str) -> DataFrame:
@@ -66,6 +67,10 @@ def revgeo_timebound_join(
     identical results — the grid only prefilters which (point, zone) pairs
     reach the exact predicate."""
     out_col = out_col or zone_col
+    # ray casting is the expensive per-row map; a single-split parquet scan
+    # would run it on one core — spread first (no-op once well-partitioned,
+    # so the 8-way multi_zone chain repartitions at most once)
+    points = fan_out(points)
     z = _prepared_zones(zones, wkt_col).select(
         F.col(zone_col).alias("__zone_val"),
         F.col("__verts"),
@@ -153,6 +158,7 @@ def city_limits_classify(
     ``exclusion_wkt``, identically."""
     from data_rivers_spark.functions.geo import point_in_wkt_geom
 
+    points = fan_out(points)  # ray cast per point — spread single-split scans
     in_city = point_in_wkt_geom(F.col(x_col), F.col(y_col), F.lit(city_wkt))
     outside = ~in_city
     if exclusion_wkt is not None:

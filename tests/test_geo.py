@@ -151,3 +151,18 @@ def test_revgeo_grid_equals_nested_loop(spark):
     rb = {(r.id, r.zone) for r in b.collect()}
     assert ra == rb
     assert any(z is not None for _, z in ra) and any(z is None for _, z in ra)
+
+
+def test_fan_out_spreads_only_underpartitioned(spark):
+    """fan_out repartitions a narrow input to defaultParallelism and leaves a
+    well-partitioned input untouched (the 100 TB no-op path)."""
+    from data_rivers_spark.session import fan_out
+
+    cpus = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    spread = fan_out(narrow)
+    assert spread.rdd.getNumPartitions() == cpus
+    assert spread.count() == 100
+
+    wide = spark.range(100).repartition(max(cpus, 2))
+    assert fan_out(wide) is wide
