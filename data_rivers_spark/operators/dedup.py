@@ -138,26 +138,36 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
     return minhash_signature_from_shingles(word_shingles(text, shingle_n), num_hashes)
 
 
-def _lsh_banded(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
-    shingle_n: int,
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, __set) — each doc's DISTINCT n-gram shingle set, built with the
+    codegen explode pipeline and ONE aggregation.
+
+    This is the shared upstream of the whole LSH pipeline: MinHash over
+    distinct shingles is identical to MinHash over all shingles (min is
+    duplicate-blind), and exact-Jaccard verification is defined on the same
+    sets — so signatures AND verification both derive from this frame, and
+    the tokenize+window pass runs once per corpus, not once per consumer.
+    The window inside word_shingle_rows already hash-partitions by id, so
+    the collect_set aggregation needs no second shuffle."""
+    return (
+        word_shingle_rows(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__set"))
+    )
+
+
+def _banded_from_sets(
+    sets: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band_idx, band_hash) rows — the shared front half of the LSH
-    pipeline (shingle → signature → banding), used by both candidate
-    generation and bucket-occupancy monitoring."""
+    """(id, band_idx, band_hash) rows from precomputed shingle sets."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # Explode + flat hash columns + min aggregation: higher-order functions
     # are CodegenFallback (interpreted, per-element allocations) — measured
     # ~8ms/doc for an aggregate()-based fold. This shape stays entirely in
-    # whole-stage codegen, and the groupBy collapses map-side (shingles of a
-    # doc are co-located), so the shuffle carries one signature row per doc.
-    shingle_rows = word_shingle_rows(df, text_col, id_col, shingle_n)
-    hashed = shingle_rows.select(
+    # whole-stage codegen, and because ``sets`` is already partitioned by id
+    # the explode → min-agg round trip is shuffle-free.
+    hashed = sets.select(id_col, F.explode("__set").alias("shingle")).select(
         id_col,
         *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
     )
@@ -173,6 +183,22 @@ def _lsh_banded(
     return sig_df.select(
         id_col,
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+
+
+def _lsh_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the shared front half of the LSH
+    pipeline (shingle → signature → banding), used by both candidate
+    generation and bucket-occupancy monitoring."""
+    return _banded_from_sets(
+        shingle_sets(df, text_col, id_col, shingle_n), id_col, num_hashes, bands
     )
 
 
@@ -204,6 +230,13 @@ def minhash_lsh_candidates(
     ``lsh_bucket_stats`` to monitor occupancy; ``bucket_cap=None``
     disables the cap."""
     banded = _lsh_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return _expand_buckets(banded, id_col, bucket_cap)
+
+
+def _expand_buckets(banded: DataFrame, id_col: str, bucket_cap: int | None) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from (id, band_idx, band_hash)
+    rows via bucket-local combinatoric expansion (see minhash_lsh_candidates
+    for the cap semantics)."""
     # bucket-group instead of self-join: a self-join would evaluate the
     # signature pipeline twice; grouping shuffles each (id, band) row once and
     # expands pairs inside the (small) bucket with array combinatorics
@@ -310,14 +343,42 @@ def minhash_lsh_dedup(
     is dropped if it pairs above threshold with ANY lower id) — the standard
     single-pass approximation of connected components; use
     ``dedup_by_components`` for the exact closure."""
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, bucket_cap
-    )
-    verified = verify_pairs_jaccard(
-        df, cands, text_col, id_col, threshold, flavor=verify, shingle_n=shingle_n
-    )
+    if verify == "shingle":
+        verified = minhash_lsh_verified_pairs(
+            df, text_col, id_col, threshold, num_hashes, bands, shingle_n, bucket_cap
+        )
+    else:
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_n, bucket_cap
+        )
+        verified = verify_pairs_jaccard(
+            df, cands, text_col, id_col, threshold, flavor=verify, shingle_n=shingle_n
+        )
     dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dupes, id_col, "left_anti")
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """Exact-Jaccard-verified near-dup pairs (id_a < id_b) with ONE tokenize
+    pass: signatures and verification both derive from the same
+    distinct-shingle-set frame (Spark's ReuseExchange then computes the
+    scan+explode+partial-agg once). Feed the result to the greedy min-id drop
+    (minhash_lsh_dedup) or to dedup_by_components for the exact closure."""
+    sets = shingle_sets(df, text_col, id_col, shingle_n)
+    banded = _banded_from_sets(sets, id_col, num_hashes, bands)
+    cands = _expand_buckets(banded, id_col, bucket_cap)
+    return verify_pairs_jaccard(
+        df, cands, text_col, id_col, threshold, shingle_n=shingle_n, sets=sets
+    )
 
 
 def verify_pairs_jaccard(
@@ -328,6 +389,7 @@ def verify_pairs_jaccard(
     threshold: float,
     flavor: str = "shingle",
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, set-join formulation:
     each doc's DISTINCT token/shingle set is built ONCE (codegen explode
@@ -340,19 +402,21 @@ def verify_pairs_jaccard(
     pair, while here tokenization cost is per-DOC and the per-pair step
     stays in codegen. Returns (id_a, id_b) pairs meeting the threshold.
 
+    ``sets`` accepts a precomputed (id, __set) frame (see shingle_sets) so a
+    pipeline that already built the sets for signatures doesn't tokenize the
+    corpus a second time.
+
     No empty-set guard is needed on the division: only docs with ≥1 token
     enter LSH buckets, so union ≥ 1 for every candidate pair."""
-    if flavor == "shingle":
-        elem_rows = word_shingle_rows(df, text_col, id_col, shingle_n)
-    else:
-        elem_rows = df.select(
-            F.col(id_col), F.explode(words(F.col(text_col))).alias("shingle")
-        )
-    sets = (
-        elem_rows.distinct()
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("__set"))
-    )
+    if sets is None:
+        if flavor == "shingle":
+            sets = shingle_sets(df, text_col, id_col, shingle_n)
+        else:
+            sets = (
+                df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("shingle"))
+                .groupBy(id_col)
+                .agg(F.collect_set("shingle").alias("__set"))
+            )
     return (
         pairs.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")), "id_a"

@@ -392,8 +392,7 @@ def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
     )
     aug = docs.unionByName(copies)
-    cands = D.minhash_lsh_candidates(aug, "text", "doc_id")
-    verified = D.verify_pairs_jaccard(aug, cands, "text", "doc_id", 0.7)
+    verified = D.minhash_lsh_verified_pairs(aug, "text", "doc_id", 0.7)
     return D.dedup_by_components(aug, verified, "doc_id").select("doc_id")
 
 
