@@ -1,0 +1,86 @@
+"""Deterministic sampling / splitting for corpus curation.
+
+A 100 TB training-data pipeline cannot use ``df.sample`` for anything that
+must be reproducible across runs, engines, or partitioning changes:
+``sample`` draws per-partition from a seeded RNG, so adding one file to the
+input reshuffles every draw. These operators key every decision off a stable
+content hash of a caller-chosen key column — the same row makes the same
+decision everywhere, the sample is a pure per-row filter (no shuffle, pushes
+below joins), and any engine with md5 can replicate it (the DuckDB oracles
+do exactly that).
+
+Hash choice: md5 rather than xxhash64 because the oracle side must reproduce
+it; we compare the first 8 hex chars as a STRING against a hex threshold —
+lexicographic order on fixed-width lowercase hex equals numeric order, so no
+engine-specific hex→int conversion is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8  # first 8 md5 hex chars ≈ uniform on [0, 16^8)
+
+
+def hash_bucket(key: Column, seed: int | str = 0) -> Column:
+    """Stable uniform 8-hex-char bucket for a key: substr(md5(seed ':' key), 1, 8)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8
+    )
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P[hash_bucket < t] = fraction."""
+    f = min(max(fraction, 0.0), 1.0)
+    return format(min(int(f * _HEX_SPACE), _HEX_SPACE - 1) if f < 1.0 else _HEX_SPACE - 1, "08x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int | str = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash of ``key_col``.
+
+    Pure per-row filter: no shuffle, no RNG state, stable under repartitioning
+    and engine changes. fraction >= 1 keeps everything; <= 0 keeps nothing."""
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
+    return df.filter(hash_bucket(F.col(key_col), seed) < F.lit(fraction_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int | str = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (downsample boilerplate-heavy sources, upweight scarce languages).
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed keep
+    ``default_fraction``. Same hash contract as deterministic_sample, so a
+    row's fate changes only if its stratum's fraction does."""
+    thr: Column = F.lit(fraction_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(fraction_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col), seed) < thr)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    seed: int | str = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'test' or 'train' by content hash — the leakage-safe
+    split: a document keeps its assignment across reruns and re-partitioning,
+    so no example ever migrates between train and eval sets."""
+    is_test = hash_bucket(F.col(key_col), seed) < F.lit(fraction_threshold(test_fraction))
+    return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))

@@ -39,6 +39,26 @@ def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-norm a double array; zero vectors pass through unchanged (rather
+    than NaN-ing) so downstream dot products stay well-defined."""
+    n = norm(vec)
+    return F.when(n == 0, vec).otherwise(F.transform(vec, lambda x: x / n))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization: struct(codes array<int>, scale double)
+    with codes = round(x / scale) and scale = max|x| / 127 — the standard
+    4×-compression step before shipping embeddings to an ANN index. A zero
+    vector gets scale 0 and all-zero codes. Dequantize as code * scale."""
+    absmax = F.array_max(F.transform(vec, F.abs))
+    scale = absmax / F.lit(127.0)
+    codes = F.when(
+        absmax == 0, F.transform(vec, lambda x: (x * 0).cast("int"))
+    ).otherwise(F.transform(vec, lambda x: F.round(x / scale, 0).cast("int")))
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -209,3 +209,87 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def quantile_trim(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    low: float = 0.0,
+    high: float = 1.0,
+) -> DataFrame:
+    """Keep rows whose percent_rank on ``score_col`` falls in [low, high]
+    within each group — the per-language quality trim ("drop the bottom 10%
+    by quality score per language") that keeps a multilingual corpus from
+    being filtered on one language's score distribution.
+
+    percent_rank (not a float quantile threshold) makes the cut
+    integer-deterministic: ties share a rank, and the (score, id) ordering
+    breaks them reproducibly, so engines agree on exactly which rows survive.
+
+    Scale note: an exact per-group rank is a per-group sort. Groups here are
+    languages (dozens), so each group's sort distributes over its hash
+    partitions. For trims on high-cardinality groups or where approximation
+    is fine, compute approx_percentile thresholds per group and
+    broadcast-join them instead — that form is one aggregation + a map-side
+    filter, no full sort."""
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    w = part.orderBy(F.asc(score_col), F.asc(id_col))
+    pr = F.percent_rank().over(w)
+    return (
+        df.withColumn("__pr", pr)
+        .filter((F.col("__pr") >= low) & (F.col("__pr") <= high))
+        .drop("__pr")
+    )
+
+
+def sequential_pack(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str,
+    budget: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget chunks by running total — the
+    concat-then-chunk packing step of LLM pretraining (documents are
+    concatenated in a stable order and split every ``budget`` tokens; the
+    chunk index says which context window a document starts in).
+
+    chunk_idx = floor((cumsum(tokens) - tokens) / budget) over (group, id)
+    order: pure integer window arithmetic, reproducible on any engine.
+
+    Scale note: the cumulative sum is a per-group sorted window, so packing
+    an entire 100 TB corpus as ONE group would serialize; real pipelines pack
+    within natural shards (language × source × date, or an explicit
+    hash-bucket column) — pass that as ``group_col``. Chunks never span
+    groups, which is also what you want semantically (no cross-language
+    context windows)."""
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    w = part.orderBy(F.asc(id_col))
+    start = F.sum(F.col(token_count_col)).over(w) - F.col(token_count_col)
+    return df.withColumn("chunk_idx", F.floor(start / F.lit(budget)))
+
+
+def corpus_report(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group corpus profile: document count, token totals, length
+    distribution buckets — the health dashboard run before and after every
+    curation step. One pass, all map-side-combinable aggregates."""
+    n_tok = token_count_ws(F.col(text_col))
+    n_chr = F.length(F.col(text_col))
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 2).alias("avg_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+        F.round(F.avg(n_chr), 2).alias("avg_chars"),
+        F.sum(F.when(n_chr < 200, 1).otherwise(0)).alias("n_short"),
+        F.sum(F.when((n_chr >= 200) & (n_chr < 1000), 1).otherwise(0)).alias("n_mid"),
+        F.sum(F.when(n_chr >= 1000, 1).otherwise(0)).alias("n_long"),
+    )

@@ -596,3 +596,167 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.filter(~F.col("contaminated"))
         .select("doc_id", "lang_pred", F.col("q_n_words").alias("n_tokens"))
     )
+
+
+# --- corpus curation: deterministic sampling / splitting / trimming / packing
+
+_TOK_WS_SQL = (
+    "CASE WHEN TRIM(text) = '' THEN 0 "
+    "ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END"
+)
+
+
+@query(
+    "q_deterministic_sample",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling at 20% (seed 42): a pure per-row filter that is
+    reproducible across runs, engines, and repartitioning — unlike df.sample,
+    whose per-partition RNG reshuffles every draw when the input layout
+    changes. The oracle reproduces the exact same md5-prefix decision."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SA.deterministic_sample(t["documents"], "doc_id", 0.2, seed=42).select("doc_id")
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE SUBSTR(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN lang = 'en' THEN '19999999'
+               WHEN lang = 'de' THEN '80000000'
+               ELSE '40000000' END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus remixing by per-stratum rates: downsample dominant English to
+    10%, upweight German to 50%, default 25% — the language-rebalancing step
+    of multilingual corpus curation, as a shuffle-free per-row filter."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SA.stratified_sample(
+        t["documents"], "doc_id", "lang", {"en": 0.1, "de": 0.5}, seed=7,
+        default_fraction=0.25,
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '19999999'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/10 split: assignment is a content hash, so a document
+    can never migrate between train and eval across reruns."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SA.train_test_split(t["documents"], "doc_id", 0.1, seed="split").select(
+        "doc_id", "split"
+    )
+
+
+@query(
+    "q_quality_trim",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_TOK_WS_SQL} AS n_tok FROM documents
+    )
+    SELECT doc_id, lang, n_tok FROM (
+      SELECT *, PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS pr
+      FROM scored
+    ) WHERE pr >= 0.1
+    """,
+)
+def q_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality trim: drop the bottom 10% of each language by
+    token count. percent_rank keeps the cut integer-deterministic (ties and
+    ordering resolve identically on any engine), unlike a float quantile
+    threshold whose boundary comparisons can flip."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t["documents"].select(
+        "doc_id", "lang", TX.token_count_ws(F.col("text")).alias("n_tok")
+    )
+    return TX.quantile_trim(scored, "n_tok", "doc_id", "lang", low=0.1)
+
+
+@query(
+    "q_corpus_report",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tok), 2) AS avg_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           ROUND(AVG(n_chr), 2) AS avg_chars,
+           CAST(SUM(CASE WHEN n_chr < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN n_chr >= 200 AND n_chr < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+           CAST(SUM(CASE WHEN n_chr >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+    FROM (SELECT lang, {_TOK_WS_SQL} AS n_tok, LENGTH(text) AS n_chr FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus health profile (doc counts, token totals, length
+    buckets) — one pass, every aggregate map-side-combinable."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return TX.corpus_report(t["documents"], "text", "lang")
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOK_WS_SQL} AS n_tok FROM documents
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_tok) / 512.0) AS BIGINT) AS chunk_idx
+    FROM toks
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign each document to the
+    512-token context window its text starts in, packing per language in
+    doc_id order (chunks never span languages)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "doc_id", "lang", TX.token_count_ws(F.col("text")).alias("n_tok")
+    )
+    return TX.sequential_pack(toks, "n_tok", "doc_id", 512, "lang")
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           LIST_TRANSFORM(embedding::DOUBLE[],
+                          x -> CAST(ROUND(x / (LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) / 127.0), 0) AS INT)) AS codes,
+           ROUND(LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) / 127.0, 6) AS scale
+    FROM embeddings
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (codes +
+    per-vector scale) — the 4× compression step before shipping vectors to an
+    ANN index. Both engines compute max|x|/127 on the same float32→double
+    widening, so codes round identically."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = S.quantize_int8(S._as_double(F.col("embedding")))
+    return t["embeddings"].select(
+        "vec_id",
+        q["codes"].alias("codes"),
+        F.round(q["scale"], 6).alias("scale"),
+    )

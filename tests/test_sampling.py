@@ -1,0 +1,120 @@
+"""Corpus-curation operators: deterministic sampling, trim, packing, quantize."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators import sampling as SA
+from data_rivers_spark.operators import similarity as S
+from data_rivers_spark.operators import textstats as TX
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r.k for r in SA.deterministic_sample(df, "k", 0.3, seed=1).collect()}
+    b = {
+        r.k
+        for r in SA.deterministic_sample(df.repartition(13), "k", 0.3, seed=1).collect()
+    }
+    assert a == b
+    # roughly 30% (md5 is uniform; 2000 draws → generous bounds)
+    assert 0.24 < len(a) / 2000 < 0.36
+
+
+def test_deterministic_sample_edges(spark):
+    df = spark.range(50).withColumnRenamed("id", "k")
+    assert SA.deterministic_sample(df, "k", 1.0).count() == 50
+    assert SA.deterministic_sample(df, "k", 0.0).count() == 0
+    # different seeds draw different subsets
+    a = {r.k for r in SA.deterministic_sample(df, "k", 0.5, seed=1).collect()}
+    b = {r.k for r in SA.deterministic_sample(df, "k", 0.5, seed=2).collect()}
+    assert a != b
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    out = SA.stratified_sample(df, "k", "s", {"0": 1.0, "1": 0.0}, default_fraction=0.5)
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("0") == 1000
+    assert "1" not in counts
+    assert 400 < counts.get("2", 0) < 600
+
+
+def test_train_test_split_partition_and_nesting(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = SA.train_test_split(df, "k", 0.2, seed="s")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 1000
+    assert 120 < counts["test"] < 280
+    # a smaller test fraction must select a SUBSET of the larger one (same
+    # seed): thresholds nest, so shrinking eval never swaps examples in
+    small = {
+        r.k for r in SA.train_test_split(df, "k", 0.05, seed="s").collect() if r.split == "test"
+    }
+    big = {
+        r.k for r in SA.train_test_split(df, "k", 0.2, seed="s").collect() if r.split == "test"
+    }
+    assert small <= big
+
+
+def test_quantile_trim_bounds(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("score"),
+    )
+    out = TX.quantile_trim(df, "score", "k", "g", low=0.1, high=0.9)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # 50 per group; percent_rank in [0.1, 0.9] keeps ranks 5..45 inclusive of
+    # boundaries that land exactly on the grid: (r-1)/49 in [0.1, 0.9]
+    assert counts[0] == counts[1]
+    assert 38 <= counts[0] <= 42
+
+
+def test_sequential_pack_invariants(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 7 + 1).alias("tok"),
+    )
+    out = TX.sequential_pack(df, "tok", "k", budget=10, group_col="g").collect()
+    by_group: dict = {}
+    for r in sorted(out, key=lambda r: (r.g, r.k)):
+        by_group.setdefault(r.g, []).append(r)
+    for rows in by_group.values():
+        # chunk_idx is nondecreasing in id order and starts at 0
+        idxs = [r.chunk_idx for r in rows]
+        assert idxs[0] == 0
+        assert all(a <= b for a, b in zip(idxs, idxs[1:]))
+        # each doc's chunk = its start offset // budget
+        run = 0
+        for r in rows:
+            assert r.chunk_idx == run // 10
+            run += r.tok
+
+
+def test_quantize_int8_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "id int, v array<double>",
+    )
+    q = S.quantize_int8(F.col("v"))
+    rows = {
+        r.id: r
+        for r in df.select("id", q["codes"].alias("c"), q["scale"].alias("s")).collect()
+    }
+    # max|x| maps to ±127 exactly; dequant error ≤ scale/2
+    assert rows[1].c == [64, -127, 32]
+    for orig, code in zip([0.5, -1.0, 0.25], rows[1].c):
+        assert abs(code * rows[1].s - orig) <= rows[1].s / 2 + 1e-12
+    assert rows[2].c == [0, 0, 0] and rows[2].s == 0.0
+    assert rows[3].c == [127]
+
+
+def test_l2_normalize(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id int, v array<double>")
+    out = {r.id: r.n for r in df.select("id", S.l2_normalize(F.col("v")).alias("n")).collect()}
+    assert abs(out[1][0] - 0.6) < 1e-12 and abs(out[1][1] - 0.8) < 1e-12
+    assert out[2] == [0.0, 0.0]
