@@ -460,3 +460,76 @@ def test_read_jdbc_wires_options(spark, monkeypatch):
     assert recorded["format"] == "jdbc"
     assert recorded["dbtable"] == "t" and recorded["fetchsize"] == "500"
     assert recorded["loaded"]
+
+
+def test_overwrite_partitions_links_untouched(spark, tmp_path):
+    """Partition-scoped overwrite rewrites only the batch's partitions; the
+    rest of the table is hard-linked (same inode) into the new version —
+    O(batch) IO with snapshot isolation intact."""
+    import os
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"), keep_versions=5)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id int, part string, val int",
+    )
+    cat.create_or_replace(base, "t", partition_by=["part"])
+
+    batch = spark.createDataFrame([(3, "b", 99), (5, "b", 50)], "id int, part string, val int")
+    cat.overwrite_partitions("t", batch, ["part"])
+
+    rows = {(r.id, r.part, r.val) for r in cat.read("t").collect()}
+    assert rows == {(1, "a", 10), (2, "a", 20), (3, "b", 99), (5, "b", 50), (4, "c", 40)}
+    # old version still readable (time travel) with pre-overwrite content
+    v1 = {(r.id, r.val) for r in cat.read("t", version=1).collect()}
+    assert (3, 30) in v1 and (5, 50) not in v1
+    # untouched partitions share inodes with v1 (linked, not rewritten)
+    def inodes(version, part):
+        d = os.path.join(str(tmp_path / "wh"), "t", f"v{version}", f"part={part}")
+        return {os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
+
+    assert inodes(2, "a") == inodes(1, "a")
+    assert inodes(2, "c") == inodes(1, "c")
+    assert inodes(2, "b").isdisjoint(inodes(1, "b"))
+
+
+def test_merge_upsert_partitioned_prunes_and_merges(spark, tmp_path):
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"), keep_versions=5)
+    base = spark.createDataFrame(
+        [(1, "d1", "old", 1), (2, "d1", "old", 1), (3, "d2", "old", 1)],
+        "id int, day string, status string, seq int",
+    )
+    cat.create_or_replace(base, "m", partition_by=["day"])
+    incoming = spark.createDataFrame(
+        [(1, "d1", "new", 2), (9, "d1", "new", 1)],
+        "id int, day string, status string, seq int",
+    )
+    cat.merge_upsert_partitioned("m", incoming, "id", ["status", "seq"], ["seq"], ["day"])
+    rows = {(r.id, r.day, r.status) for r in cat.read("m").collect()}
+    assert rows == {
+        (1, "d1", "new"), (2, "d1", "old"), (9, "d1", "new"), (3, "d2", "old"),
+    }
+    # d2 was never read or rewritten: inode unchanged from v1
+    import os
+
+    def inodes(version, day):
+        d = os.path.join(str(tmp_path / "wh"), "m", f"v{version}", f"day={day}")
+        return {os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
+
+    assert inodes(2, "d2") == inodes(1, "d2")
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    import os
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(10000).repartition(64)  # 64 tiny files
+    cat.create_or_replace(df, "c")
+    v1 = os.path.join(str(tmp_path / "wh"), "c", "v1")
+    n_before = sum(1 for f in os.listdir(v1) if f.endswith(".parquet"))
+    assert n_before == 64
+    cat.compact("c")
+    v2 = os.path.join(str(tmp_path / "wh"), "c", "v2")
+    n_after = sum(1 for f in os.listdir(v2) if f.endswith(".parquet"))
+    assert n_after < 8
+    assert cat.read("c").count() == 10000
