@@ -62,8 +62,40 @@ def windowed_event_counts(
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon: dropDuplicates over
     a stream — the streaming twin of the defensive-DISTINCT posture
-    (qalert_airflow.py:110-113)."""
+    (qalert_airflow.py:110-113).
+
+    SCALE WARNING: with the dedup subset not containing the event-time
+    column, dropDuplicates state is NEVER evicted by the watermark — key
+    state grows without bound on an unbounded stream. Use
+    ``streaming_dedup_within_watermark`` for long-running jobs; this exact
+    form matches batch DISTINCT semantics and suits bounded replays."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
+    key's state only for the watermark window, so state size tracks the
+    duplicate-arrival horizon (bounded) instead of total distinct keys
+    (unbounded). The contract weakens accordingly — a duplicate arriving
+    later than the watermark delay after the first sighting is re-emitted —
+    which is the right trade for at-least-once sources whose retries cluster
+    within minutes."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small, broadcast) static dimension — the streaming twin of the
+    crosswalk/zone enrichment joins. The static side is re-resolved per
+    batch, so swapping the managed table's version between batches is picked
+    up without restarting the query; no stream state is kept."""
+    return events.join(F.broadcast(dim), on, how)
 
 
 def latest_state_per_user(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

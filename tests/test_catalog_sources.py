@@ -533,3 +533,87 @@ def test_compact_reduces_file_count(spark, tmp_path):
     n_after = sum(1 for f in os.listdir(v2) if f.endswith(".parquet"))
     assert n_after < 8
     assert cat.read("c").count() == 10000
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state dedup drops in-horizon duplicates; distinct ids pass."""
+    from data_rivers_spark.streaming.events import (
+        read_events_stream,
+        streaming_dedup_within_watermark,
+        write_stream_to_parquet,
+    )
+
+    src = tmp_path / "ddw_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": "2024-01-01T00:11:00.000Z", "user_id": 1, "event_type": "a_dup", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:12:00.000Z", "user_id": 2, "event_type": "b", "value": 2.0, "props": "{}"},
+    ]
+    (src / "p1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = read_events_stream(spark, str(src))
+    deduped = streaming_dedup_within_watermark(stream, "1 hour")
+    out = tmp_path / "ddw_out"
+    q = write_stream_to_parquet(deduped, str(out), str(tmp_path / "ddw_ck"))
+    q.awaitTermination(60)
+    got = sorted((r.event_id, r.event_type) for r in spark.read.parquet(str(out)).collect())
+    assert [e for e, _ in got] == [1, 2]
+    assert got[0][1] == "a"  # first sighting wins
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from data_rivers_spark.streaming.events import (
+        read_events_stream,
+        stream_static_enrich,
+        write_stream_to_parquet,
+    )
+
+    src = tmp_path / "sse_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 10, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:12:00.000Z", "user_id": 99, "event_type": "b", "value": 2.0, "props": "{}"},
+    ]
+    (src / "p1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    dim = spark.createDataFrame([(10, "gold")], "user_id long, tier string")
+    enriched = stream_static_enrich(read_events_stream(spark, str(src)), dim, "user_id")
+    out = tmp_path / "sse_out"
+    q = write_stream_to_parquet(enriched, str(out), str(tmp_path / "sse_ck"))
+    q.awaitTermination(60)
+    got = {(r.event_id, r.tier) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {(1, "gold"), (2, None)}
+
+
+def test_csv_read_quarantine_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_rivers_spark.sources.csv_io import read_csv, split_quarantine, write_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alice,10.5\n"
+        "2,bob,not_a_number\n"
+        "3,carol,7.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema)
+    clean, bad = split_quarantine(df)
+    assert {(r.id, r.amount) for r in clean.collect()} == {(1, 10.5), (3, 7.25)}
+    badrow = bad.first()
+    assert bad.count() == 1 and "not_a_number" in badrow["_corrupt_record"]
+    assert badrow.id == 2  # partial cast preserved for triage
+
+    # writer JSON-encodes nested columns so the feed stays flat
+    out_df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"])], "id int, tags array<string>"
+    )
+    write_csv(out_df, str(tmp_path / "out_csv"))
+    back = spark.read.option("header", "true").csv(str(tmp_path / "out_csv"))
+    assert {r.tags for r in back.collect()} == {'["a","b"]', '["c"]'}
