@@ -233,10 +233,20 @@ def minhash_lsh_candidates(
     return _expand_buckets(banded, id_col, bucket_cap)
 
 
-def _expand_buckets(banded: DataFrame, id_col: str, bucket_cap: int | None) -> DataFrame:
+def _expand_buckets(
+    banded: DataFrame,
+    id_col: str,
+    bucket_cap: int | None,
+    min_id_b: int | None = None,
+) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs from (id, band_idx, band_hash)
     rows via bucket-local combinatoric expansion (see minhash_lsh_candidates
-    for the cap semantics)."""
+    for the cap semantics).
+
+    ``min_id_b`` restricts the GREATER side of each pair: only pairs with
+    id_b >= min_id_b are emitted. The incremental path uses this to skip
+    master-vs-master pairs entirely — a bucket holding only master ids emits
+    nothing, inside the same codegen expression."""
     # bucket-group instead of self-join: a self-join would evaluate the
     # signature pipeline twice; grouping shuffles each (id, band) row once and
     # expands pairs inside the (small) bucket with array combinatorics
@@ -253,11 +263,17 @@ def _expand_buckets(banded: DataFrame, id_col: str, bucket_cap: int | None) -> D
             F.array(F.array_min(ids))
         )
     )
+    def b_ok(b, a):
+        cond = b > a
+        if min_id_b is not None:
+            cond = cond & (b >= F.lit(min_id_b))
+        return cond
+
     pair_structs = F.flatten(
         F.transform(
             outer,
             lambda a: F.transform(
-                F.filter(ids, lambda b: b > a),
+                F.filter(ids, lambda b: b_ok(b, a)),
                 lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
             ),
         )
@@ -379,6 +395,76 @@ def minhash_lsh_verified_pairs(
     return verify_pairs_jaccard(
         df, cands, text_col, id_col, threshold, shingle_n=shingle_n, sets=sets
     )
+
+
+def incremental_lsh_dedup(
+    batch: DataFrame,
+    master_docs: DataFrame | None,
+    master_banded: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    bucket_cap: int = 1000,
+    batch_min_id: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new batch against BOTH itself and an already-deduped corpus
+    without re-mining the corpus — the shape a 100 TB pipeline actually runs
+    daily. The corpus contributes only its persisted banded signature rows
+    (id, band_idx, band_hash — what ``minhash_lsh_verified_pairs`` builds
+    internally); its text is touched ONLY for the handful of docs that share
+    a bucket with a batch doc, via a semi-join.
+
+    Returns ``(survivors, survivor_banded)``: the batch rows that are not
+    near-dups of the corpus or of a lower-id batch doc, plus their banded
+    signature rows to append to the store for the next batch.
+
+    Contract: batch ids are strictly greater than every master id (natural
+    for monotonically-assigned doc ids). The greater-side cutoff then prunes
+    master-vs-master pairs inside the bucket expansion — a bucket holding
+    only corpus docs emits zero candidates, so per-batch cost scales with
+    the batch, not the corpus.
+
+    Semantics note: the batch is compared against the CANONICAL corpus (its
+    survivors). A batch doc that duplicates a document the corpus previously
+    *dropped* — but not that document's kept representative — is admitted.
+    That is the standard dedup-against-index behavior; if full-history
+    matching is needed, keep dropped docs' signatures in the store too.
+
+    Determinism: signatures are seeded xxhash64 (no RNG), so signature rows
+    computed in an earlier run collide correctly with rows computed today —
+    nothing needs re-hashing as the store grows."""
+    if batch_min_id is None:
+        row = batch.agg(F.min(F.col(id_col))).first()
+        batch_min_id = row[0] if row and row[0] is not None else 0
+    sets_b = shingle_sets(batch, text_col, id_col, shingle_n)
+    banded_b = _banded_from_sets(sets_b, id_col, num_hashes, bands)
+    all_banded = (
+        banded_b
+        if master_banded is None
+        else banded_b.unionByName(master_banded)
+    )
+    cands = _expand_buckets(all_banded, id_col, bucket_cap, min_id_b=batch_min_id)
+    # tokenize only the corpus docs that actually share a bucket with the
+    # batch (candidate id_a below the cutoff) — a semi-join-sized read
+    sets = sets_b
+    if master_docs is not None:
+        hit_ids = (
+            cands.filter(F.col("id_a") < F.lit(batch_min_id))
+            .select(F.col("id_a").alias(id_col))
+            .distinct()
+        )
+        hit_docs = master_docs.join(hit_ids, id_col, "left_semi")
+        sets = sets_b.unionByName(shingle_sets(hit_docs, text_col, id_col, shingle_n))
+    verified = verify_pairs_jaccard(
+        batch, cands, text_col, id_col, threshold, shingle_n=shingle_n, sets=sets
+    )
+    dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch.join(dupes, id_col, "left_anti")
+    survivor_banded = banded_b.join(dupes, id_col, "left_anti")
+    return survivors, survivor_banded
 
 
 def verify_pairs_jaccard(

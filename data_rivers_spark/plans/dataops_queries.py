@@ -760,3 +760,75 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["codes"].alias("codes"),
         F.round(q["scale"], 6).alias("scale"),
     )
+
+
+@query(
+    "q_incremental_dedup",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ), b2 AS (
+      SELECT doc_id + 100000 AS doc_id, REGEXP_REPLACE(text, '^\\S+\\s*', '') AS text
+      FROM b1 WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id >= 250
+    ), alldocs AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM alldocs WHERE TRIM(text) != ''
+    ), w AS (
+      SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+              FROM toks)
+      ) GROUP BY doc_id
+    ), p1 AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id AND b.doc_id < 250
+      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+    ), canon AS (
+      SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT id_b FROM p1)
+    ), p2 AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM w a JOIN w b
+        ON a.doc_id < b.doc_id AND b.doc_id >= 100000
+       AND (a.doc_id >= 100000 OR a.doc_id IN (SELECT doc_id FROM canon))
+      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+    )
+    SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_b FROM p2)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup against a persisted signature store: batch 1
+    (doc_id < 250) bootstraps the canonical corpus; batch 2 (word-dropped
+    copies of every 7th batch-1 doc + the genuinely new doc_id ≥ 250 docs,
+    ids shifted +100000) dedups against the corpus's SIGNATURES only —
+    corpus text is re-read just for bucket-hit docs via a semi-join.
+
+    Oracle = the same two-phase semantics in exact all-pairs SQL: greedy
+    min-id dedup of batch 1, then batch-2 docs dropped iff they pair ≥ 0.7
+    with a canonical corpus doc or a lower-id batch-2 doc. LSH recall is
+    100% on this corpus (bimodal similarity — see q_minhash_lsh_dedup)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    surv1, banded1 = D.incremental_lsh_dedup(
+        b1, None, None, "text", "doc_id", threshold=0.7
+    )
+    copies = (
+        b1.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    novel = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    batch2 = copies.unionByName(novel)
+    surv2, _ = D.incremental_lsh_dedup(
+        batch2, surv1, banded1, "text", "doc_id", threshold=0.7
+    )
+    return surv2.select("doc_id")

@@ -205,3 +205,63 @@ def test_flag_contaminated(spark):
     out = {r.doc_id: r.contaminated for r in
            TX.flag_contaminated(docs, bench, "text", "doc_id").collect()}
     assert out == {1: True, 2: False, 3: True}
+
+
+def test_incremental_lsh_dedup_two_batches(spark, sf_dir):
+    """Batch 2 dedups against batch 1's signature store without re-reading
+    batch 1 (except the bucket-hit semi-join): corpus dups drop, internal
+    dups drop, novel docs survive; surviving signatures append cleanly."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+
+    # batch 1 bootstraps the store (no master yet) — identical to batch dedup
+    surv1, banded1 = D.incremental_lsh_dedup(
+        docs, None, None, "text", "doc_id", threshold=0.7
+    )
+    batch_mode = {
+        r.doc_id for r in D.minhash_lsh_dedup(docs, "text", "doc_id", 0.7).collect()
+    }
+    surv1_ids = {r.doc_id for r in surv1.collect()}
+    assert surv1_ids == batch_mode
+    docs = docs.join(surv1.select("doc_id"), "doc_id", "left_semi")  # canonical corpus
+
+    # batch 2: near-copies of batch-1 docs (drop first word), one internal
+    # dup pair, and untouched novel docs (ids shifted past batch 1's)
+    corpus_dups = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    novel = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
+    ).withColumn("doc_id", F.col("doc_id") + 10_000)
+    internal_dup = novel.limit(1).withColumn("doc_id", F.col("doc_id") + 5_000)
+    batch2 = corpus_dups.unionByName(novel).unionByName(internal_dup)
+
+    surv2, banded2 = D.incremental_lsh_dedup(
+        batch2, docs, banded1, "text", "doc_id", threshold=0.7
+    )
+    got = {r.doc_id for r in surv2.collect()}
+    assert not ({r.doc_id for r in corpus_dups.collect()} & got)  # corpus dups dropped
+    assert {r.doc_id for r in novel.collect()} <= got  # novel docs kept
+    assert not ({r.doc_id for r in internal_dup.collect()} & got)  # internal dup dropped
+    # surviving signatures cover exactly the survivors
+    assert {r.doc_id for r in banded2.select("doc_id").distinct().collect()} == got
+
+
+def test_incremental_lsh_no_master_master_candidates(spark, sf_dir):
+    """Buckets holding only corpus ids emit nothing: candidate id_b is always
+    a batch id, so per-batch cost tracks the batch, not the corpus."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    _, banded = D.incremental_lsh_dedup(docs, None, None, "text", "doc_id")
+    batch = (
+        docs.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    sets_b = D.shingle_sets(batch, "text", "doc_id")
+    banded_b = D._banded_from_sets(sets_b, "doc_id", 32, 8)
+    cands = D._expand_buckets(
+        banded_b.unionByName(banded), "doc_id", 1000, min_id_b=10_000
+    )
+    rows = cands.collect()
+    assert all(r.id_b >= 10_000 for r in rows)
+    assert len(rows) > 0  # the exact copies do collide with their originals
