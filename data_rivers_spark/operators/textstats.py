@@ -293,3 +293,156 @@ def corpus_report(
         F.sum(F.when((n_chr >= 200) & (n_chr < 1000), 1).otherwise(0)).alias("n_mid"),
         F.sum(F.when(n_chr >= 1000, 1).otherwise(0)).alias("n_long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher rules)
+# ---------------------------------------------------------------------------
+
+
+def line_repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Per-document duplicate-line statistics — the Gopher repetition rules
+    over lines (Rae et al. 2021, table A1; also Dolma's gopher tagger):
+
+    - ``dup_line_frac``   — fraction of lines that are repeats of an earlier
+      line: (n_lines - n_distinct_lines) / n_lines.
+    - ``dup_line_char_frac`` — fraction of line characters inside lines that
+      occur more than once (ALL occurrences counted, per the reference
+      implementations).
+
+    Shape: explode lines → count per (id, line) → re-aggregate per id. Both
+    aggregations are map-side combinable and key on (id[, line]), so the
+    work distributes evenly at any corpus size — no per-doc quadratic array
+    scan (an O(lines²) higher-order-function form would be interpreted and
+    per-doc serial).
+
+    Docs with no separator are a single line (dup fractions 0.0) — mirrors
+    ``split()`` semantics on both engines.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("__line")
+    )
+    per_line = ex.groupBy(id_col, "__line").agg(F.count(F.lit(1)).alias("__cnt"))
+    chars = F.length(F.col("__line")) * F.col("__cnt")
+    n_lines = F.sum("__cnt")
+    return per_line.groupBy(id_col).agg(
+        n_lines.alias("n_lines"),
+        ((n_lines - F.count(F.lit(1))).cast("double") / n_lines).alias(
+            "dup_line_frac"
+        ),
+        (
+            F.sum(F.when(F.col("__cnt") > 1, chars).otherwise(F.lit(0))).cast("double")
+            / F.greatest(F.sum(chars), F.lit(1))
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def _doc_norm_chars(text: Column) -> Column:
+    """Character count of the whitespace-normalized lowercased doc — the
+    denominator all n-gram char fractions share (LEN(ARRAY_TO_STRING(ws)) in
+    the DuckDB oracle)."""
+    return F.length(F.concat_ws(" ", words(text)))
+
+
+def top_ngram_char_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, out_col: str | None = None
+) -> DataFrame:
+    """Fraction of (normalized) document characters covered by the single
+    most frequent word n-gram: count * len(gram) / norm_chars — Gopher's
+    "top n-gram" rule (applied at n=2,3,4 with thresholds 0.20/0.18/0.16).
+
+    Ties break on the lexicographically greatest gram via max(struct(cnt,
+    gram)) — deterministic and identical to the oracle's ORDER BY cnt DESC,
+    gram DESC. The per-(id, gram) count and the per-id argmax are both
+    hash-aggregates with map-side combine; nothing is quadratic."""
+    out = out_col or f"top_{n}gram_char_frac"
+    from data_rivers_spark.operators.dedup import word_shingle_rows
+
+    totals = df.select(
+        F.col(id_col), _doc_norm_chars(F.col(text_col)).alias("__norm_chars")
+    )
+    counts = (
+        word_shingle_rows(df, text_col, id_col, n)
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    best = counts.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__cnt"), F.col("shingle"))).alias("__best")
+    )
+    return totals.join(best, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("__norm_chars") == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("__best.__cnt") * F.length(F.col("__best.shingle"))).cast("double")
+            / F.col("__norm_chars")
+        )
+        .alias(out),
+    )
+
+
+def dup_ngram_char_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, out_col: str | None = None
+) -> DataFrame:
+    """Fraction of (normalized) document characters inside word n-grams that
+    occur more than once: sum over duplicated grams of count * len(gram) /
+    norm_chars — Gopher's "duplicate n-gram" rule (n=5..10, thresholds
+    0.15..0.10). Like the reference implementations this counts every
+    occurrence of a duplicated gram and does not de-overlap character spans
+    (the exact covered-character version needs per-doc interval union; the
+    approximation is the published, comparable one).
+
+    Same two hash-aggregate shape as ``top_ngram_char_fraction``."""
+    out = out_col or f"dup_{n}gram_char_frac"
+    from data_rivers_spark.operators.dedup import word_shingle_rows
+
+    totals = df.select(
+        F.col(id_col), _doc_norm_chars(F.col(text_col)).alias("__norm_chars")
+    )
+    dup_chars = (
+        word_shingle_rows(df, text_col, id_col, n)
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > 1)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__cnt") * F.length(F.col("shingle"))).alias("__dup_chars"))
+    )
+    return totals.join(dup_chars, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("__norm_chars") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce(F.col("__dup_chars"), F.lit(0)).cast("double")
+            / F.col("__norm_chars")
+        )
+        .alias(out),
+    )
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_2gram_char_frac: float = 0.20,
+    max_dup_5gram_char_frac: float = 0.15,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Compose the Gopher repetition rules into one per-document ``keep``
+    verdict (all feature columns retained for audit). Each feature is an
+    independent explode→agg pipeline joined back on id — at corpus scale the
+    joins are co-partitioned on the id hash, so AQE coalesces them without
+    extra exchanges."""
+    feats = (
+        line_repetition_stats(df, text_col, id_col, sep=line_sep)
+        .join(top_ngram_char_fraction(df, text_col, id_col, 2), id_col)
+        .join(dup_ngram_char_fraction(df, text_col, id_col, 5), id_col)
+    )
+    keep = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac)
+        & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
+    )
+    return feats.withColumn("keep", keep)

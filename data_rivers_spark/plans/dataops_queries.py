@@ -832,3 +832,186 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch2, surv1, banded1, "text", "doc_id", threshold=0.7
     )
     return surv2.select("doc_id")
+
+
+def _synth_lines(docs: DataFrame) -> DataFrame:
+    """Rebuild the no-newline synthetic corpus into multi-line documents:
+    8-word chunks joined by newline, with duplicate lines planted by id class
+    (doc_id%5==0 → first two lines repeated, else doc_id%2==0 → first line
+    repeated). Pure expression fixture shared by the line-repetition queries;
+    the oracle replays the identical chunking in DuckDB list SQL."""
+    ws = D.words(F.col("text"))
+    nchunks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0)))
+    lines = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i * 8 + 1, 8)))
+    extra = (
+        F.when(F.col("doc_id") % 5 == 0, F.slice(lines, 1, 2))
+        .when(F.col("doc_id") % 2 == 0, F.slice(lines, 1, 1))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return docs.select(
+        "doc_id", F.array_join(F.concat(lines, extra), "\n").alias("text")
+    )
+
+
+_LINES_CTE = """
+    toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM documents WHERE TRIM(text) != ''
+    ), chunks AS (
+      SELECT doc_id,
+             LIST(ARRAY_TO_STRING(ws[(i-1)*8+1:(i-1)*8+8], ' ') ORDER BY i) AS lines
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(CAST(CEIL(LEN(ws)/8.0) AS INT), 1))) AS i
+            FROM toks)
+      GROUP BY doc_id
+    ), lines2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN LIST_CONCAT(lines, lines[1:2])
+                  WHEN doc_id % 2 = 0 THEN LIST_CONCAT(lines, lines[1:1])
+                  ELSE lines END AS lines
+      FROM chunks
+    ), ex AS (
+      SELECT doc_id, UNNEST(lines) AS line FROM lines2
+    ), per AS (
+      SELECT doc_id, line, COUNT(*) AS cnt FROM ex GROUP BY doc_id, line
+    ), linestats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             (SUM(cnt) - COUNT(*)) * 1.0 / SUM(cnt) AS dlf,
+             SUM(CASE WHEN cnt > 1 THEN LEN(line) * cnt ELSE 0 END) * 1.0 /
+               GREATEST(SUM(LEN(line) * cnt), 1) AS dlcf
+      FROM per GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_line_repetition",
+    oracle=f"""
+    WITH {_LINES_CTE}
+    SELECT doc_id, n_lines,
+           ROUND(dlf, 6) AS dup_line_frac,
+           ROUND(dlcf, 6) AS dup_line_char_frac
+    FROM linestats
+    """,
+)
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line rules over a synthesized multi-line corpus
+    (8-word chunks, planted repeats by id class): fraction of repeated lines
+    and fraction of characters in repeated lines, per document. Reference
+    semantics: Rae et al. 2021 table A1 / Dolma gopher tagger; Spark shape is
+    explode → (id,line) count → per-id re-aggregate, all map-side combinable."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    out = TX.line_repetition_stats(_synth_lines(docs), "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+    )
+
+
+_NGRAM_CTE = """
+    norm AS (
+      SELECT doc_id, LEN(ARRAY_TO_STRING(ws, ' ')) AS norm_chars FROM toks
+    ), c2 AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+1], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 1, 1))) AS i
+              FROM toks)
+      ) GROUP BY doc_id, gram
+    ), top2 AS (
+      SELECT doc_id, cnt * LEN(gram) AS top_chars
+      FROM (SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram DESC) AS rn
+            FROM c2)
+      WHERE rn = 1
+    ), c5 AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 4, 1))) AS i
+              FROM toks)
+      ) GROUP BY doc_id, gram
+    ), d5 AS (
+      SELECT doc_id, SUM(cnt * LEN(gram)) AS dup_chars
+      FROM c5 WHERE cnt > 1 GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_ngram_repetition",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM documents WHERE TRIM(text) != ''
+    ), {_NGRAM_CTE}
+    SELECT n.doc_id,
+           ROUND(t.top_chars * 1.0 / n.norm_chars, 6) AS top_2gram_char_frac,
+           ROUND(COALESCE(d.dup_chars, 0) * 1.0 / n.norm_chars, 6) AS dup_5gram_char_frac
+    FROM norm n
+    JOIN top2 t USING (doc_id)
+    LEFT JOIN d5 d USING (doc_id)
+    """,
+)
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition rules on the raw corpus: fraction of
+    normalized characters covered by the most frequent 2-gram, and by all
+    duplicated 5-grams. The small-vocab synthetic text has rich natural
+    n-gram repetition, so values are non-degenerate without planting."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    out = TX.top_ngram_char_fraction(docs, "text", "doc_id", 2).join(
+        TX.dup_ngram_char_fraction(docs, "text", "doc_id", 5), "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
+    )
+
+
+@query(
+    "q_gopher_filter",
+    oracle=f"""
+    WITH {_LINES_CTE}
+    , toks2 AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(ARRAY_TO_STRING(lines, CHR(10)), '\\s+') AS ws
+      FROM lines2
+    ), {_NGRAM_CTE.replace("FROM toks", "FROM toks2")}
+    SELECT l.doc_id, l.n_lines,
+           ROUND(l.dlf, 6) AS dup_line_frac,
+           ROUND(l.dlcf, 6) AS dup_line_char_frac,
+           ROUND(t.top_chars * 1.0 / n.norm_chars, 6) AS top_2gram_char_frac,
+           ROUND(COALESCE(d.dup_chars, 0) * 1.0 / n.norm_chars, 6) AS dup_5gram_char_frac,
+           l.dlf <= 0.30 AND l.dlcf <= 0.20
+             AND t.top_chars * 1.0 / n.norm_chars <= 0.20
+             AND COALESCE(d.dup_chars, 0) * 1.0 / n.norm_chars <= 0.15 AS keep
+    FROM linestats l
+    JOIN norm n ON l.doc_id = n.doc_id
+    JOIN top2 t ON l.doc_id = t.doc_id
+    LEFT JOIN d5 d ON l.doc_id = d.doc_id
+    """,
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Gopher repetition filter (all four rules + keep verdict)
+    over the synthesized multi-line corpus. keep compares UNROUNDED doubles on
+    both engines — integer-ratio division is bit-identical, so the boolean
+    matches even at threshold boundaries."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    out = TX.gopher_repetition_filter(_synth_lines(docs), "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
+        "keep",
+    )

@@ -265,3 +265,48 @@ def test_incremental_lsh_no_master_master_candidates(spark, sf_dir):
     rows = cands.collect()
     assert all(r.id_b >= 10_000 for r in rows)
     assert len(rows) > 0  # the exact copies do collide with their originals
+
+
+def test_line_repetition_stats(spark):
+    """Hand-checked: 'a b\\na b\\nc d' → 3 lines, 1 repeat, 6 of 9 chars in
+    repeated lines; single-line doc → zero fractions."""
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"), (2, "only one line")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in
+           TX.line_repetition_stats(df, "text", "doc_id").collect()}
+    assert out[1].n_lines == 3
+    assert abs(out[1].dup_line_frac - 1 / 3) < 1e-9
+    assert abs(out[1].dup_line_char_frac - 6 / 9) < 1e-9
+    assert out[2].n_lines == 1
+    assert out[2].dup_line_frac == 0.0
+    assert out[2].dup_line_char_frac == 0.0
+
+
+def test_ngram_repetition_fractions(spark):
+    """'x y x y x y': top 2-gram 'x y' covers 3*3 of 11 normalized chars;
+    no duplicated 5-gram. 'a a a a a a a a a a' has a duplicated 5-gram
+    covering all occurrences."""
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a a a a a a a a a a")], ["doc_id", "text"]
+    )
+    top = {r.doc_id: r.top_2gram_char_frac for r in
+           TX.top_ngram_char_fraction(df, "text", "doc_id", 2).collect()}
+    dup = {r.doc_id: r.dup_5gram_char_frac for r in
+           TX.dup_ngram_char_fraction(df, "text", "doc_id", 5).collect()}
+    assert abs(top[1] - 9 / 11) < 1e-9
+    assert dup[1] == 0.0
+    # doc 2: 6 5-grams, all 'a a a a a' (cnt 6) → dup chars 6*9=54, norm 19
+    assert abs(dup[2] - 54 / 19) < 1e-9
+
+
+def test_gopher_repetition_filter_verdict(spark):
+    """Clean doc keeps; heavy-repeat doc is rejected with audit columns."""
+    clean = " ".join(f"w{i}" for i in range(40))
+    spam = "\n".join(["buy now best price"] * 10)
+    df = spark.createDataFrame([(1, clean), (2, spam)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           TX.gopher_repetition_filter(df, "text", "doc_id").collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False
+    assert out[2].dup_line_frac > 0.8
