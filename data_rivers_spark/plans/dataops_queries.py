@@ -742,8 +742,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_quantize",
     oracle="""
     SELECT vec_id,
-           LIST_TRANSFORM(embedding::DOUBLE[],
-                          x -> CAST(ROUND(x / (LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) / 127.0), 0) AS INT)) AS codes,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(embedding::DOUBLE[],
+                            x -> CAST(ROUND(x / (LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) / 127.0), 0) AS INT)),
+             ',') AS codes,
            ROUND(LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) / 127.0, 6) AS scale
     FROM embeddings
     """,
@@ -752,12 +754,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (codes +
     per-vector scale) — the 4× compression step before shipping vectors to an
     ANN index. Both engines compute max|x|/127 on the same float32→double
-    widening, so codes round identically."""
+    widening, so codes round identically. Codes serialize to a CSV string on
+    both sides: driver hash-matching cannot canonicalize raw array columns
+    (registry convention)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     q = S.quantize_int8(S._as_double(F.col("embedding")))
     return t["embeddings"].select(
         "vec_id",
-        q["codes"].alias("codes"),
+        F.array_join(
+            F.transform(q["codes"], lambda x: x.cast("string")), ","
+        ).alias("codes"),
         F.round(q["scale"], 6).alias("scale"),
     )
 

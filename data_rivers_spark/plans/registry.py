@@ -13,7 +13,11 @@ after sorting columns by name):
 - round floating-point aggregates identically on both sides (both engines use
   half-away-from-zero rounding) so summation-order noise cannot flip the hash;
 - format timestamps to strings when serialization could differ between
-  engines.
+  engines;
+- no raw array/struct/map columns in driver-checked output — the driver's
+  pandas canonicalizer cannot sort list cells ("unhashable type"); serialize
+  nested values to strings (array_join / to_json on the Spark side,
+  ARRAY_TO_STRING / ::JSON::VARCHAR in the oracle).
 """
 
 from __future__ import annotations
