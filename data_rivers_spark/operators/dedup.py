@@ -347,6 +347,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     verify: str = "shingle",
     bucket_cap: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
     survivors (docs that are not a higher-id duplicate of any kept doc).
@@ -355,13 +356,31 @@ def minhash_lsh_dedup(
     Jaccard that MinHash approximates — the internally-consistent choice;
     'word' uses word-set jaccard (a looser, vocabulary-level notion).
 
+    ``materialize=True`` (default) eagerly localCheckpoints the duplicate-id
+    frame (and, on the shingle path, the shared shingle-set frame) BEFORE
+    building the final anti-join. Without it, Catalyst pushes the anti-join
+    through a Union input and re-plans the entire LSH pipeline once per Union
+    branch — DataFrame reuse is lineage reuse, not computation reuse, so the
+    corpus would be re-tokenized per consumer (round-2 plan audit measured
+    the tokenize subtree 6×). Checkpointing swaps the subtree for one cached
+    RDD; the cost is that calling this function triggers the candidate/verify
+    jobs immediately rather than at first action.
+
     Note: transitively-linked clusters are collapsed greedily by min-id (a doc
     is dropped if it pairs above threshold with ANY lower id) — the standard
     single-pass approximation of connected components; use
     ``dedup_by_components`` for the exact closure."""
     if verify == "shingle":
         verified = minhash_lsh_verified_pairs(
-            df, text_col, id_col, threshold, num_hashes, bands, shingle_n, bucket_cap
+            df,
+            text_col,
+            id_col,
+            threshold,
+            num_hashes,
+            bands,
+            shingle_n,
+            bucket_cap,
+            materialize=materialize,
         )
     else:
         cands = minhash_lsh_candidates(
@@ -371,6 +390,11 @@ def minhash_lsh_dedup(
             df, cands, text_col, id_col, threshold, flavor=verify, shingle_n=shingle_n
         )
     dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if materialize:
+        # the anti-join's other side below may be a many-branch Union; a
+        # checkpointed dupes frame is referenced per branch at zero replay
+        # cost, and AQE re-sizes it at runtime for the broadcast decision
+        dupes = dupes.localCheckpoint(eager=True)
     return df.join(dupes, id_col, "left_anti")
 
 
@@ -383,13 +407,27 @@ def minhash_lsh_verified_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     bucket_cap: int = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard-verified near-dup pairs (id_a < id_b) with ONE tokenize
     pass: signatures and verification both derive from the same
-    distinct-shingle-set frame (Spark's ReuseExchange then computes the
-    scan+explode+partial-agg once). Feed the result to the greedy min-id drop
-    (minhash_lsh_dedup) or to dedup_by_components for the exact closure."""
+    distinct-shingle-set frame.
+
+    ``materialize=True`` (default) makes the single pass PHYSICAL: the
+    shingle-set frame is eagerly localCheckpointed (executor block store,
+    memory-then-disk), so the signature branch and both verify sides scan one
+    cached RDD. Sharing the frame by lineage alone does NOT do this — the
+    round-2 plan audit showed the scan→explode→window→collect_set subtree
+    replanned 6× with no ReusedExchange, because each consumer re-derives the
+    lineage through different downstream operators. Pass ``materialize=False``
+    to keep the operator fully lazy (e.g. when staging the sets frame through
+    a table yourself, as incremental_lsh_dedup does for signatures).
+
+    Feed the result to the greedy min-id drop (minhash_lsh_dedup) or to
+    dedup_by_components for the exact closure."""
     sets = shingle_sets(df, text_col, id_col, shingle_n)
+    if materialize:
+        sets = sets.localCheckpoint(eager=True)
     banded = _banded_from_sets(sets, id_col, num_hashes, bands)
     cands = _expand_buckets(banded, id_col, bucket_cap)
     return verify_pairs_jaccard(

@@ -33,10 +33,14 @@ Notes on specific plans:
   joins in ONE stage: the fact stream is scanned once, never shuffled on a
   key, and every zone table builds a broadcast. Past 64 zones the join keys
   on grid cells (BroadcastHashJoin) instead of pure bbox conditions.
-- **q_minhash_lsh_dedup** — signatures and Jaccard-verify sets both hang off
-  the same shingle-set aggregation (`shingle_sets`); the only wide shuffles
-  are hash(id) for the window/aggregation and the 12-byte (band_idx,
-  band_hash) bucket exchange.
+- **q_minhash_lsh_dedup** — the shared shingle-set frame and the
+  duplicate-id frame are eagerly localCheckpointed inside the operator
+  (dedup.py minhash_lsh_verified_pairs/minhash_lsh_dedup), so the final plan
+  scans two cached RDDs (`Scan ExistingRDD`) instead of re-planning the
+  tokenize subtree per consumer — round 2 showed that subtree 6× when the
+  sharing was lineage-only. The corpus is tokenized exactly once per run;
+  the only wide shuffles are hash(id) for the window/aggregation and the
+  12-byte (band_idx, band_hash) bucket exchange.
 - **q_deterministic_sample** — the md5-threshold predicate is a plain
   filter: it sits directly on the scan (no shuffle, no RNG state), which is
   what makes hash-sampling composable with partition pruning at 100 TB.
