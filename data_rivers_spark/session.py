@@ -119,6 +119,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             # (matches DuckDB's ns→µs truncation) and restore TimestampType
             # integer div — double division loses precision above 2^53 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # parquet timestamps written without isAdjustedToUTC read back as
+        # TIMESTAMP_NTZ, which Spark 4 refuses to cast to numeric types; the
+        # session runs in UTC so NTZ→LTZ is value-preserving. Normalize so every
+        # downstream cast/epoch expression sees plain TimestampType regardless
+        # of how the driver generated the files.
+        for cname, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(cname, F.col(cname).cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
