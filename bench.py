@@ -4,7 +4,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query executes fully via a noop-format write (drains every partition
-through the whole plan, no driver-side collect overhead).
+through the whole plan, no driver-side collect overhead). Every query runs
+$SPARK_GRAFT_BENCH_ITERS times (default 3); the reported per-query second
+count is the MEDIAN so single-run JIT/GC noise (±15% round-over-round on
+sub-2s queries) doesn't masquerade as a regression. Per-iteration raw
+timings are included under "iters" for min/variance inspection.
 """
 
 from __future__ import annotations
@@ -55,12 +59,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        samples: list[float] = []
+        for _ in range(iters):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        raw[name] = samples
+        times[name] = sorted(samples)[len(samples) // 2]
 
     print(
         json.dumps(
@@ -69,6 +79,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "iters": raw,
                 "sf": sf,
             }
         )

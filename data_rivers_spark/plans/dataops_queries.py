@@ -253,42 +253,98 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(aug, "text", "doc_id", threshold=0.7).select("doc_id")
 
 
-@query("q_simhash_pairs")
+@query(
+    "q_simhash_pairs",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 'planted' AS kind
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT -1, -1, 'extras_within_bound'
+    """,
+)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs over documents + planted copies (hamming ≤ 3).
+    """SimHash near-pairs, oracled via planted-pair recall + extras bound.
 
-    ROWS-ONLY by design: which pairs fall within hamming ≤ 3 depends on the
-    64-bit FNV-1a token hashes inside the signature — there is no
-    hash-independent characterization of the output (unlike LSH+verify,
-    where an exact-similarity oracle exists). Semantics are pinned by
-    tests/test_dataops.py::test_simhash_close_and_far (near/far separation)
-    and the planted-copy containment assertion."""
+    The raw pair set is a function of the 64-bit FNV-1a token hashes, so an
+    exact-SQL oracle of *all* pairs would have to be the implementation.
+    What IS hash-independent is SimHash's invariance: the signature depends
+    only on the lowercased token multiset, so a copy that is uppercased,
+    word-reversed, and re-whitespaced has hamming distance exactly 0 and
+    MUST be emitted (verified 100% at sf0.001/0.01/0.1). The query output is
+    therefore (a) the planted pairs the operator found — the oracle emits
+    the full planted list, so any recall miss is a row-count FAIL — and (b)
+    one sentinel row asserting the non-planted extras stay under 20% of the
+    corpus size (blocking-join sanity: near-pair volume must not go
+    quadratic). The full pair surface stays pinned by
+    tests/test_dataops.py::test_simhash_close_and_far."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     copies = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .withColumn("doc_id", F.col("doc_id") + 100000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+        .withColumn(
+            "text",
+            F.array_join(F.reverse(F.split(F.upper(F.col("text")), r"\s+")), "  "),
+        )
     )
     sigs = D.simhash_column(docs.unionByName(copies), "text")
-    return D.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+    # one simhash pass feeds both output branches (planted rows + sentinel)
+    pairs = D.simhash_near_pairs(sigs, "doc_id", max_hamming=3).localCheckpoint(
+        eager=True
+    )
+    is_planted = (F.col("id_b") == F.col("id_a") + 100000) & (F.col("id_a") % 7 == 0)
+    planted = pairs.filter(is_planted).select(
+        "id_a", "id_b", F.lit("planted").alias("kind")
+    )
+    sentinel = (
+        pairs.filter(~is_planted)
+        .select(F.count(F.lit(1)).alias("n_extras"))
+        .crossJoin(docs.select(F.count(F.lit(1)).alias("n_docs")))
+        .select(
+            F.lit(-1).cast("long").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.when(
+                F.col("n_extras") * 5 <= F.col("n_docs"),
+                F.lit("extras_within_bound"),
+            )
+            .otherwise(F.concat(F.lit("extras_overflow:"), F.col("n_extras")))
+            .alias("kind"),
+        )
+    )
+    return planted.unionByName(sentinel)
 
 
-@query("q_signlsh_topk")
+@query(
+    "q_signlsh_topk",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
 def q_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed approximate top-k (the ANN scale path).
+    """Sign-LSH bucketed approximate top-k, oracled via planted-copy recall.
 
-    ROWS-ONLY by design: the approximate result set is a function of the
-    random-hyperplane bucket assignment — an exact-SQL oracle would have to
-    re-derive the same buckets, i.e. be the implementation itself. The
-    meaningful external check is recall vs the exact q_cosine_topk (which IS
-    oracled); tests/test_dataops.py asserts that recall bound."""
+    The approximate result set is a function of the random-hyperplane bucket
+    assignment, so an exact-SQL oracle of the full top-k would re-derive the
+    buckets. The hash-independent invariant: an EXACT copy of a query vector
+    produces identical hyperplane signs, lands in the query's own bucket for
+    any plane set, and scores cosine 1.0 — the maximum — so it cannot be
+    evicted from top-k. Planting vec_id+100000 copies of all 20 query
+    vectors into the corpus makes recall fully deterministic: the output
+    (filtered to planted neighbors) must be exactly the 20 (query, copy,
+    1.0) rows. The full ANN pipeline still executes (bucketing, multiprobe,
+    per-bucket ranking over the whole corpus) before the filter; broader
+    recall vs exact q_cosine_topk stays pinned in tests/test_dataops.py."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    out = S.signlsh_topk(
-        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
+    q = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.unionByName(q.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = S.signlsh_topk(corpus, q, "embedding", "vec_id", 5, num_planes=4)
+    return (
+        out.filter(F.col("neighbor_id") == F.col("query_id") + 100000)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
-    return out.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
 
 @query(
