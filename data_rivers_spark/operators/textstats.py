@@ -385,28 +385,73 @@ def top_ngram_char_fraction(
 def dup_ngram_char_fraction(
     df: DataFrame, text_col: str, id_col: str, n: int = 5, out_col: str | None = None
 ) -> DataFrame:
-    """Fraction of (normalized) document characters inside word n-grams that
-    occur more than once: sum over duplicated grams of count * len(gram) /
-    norm_chars — Gopher's "duplicate n-gram" rule (n=5..10, thresholds
-    0.15..0.10). Like the reference implementations this counts every
-    occurrence of a duplicated gram and does not de-overlap character spans
-    (the exact covered-character version needs per-doc interval union; the
-    approximation is the published, comparable one).
+    """Fraction of (normalized) document characters COVERED by repeat
+    occurrences of duplicated word n-grams — Gopher's "duplicate n-gram"
+    rule (n=5..10, thresholds 0.15..0.10). Character coverage, not a count:
+    repeat (non-first) occurrences of every gram seen more than once mark
+    their [start, start+len) span in normalized-document coordinates, and
+    overlapping spans are union-merged before dividing by the document
+    length — so the metric is bounded by 1.0 and the published thresholds
+    transfer (the earlier count×len form double-counted overlapping
+    occurrences and could exceed 1.0, e.g. 54/19 on an all-same-token doc).
 
-    Same two hash-aggregate shape as ``top_ngram_char_fraction``."""
+    Shape: posexplode words → lead-window gram construction + running char
+    offsets → per-(id, gram) count/occurrence-rank → per-id interval-union
+    sweep (ordered window, running max of span end). All windows key on the
+    doc id (plus gram), so the work distributes evenly at corpus scale; no
+    per-doc quadratic scan and no Python in the loop."""
+    from pyspark.sql import Window
+
+    from data_rivers_spark.operators.dedup import words
+
     out = out_col or f"dup_{n}gram_char_frac"
-    from data_rivers_spark.operators.dedup import word_shingle_rows
-
     totals = df.select(
         F.col(id_col), _doc_norm_chars(F.col(text_col)).alias("__norm_chars")
     )
+    ex = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos", "__w")
+    )
+    wseq = Window.partitionBy(id_col).orderBy("__pos")
+    # char offset of word i in the normalized doc: sum of len+1 over priors
+    start = F.coalesce(
+        F.sum(F.length("__w") + 1).over(
+            wseq.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    gram = F.concat_ws(
+        " ", F.col("__w"), *[F.lead("__w", k).over(wseq) for k in range(1, n)]
+    )
+    occ = ex.select(
+        F.col(id_col),
+        gram.alias("__gram"),
+        start.alias("__st"),
+        # a complete gram needs the (n-1)-ahead word to exist
+        F.lead("__w", n - 1).over(wseq).isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    marked = occ.select(
+        F.col(id_col),
+        "__st",
+        (F.col("__st") + F.length("__gram")).alias("__en"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(id_col, "__gram"))
+        .alias("__cnt"),
+        F.row_number()
+        .over(Window.partitionBy(id_col, "__gram").orderBy("__st"))
+        .alias("__occ"),
+    ).filter((F.col("__cnt") > 1) & (F.col("__occ") >= 2))
+    # interval union: sweep spans by start, clip each against the running
+    # max end of everything before it
+    wcov = Window.partitionBy(id_col).orderBy("__st", "__en")
+    prev_end = F.max("__en").over(wcov.rowsBetween(Window.unboundedPreceding, -1))
+    covered = F.greatest(
+        F.col("__en") - F.greatest(F.col("__st"), F.coalesce(prev_end, F.col("__st"))),
+        F.lit(0),
+    )
     dup_chars = (
-        word_shingle_rows(df, text_col, id_col, n)
-        .groupBy(id_col, "shingle")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") > 1)
+        marked.select(F.col(id_col), covered.alias("__c"))
         .groupBy(id_col)
-        .agg(F.sum(F.col("__cnt") * F.length(F.col("shingle"))).alias("__dup_chars"))
+        .agg(F.sum("__c").alias("__dup_chars"))
     )
     return totals.join(dup_chars, id_col, "left").select(
         F.col(id_col),

@@ -992,16 +992,30 @@ _NGRAM_CTE = """
                                       ORDER BY cnt DESC, gram DESC) AS rn
             FROM c2)
       WHERE rn = 1
-    ), c5 AS (
-      SELECT doc_id, gram, COUNT(*) AS cnt FROM (
-        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
-        FROM (SELECT doc_id, ws,
-                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 4, 1))) AS i
-              FROM toks)
-      ) GROUP BY doc_id, gram
+    ), p5 AS (
+      -- gram + its char offset in the normalized doc (sum of len+1 priors)
+      SELECT doc_id,
+             ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram,
+             COALESCE(SUM(LEN(ws[i]) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 4, 0))) AS i
+            FROM toks)
+    ), m5 AS (
+      SELECT doc_id, st, st + LEN(gram) AS en,
+             COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY st) AS occ
+      FROM p5
+    ), cov5 AS (
+      -- repeat occurrences only; union-merge overlapping char spans
+      SELECT doc_id,
+             GREATEST(en - GREATEST(st, COALESCE(MAX(en) OVER (
+               PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), st)), 0) AS c
+      FROM m5 WHERE cnt > 1 AND occ >= 2
     ), d5 AS (
-      SELECT doc_id, SUM(cnt * LEN(gram)) AS dup_chars
-      FROM c5 WHERE cnt > 1 GROUP BY doc_id
+      SELECT doc_id, SUM(c) AS dup_chars FROM cov5 GROUP BY doc_id
     )
 """
 

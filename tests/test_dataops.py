@@ -285,8 +285,8 @@ def test_line_repetition_stats(spark):
 
 def test_ngram_repetition_fractions(spark):
     """'x y x y x y': top 2-gram 'x y' covers 3*3 of 11 normalized chars;
-    no duplicated 5-gram. 'a a a a a a a a a a' has a duplicated 5-gram
-    covering all occurrences."""
+    no duplicated 5-gram. 'a a a a a a a a a a' has one duplicated 5-gram
+    whose repeat occurrences cover chars [2, 19) after span union."""
     df = spark.createDataFrame(
         [(1, "x y x y x y"), (2, "a a a a a a a a a a")], ["doc_id", "text"]
     )
@@ -296,8 +296,11 @@ def test_ngram_repetition_fractions(spark):
            TX.dup_ngram_char_fraction(df, "text", "doc_id", 5).collect()}
     assert abs(top[1] - 9 / 11) < 1e-9
     assert dup[1] == 0.0
-    # doc 2: 6 5-grams, all 'a a a a a' (cnt 6) → dup chars 6*9=54, norm 19
-    assert abs(dup[2] - 54 / 19) < 1e-9
+    # doc 2: 'a a a a a' at word offsets 0..5; repeats (occ ≥ 2) span
+    # [2,11)∪[4,13)∪…∪[10,19) → union [2,19) = 17 of 19 normalized chars —
+    # bounded by 1.0 (the old count×len form gave 54/19 ≈ 2.84)
+    assert abs(dup[2] - 17 / 19) < 1e-9
+    assert all(v <= 1.0 for v in dup.values())
 
 
 def test_gopher_repetition_filter_verdict(spark):
