@@ -246,43 +246,56 @@ def _expand_buckets(
     ``min_id_b`` restricts the GREATER side of each pair: only pairs with
     id_b >= min_id_b are emitted. The incremental path uses this to skip
     master-vs-master pairs entirely — a bucket holding only master ids emits
-    nothing, inside the same codegen expression."""
+    nothing, inside the same codegen expression. With ``min_id_b`` set, the
+    cap also tests the BATCH-side occupancy rather than total occupancy: a
+    boilerplate bucket full of corpus docs but holding few batch docs still
+    gets full batch-vs-all coverage (cost O(bucket × batch_members), bounded
+    by bucket_cap × bucket) instead of collapsing to a star on the bucket's
+    min id — which is almost always a master, so star-only would silently
+    admit a batch doc that duplicates a non-hub corpus doc."""
     # bucket-group instead of self-join: a self-join would evaluate the
     # signature pipeline twice; grouping shuffles each (id, band) row once and
     # expands pairs inside the (small) bucket with array combinatorics
     ids = F.col("__ids")
+    # the inner (greater/batch) side is prefiltered ONCE per bucket into its
+    # own column — filtering inside the per-a lambda would rescan all K ids
+    # for each of K outer values (K² predicate evals on boilerplate buckets)
+    inner = (
+        ids
+        if min_id_b is None
+        else F.filter(ids, lambda x: x >= F.lit(min_id_b))
+    )
+    grouped = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+        .filter(F.size(ids) > 1)
+        .withColumn("__inner", inner)
+    )
+    inner_ids = F.col("__inner")
     # The cap conditions only the OUTER iteration source: all-pairs iterates
     # every id, star iterates just [min(ids)] — since min pairs with every
     # b > min, that IS the hub-and-spoke set. One expression tree (an earlier
     # two-branch when(all_pairs).otherwise(star) duplicated the whole nested
     # lambda tree and cost ~5 s of codegen compilation alone).
+    capped_on = ids if min_id_b is None else inner_ids
     outer = (
         ids
         if bucket_cap is None
-        else F.when(F.size(ids) <= F.lit(bucket_cap), ids).otherwise(
+        else F.when(F.size(capped_on) <= F.lit(bucket_cap), ids).otherwise(
             F.array(F.array_min(ids))
         )
     )
-    def b_ok(b, a):
-        cond = b > a
-        if min_id_b is not None:
-            cond = cond & (b >= F.lit(min_id_b))
-        return cond
-
     pair_structs = F.flatten(
         F.transform(
             outer,
             lambda a: F.transform(
-                F.filter(ids, lambda b: b_ok(b, a)),
+                F.filter(inner_ids, lambda b: b > a),
                 lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
             ),
         )
     )
     return (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
-        .filter(F.size(ids) > 1)
-        .select(F.explode(pair_structs).alias("__p"))
+        grouped.select(F.explode(pair_structs).alias("__p"))
         .select(F.col("__p.id_a"), F.col("__p.id_b"))
         .distinct()
     )
@@ -447,6 +460,9 @@ def incremental_lsh_dedup(
     shingle_n: int = 3,
     bucket_cap: int = 1000,
     batch_min_id: int | None = None,
+    run_log=None,
+    run_log_source: str = "lsh_dedup",
+    keep_dropped_signatures: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new batch against BOTH itself and an already-deduped corpus
     without re-mining the corpus — the shape a 100 TB pipeline actually runs
@@ -465,15 +481,30 @@ def incremental_lsh_dedup(
     only corpus docs emits zero candidates, so per-batch cost scales with
     the batch, not the corpus.
 
-    Semantics note: the batch is compared against the CANONICAL corpus (its
-    survivors). A batch doc that duplicates a document the corpus previously
-    *dropped* — but not that document's kept representative — is admitted.
-    That is the standard dedup-against-index behavior; if full-history
-    matching is needed, keep dropped docs' signatures in the store too.
+    ``batch_min_id`` resolution order: the explicit argument; else the
+    ``run_log`` watermark (a ``sources.watermark.RunLog`` — the previous run
+    records ``max_id + 1`` under ``run_log_source``, so no job runs at plan
+    time); else a driver ``min()`` over the batch (one extra tiny job —
+    fine interactively, avoidable in production via either hook). After a
+    successful append the caller records the next watermark:
+    ``run_log.record_successful_run(source, str(next_min_id))``.
+
+    ``keep_dropped_signatures=False`` (default) compares future batches
+    against the CANONICAL corpus only: a batch doc that duplicates a doc the
+    corpus previously dropped — but not that doc's kept representative — is
+    admitted (standard dedup-against-index behavior). ``True`` returns ALL
+    batch banded rows (survivors AND dropped) for the store, so later
+    batches also match against dropped docs; the caller must then pass the
+    full doc history (including dropped docs' text) as ``master_docs`` so
+    bucket hits on dropped ids can be verified.
 
     Determinism: signatures are seeded xxhash64 (no RNG), so signature rows
     computed in an earlier run collide correctly with rows computed today —
     nothing needs re-hashing as the store grows."""
+    if batch_min_id is None and run_log is not None:
+        stored = run_log.last_successful_run(run_log_source)
+        if stored is not None:
+            batch_min_id = int(stored)
     if batch_min_id is None:
         row = batch.agg(F.min(F.col(id_col))).first()
         batch_min_id = row[0] if row and row[0] is not None else 0
@@ -501,6 +532,8 @@ def incremental_lsh_dedup(
     )
     dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
     survivors = batch.join(dupes, id_col, "left_anti")
+    if keep_dropped_signatures:
+        return survivors, banded_b
     survivor_banded = banded_b.join(dupes, id_col, "left_anti")
     return survivors, survivor_banded
 

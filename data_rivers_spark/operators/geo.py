@@ -55,6 +55,7 @@ def revgeo_timebound_join(
     out_col: str | None = None,
     grid: bool | str = "auto",
     grid_threshold: int = 64,
+    zone_count_hint: int | None = None,
 ) -> DataFrame:
     """LEFT OUTER spatial-interval join: attach the zone containing each point
     whose validity interval covers the point's date; non-matching points keep
@@ -65,7 +66,13 @@ def revgeo_timebound_join(
     grid-cell equi-join (see module docstring) when the zone table exceeds
     ``grid_threshold`` rows; True/False force either plan. Both plans give
     identical results — the grid only prefilters which (point, zone) pairs
-    reach the exact predicate."""
+    reach the exact predicate.
+
+    Driver-job budget: auto mode runs AT MOST ONE tiny job on the zone dim
+    table — a combined count+bbox-stats aggregation, reused for cell sizing
+    if the grid is chosen. Pass ``zone_count_hint`` (or a bool ``grid``) to
+    skip even that: with a hint and ``grid=False``-sized dims, plan-time
+    cost is zero jobs."""
     out_col = out_col or zone_col
     # ray casting is the expensive per-row map; a single-split parquet scan
     # would run it on one core — spread first (no-op once well-partitioned,
@@ -91,16 +98,30 @@ def revgeo_timebound_join(
         & (F.col(point_date_col) <= F.coalesce(F.col("__zend"), F.current_timestamp()))
         & point_in_polygon(px, py, F.col("__verts"))
     )
-    use_grid = grid if isinstance(grid, bool) else zones.count() > grid_threshold
+    stats = None
+    if isinstance(grid, bool):
+        use_grid = grid
+    elif zone_count_hint is not None:
+        use_grid = zone_count_hint > grid_threshold
+    else:
+        # one combined job answers both "how many zones" and, if the grid
+        # wins, "how big are the cells" — auto mode never runs two jobs
+        stats = z.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("__xmax") - F.col("__xmin")).alias("w"),
+            F.max(F.col("__ymax") - F.col("__ymin")).alias("h"),
+        ).collect()[0]
+        use_grid = stats.n > grid_threshold
     if use_grid:
         # cell edge = max bbox edge across zones (driver-side stats on the
         # tiny zone table) → every zone covers ≤ 2 cells per axis; a point
         # lands in exactly one cell, so candidate pairs per point = zones
         # sharing its cell, not all zones
-        stats = z.agg(
-            F.max(F.col("__xmax") - F.col("__xmin")).alias("w"),
-            F.max(F.col("__ymax") - F.col("__ymin")).alias("h"),
-        ).collect()[0]
+        if stats is None:
+            stats = z.agg(
+                F.max(F.col("__xmax") - F.col("__xmin")).alias("w"),
+                F.max(F.col("__ymax") - F.col("__ymin")).alias("h"),
+            ).collect()[0]
         cw = max(float(stats.w or 0.0), 1e-9)
         ch = max(float(stats.h or 0.0), 1e-9)
         zg = z.withColumn(

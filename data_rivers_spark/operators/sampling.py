@@ -31,9 +31,19 @@ def hash_bucket(key: Column, seed: int | str = 0) -> Column:
 
 
 def fraction_threshold(fraction: float) -> str:
-    """Hex-string threshold t such that P[hash_bucket < t] = fraction."""
+    """String threshold t such that P[hash_bucket < t] = fraction.
+
+    fraction >= 1.0 returns the sentinel 'g' — lexicographically above every
+    8-hex-char bucket, so the strict '<' keeps EVERY row. Capping at
+    'ffffffff' would silently drop rows whose md5 prefix is exactly
+    'ffffffff' (~2^-32 each) from a keep-everything stratum; unlike
+    deterministic_sample, the per-stratum CASE in stratified_sample cannot
+    special-case 1.0 outside the expression. Oracles mirror the same
+    sentinel (any engine compares '0'..'f' < 'g' identically)."""
     f = min(max(fraction, 0.0), 1.0)
-    return format(min(int(f * _HEX_SPACE), _HEX_SPACE - 1) if f < 1.0 else _HEX_SPACE - 1, "08x")
+    if f >= 1.0:
+        return "g"
+    return format(min(int(f * _HEX_SPACE), _HEX_SPACE - 1), "08x")
 
 
 def deterministic_sample(

@@ -134,6 +134,73 @@ def test_multimodal_feature_extraction(spark):
     assert stats == {"image": 2, "audio": 1}
 
 
+def _wav_bytes(n_frames=800, rate=8000, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(12000 * math.sin(i / 10.0)))
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_real_decode_wav_end_to_end(spark):
+    """The stdlib WAV path of real_decode works on every runtime: a genuine
+    in-memory WAV decodes through the full mapInPandas pipeline; rows whose
+    codec is unavailable quarantine as decode_ok=False instead of failing
+    the job."""
+    caps = M.media_capabilities()
+    assert caps["audio_wav"] is True
+    wav = _wav_bytes()
+    rows = [
+        (1, wav, "audio", (None, None, None, "wav")),
+        (2, b"\x89PNG\r\n\x1a\nnotreallyapng", "image", (None, None, None, "png")),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in M.extract_features(df, decoder=M.real_decode).collect()}
+    assert feats[1].decode_ok and len(feats[1].feature) == 16
+    # image row: either Pillow decodes garbage → error → quarantined, or
+    # Pillow is absent → MediaCapabilityError → quarantined; never a crash
+    assert feats[2].decode_ok is False and feats[2].feature is None
+    # direct decode agrees with the wave module's own header math
+    d = M.real_decode(wav, "audio")
+    assert d["duration_ms"] == 100 and d["width"] == 1
+
+
+def test_real_decode_image_gated():
+    """Image decode either works (Pillow present) or raises the typed
+    capability error — importing the operator never requires the codec."""
+    caps = M.media_capabilities()
+    if not caps["image"]:
+        import pytest
+
+        with pytest.raises(M.MediaCapabilityError):
+            M.real_decode(b"\x00", "image")
+        pytest.skip("Pillow not installed; gate verified")
+    d = M.real_decode(_png_1x1(), "image")
+    assert d["width"] == 1 and d["height"] == 1
+
+
+def _png_1x1():
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (1, 1), 128).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def test_multimodal_frame_sampling(spark):
     rows = [(1, b"v", "video", (None, None, 1000, "mp4"))]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
@@ -265,6 +332,85 @@ def test_incremental_lsh_no_master_master_candidates(spark, sf_dir):
     rows = cands.collect()
     assert all(r.id_b >= 10_000 for r in rows)
     assert len(rows) > 0  # the exact copies do collide with their originals
+
+
+def test_incremental_lsh_capped_bucket_nonhub_match(spark):
+    """With a capped bucket, a batch doc duplicating a NON-hub corpus doc is
+    still caught: the cap tests batch-side occupancy, so the expansion keeps
+    full batch-vs-all coverage instead of collapsing to a star on the bucket
+    min id (which is almost always a master)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # 6 identical corpus docs land every band in one bucket of occupancy 6
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(6)], "doc_id long, text string"
+    )
+    banded_m = D._banded_from_sets(
+        D.shingle_sets(corpus, "text", "doc_id"), "doc_id", 32, 8
+    )
+    batch = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    # bucket_cap=3 < occupancy: the old star-on-min expansion emitted only
+    # (0, 100); batch-vs-all must emit (i, 100) for every corpus member
+    banded_b = D._banded_from_sets(
+        D.shingle_sets(batch, "text", "doc_id"), "doc_id", 32, 8
+    )
+    cands = D._expand_buckets(
+        banded_b.unionByName(banded_m), "doc_id", bucket_cap=3, min_id_b=100
+    )
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert got == {(i, 100) for i in range(6)}
+    # non-incremental capped expansion still stars on the bucket min
+    allc = D._expand_buckets(
+        banded_b.unionByName(banded_m), "doc_id", bucket_cap=3
+    )
+    got_all = {(r.id_a, r.id_b) for r in allc.collect()}
+    assert got_all == {(0, b) for b in [1, 2, 3, 4, 5, 100]}
+
+
+def test_incremental_lsh_dropped_signature_retention(spark):
+    """keep_dropped_signatures=True appends dropped docs' banded rows to the
+    store, so a later batch doc that duplicates a DROPPED doc (but not its
+    kept representative) is itself dropped; with the default canonical-only
+    store it is admitted."""
+    # near-transitivity chain at threshold 0.8 (3-gram shingles):
+    # d1 = 10 words (8 shingles); d2 = d1 + 1 word → J(d2,d1) = 8/9 ≈ .889
+    # (dropped); x = d1 + 3 words → J(x,d2) = 9/11 ≈ .818 (dup of the
+    # DROPPED doc) but J(x,d1) = 8/11 ≈ .727 < .8 (NOT a dup of the rep)
+    d1 = "one two three four five six seven eight nine ten"
+    d2 = d1 + " extra1"
+    x = d1 + " extra1 extra2 extra3"
+    b1 = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    batch2 = spark.createDataFrame([(10, x)], "doc_id long, text string")
+    for keep, admitted_expected in [(False, {10}), (True, set())]:
+        surv1, banded1 = D.incremental_lsh_dedup(
+            b1, None, None, "text", "doc_id", threshold=0.8,
+            keep_dropped_signatures=keep,
+        )
+        assert {r.doc_id for r in surv1.collect()} == {1}
+        # full doc history as master_docs so dropped-id bucket hits verify
+        surv2, _ = D.incremental_lsh_dedup(
+            batch2, b1, banded1, "text", "doc_id", threshold=0.8,
+            batch_min_id=10,
+        )
+        assert {r.doc_id for r in surv2.collect()} == admitted_expected
+
+
+def test_incremental_lsh_watermark_min_id(spark, tmp_path):
+    """batch_min_id resolves from the RunLog watermark — no driver min() job
+    — and the cutoff prunes master-vs-master pairs identically."""
+    from data_rivers_spark.sources.watermark import RunLog
+
+    log = RunLog(str(tmp_path))
+    log.record_successful_run("lsh_dedup", "100")
+    base = "kappa lambda mu nu xi omicron pi rho sigma tau"
+    master = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    _, banded_m = D.incremental_lsh_dedup(master, None, None, "text", "doc_id")
+    batch = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    surv, _ = D.incremental_lsh_dedup(
+        batch, master, banded_m, "text", "doc_id", threshold=0.7, run_log=log
+    )
+    assert surv.count() == 0  # exact dup of master caught via watermark cutoff
 
 
 def test_line_repetition_stats(spark):

@@ -97,3 +97,10 @@ def test_global_row_number_scalable_matches_exact(spark):
     assert a == b
     # contract: a dense 1..n permutation
     assert sorted(s for _, s in b) == list(range(1, 1001))
+    # the offsets are only valid if the counts branch and the output branch
+    # read the SAME computed partitioning — the materialized (checkpointed)
+    # frame guarantees it structurally; a plan that re-ranges per branch
+    # (two rangepartitioning exchanges, no reuse) would corrupt seq silently
+    # the moment the branches' subplans diverge
+    plan = scal._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("rangepartitioning") == 0, plan

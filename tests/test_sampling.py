@@ -31,6 +31,17 @@ def test_deterministic_sample_edges(spark):
     assert a != b
 
 
+def test_fraction_threshold_one_keeps_every_bucket():
+    """fraction=1.0 emits the 'g' sentinel: strictly above every 8-hex
+    bucket (including 'ffffffff', which a capped threshold would drop from a
+    keep-everything stratum at ~2^-32 per row)."""
+    assert SA.fraction_threshold(1.0) == "g"
+    assert "ffffffff" < SA.fraction_threshold(1.0)
+    assert SA.fraction_threshold(0.0) == "00000000"
+    # sub-1.0 fractions stay in hex space (nesting order preserved)
+    assert SA.fraction_threshold(0.5) < SA.fraction_threshold(0.9) < "g"
+
+
 def test_stratified_sample_rates(spark):
     df = spark.range(3000).select(
         F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
