@@ -786,3 +786,62 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level paragraph dedup (C4 §2.2: global span dedup, first occurrence
+# wins)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove REPEATED paragraphs across the whole corpus, keeping each
+    paragraph's first occurrence (lowest (doc_id, position)) — the C4 move
+    against boilerplate: the same nav/footer/disclaimer paragraph appears on
+    millions of pages, and only one copy belongs in a training corpus.
+
+    Output: one row per input doc — ``dedup_text`` (surviving paragraphs
+    re-joined in original order; '' if every paragraph was a repeat),
+    ``n_paragraphs``, ``n_kept``.
+
+    ``normalize=True`` keys repeats on the whitespace-normalized lowercased
+    paragraph; False keys on the exact text.
+
+    Scale shape: explode paragraphs once → ROW_NUMBER over a window keyed
+    on the paragraph HASH (xxhash64 — 8-byte shuffle key instead of the
+    paragraph text; a collision merges two distinct paragraphs with
+    P ≈ n²/2⁶⁴) ordered by (doc_id, pos) → re-aggregate per doc. Two
+    shuffles total (paragraph-hash, doc-id), both map-side combinable on
+    the second leg, nothing quadratic. First-occurrence semantics are
+    deterministic because (doc_id, pos) is unique."""
+    from pyspark.sql import Window
+
+    raw = F.col("__para")
+    key = (
+        F.regexp_replace(F.trim(F.lower(raw)), r"\s+", " ") if normalize else raw
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para")
+    ).withColumn("__key", F.xxhash64(key))
+    w = Window.partitionBy("__key").orderBy(id_col, "__pos")
+    flagged = ex.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("__pos"), F.col("__para"))
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["__para"]
+            ),
+            sep,
+        ).alias("dedup_text"),
+    )
+    return agg.select(id_col, "dedup_text", "n_paragraphs", "n_kept")

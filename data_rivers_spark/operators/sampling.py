@@ -94,3 +94,46 @@ def train_test_split(
     so no example ever migrates between train and eval sets."""
     is_test = hash_bucket(F.col(key_col), seed) < F.lit(fraction_threshold(test_fraction))
     return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def token_budget_trim(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Trim each group (source / language / shard) to a HARD per-group token
+    budget: rows are admitted in content-hash order until the group's
+    cumulative ``tokens_col`` exceeds ``budget`` — the corpus-mixing
+    primitive ("at most N tokens of source X in this training mix").
+
+    Hash-ordered admission makes the kept set an unbiased, reproducible
+    sample: the order is a pure function of (seed, key), so the same rows
+    are admitted regardless of partitioning, engine, or when the group
+    gained new rows — a group that grows only ever APPENDS to the back of
+    its admission order, it never swaps already-admitted rows out... unless
+    a new row hashes into the admitted prefix; for strict append-only
+    admission across batches, snapshot the admitted keys instead.
+
+    Scale: one window keyed on the group hash (the only shuffle); groups
+    stream through their own sorted partition slice. A fractional
+    (expectation-based) cap would be a pure filter — use
+    ``deterministic_sample`` with fraction = budget/total when an
+    approximate cap is acceptable and the extra shuffle is not.
+
+    Ties: two keys with equal 8-hex hash prefixes order by the key itself,
+    so admission stays deterministic."""
+    from pyspark.sql import Window
+
+    h = hash_bucket(F.col(key_col), seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return df.withColumn("__cum", cum).filter(F.col("__cum") <= F.lit(budget)).drop(
+        "__cum"
+    )

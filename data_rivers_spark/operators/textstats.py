@@ -491,3 +491,168 @@ def gopher_repetition_filter(
         & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
     )
     return feats.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (Raffel et al. 2020 §2.2 cleaning heuristics)
+# ---------------------------------------------------------------------------
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The C4 cleaning rules as one per-row expression (no shuffle at all):
+
+    - keep only lines that end in terminal punctuation (. ! ? ")
+    - drop lines with fewer than ``min_words_per_line`` words
+    - drop lines containing the word "javascript" (case-insensitive)
+    - doc-level: reject any document containing "lorem ipsum" or "{", or
+      retaining fewer than ``min_kept_lines`` lines after line filtering
+
+    Output keeps every input row (audit posture, like gopher_repetition_
+    filter): ``kept_text`` (surviving lines re-joined), ``n_lines``,
+    ``n_lines_kept``, ``keep``. Filter-and-project afterwards to apply.
+
+    Scale: the whole operator is a Catalyst higher-order-function pipeline
+    over the line array — per-row, no explode, no aggregation, so it
+    composes with any partitioning and pushes through joins untouched."""
+    lines = F.split(F.col(text_col), line_sep)
+    keep_line = (
+        lambda x: F.rtrim(x).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(x), r"\s+")) >= F.lit(min_words_per_line))
+        & ~F.lower(x).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    doc_ok = (
+        ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, line_sep).alias("kept_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        (doc_ok & (F.size(kept) >= F.lit(min_kept_lines))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level vocabulary / unigram LM / inverted index
+# ---------------------------------------------------------------------------
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: per-token total count and document frequency,
+    ranked by (count desc, token asc) — the tokenizer-training /
+    frequency-cutoff primitive.
+
+    Scale: explode → one hash-aggregate keyed on token (map-side combined;
+    doc_freq via count(distinct id) resolves as a two-phase aggregate on the
+    same key). The rank window is a single-partition sort over the VOCAB,
+    not the corpus — vocabularies are ~10⁶ rows at any corpus size, so this
+    is deliberate, not a scale bug; pass top_k to cut the output."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("token")
+    )
+    counts = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct(F.col(id_col)).alias("doc_freq"),
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= F.lit(min_count))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+    )
+    if top_k is not None:
+        ranked = ranked.filter(F.col("rank") <= F.lit(top_k))
+    return ranked
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str, id_col: str, ndigits: int = 4
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style fluency signal (CCNet scores with a
+    pretrained LM; the self-LM flavor needs no external artifact and flags
+    the same tail of rare-token/gibberish documents).
+
+    score(doc) = avg over token OCCURRENCES of ln(count(token) / total) —
+    no smoothing needed, every scored token is in the corpus by
+    construction. More-negative = rarer vocabulary.
+
+    Scale: one token-keyed aggregate for the LM, one join of the exploded
+    corpus back to it (both sides shuffle on the token hash), one doc-keyed
+    mean. The total-token scalar folds in as a window-free cross join of a
+    1-row aggregate, not a driver round-trip."""
+    ex = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("token"))
+    lm = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = lm.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        ex.join(lm, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("__cnt").cast("double") / F.col("__total"))),
+                ndigits,
+            ).alias("unigram_logprob"),
+        )
+    )
+    # empty docs have no token rows: restore them with NULL score
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.col("unigram_logprob"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Token → posting list (sorted distinct doc ids) with document
+    frequency — the keyword-search / audit primitive over a corpus.
+
+    The posting list is emitted as a comma-joined STRING (sorted ascending,
+    truncated to ``max_postings`` entries) per the repo oracle protocol —
+    no raw array columns in driver-checked output. ``doc_freq`` always
+    counts the FULL posting set even when the emitted list is truncated.
+
+    Scale: distinct (token, id) pairs → one aggregate keyed on token.
+    collect_set is bounded by per-token document frequency; cap the emitted
+    list with ``max_postings`` (stopword-like tokens appear in every doc —
+    at 100 TB their full posting lists are themselves big data, so the
+    operator surfaces df + a bounded sample rather than an unbounded row)."""
+    pairs = df.select(
+        F.explode(words(F.col(text_col))).alias("token"), F.col(id_col)
+    ).distinct()
+    postings = F.sort_array(F.collect_set(F.col(id_col)))
+    if max_postings is not None:
+        emitted = F.slice(postings, 1, max_postings)
+    else:
+        emitted = postings
+    out = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.array_join(emitted.cast("array<string>"), ",").alias("postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= F.lit(min_df))
+    return out

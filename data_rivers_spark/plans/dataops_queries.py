@@ -1091,3 +1091,260 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
         "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 / CCNet corpus-curation layer (round 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c4_filter",
+    oracle=f"""
+    WITH {_LINES_CTE}
+    , planted AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LEN(lines)), i ->
+               CASE WHEN doc_id % 11 = 0 AND i = 1
+                      THEN 'embedded javascript nav bar boilerplate.'
+                    WHEN (i - 1) % 3 = 2 THEN lines[i]
+                    ELSE lines[i] || '.' END) AS pl
+      FROM lines2
+    ), txt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN ARRAY_TO_STRING(pl, CHR(10)) || CHR(10) || 'lorem ipsum {{ dolor sit amet.'
+                  ELSE ARRAY_TO_STRING(pl, CHR(10)) END AS text
+      FROM planted
+    ), f AS (
+      SELECT doc_id, text, STRING_SPLIT(text, CHR(10)) AS lines,
+             LIST_FILTER(STRING_SPLIT(text, CHR(10)), x ->
+               REGEXP_MATCHES(RTRIM(x), '[.!?"]$')
+               AND LEN(STRING_SPLIT_REGEX(TRIM(x), '\\s+')) >= 3
+               AND NOT CONTAINS(LOWER(x), 'javascript')) AS kept
+      FROM txt
+    )
+    SELECT doc_id,
+           COALESCE(ARRAY_TO_STRING(kept, CHR(10)), '') AS kept_text,
+           LEN(lines) AS n_lines,
+           LEN(kept) AS n_lines_kept,
+           NOT CONTAINS(LOWER(text), 'lorem ipsum')
+             AND NOT CONTAINS(text, '{{')
+             AND LEN(kept) >= 3 AS keep
+    FROM f
+    """,
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over the synthesized
+    multi-line corpus with planted violations: every 3rd line lacks terminal
+    punctuation, doc_id%11 docs get a "javascript" first line, doc_id%13
+    docs get a trailing "lorem ipsum {" line. The operator is a pure per-row
+    higher-order-function pipeline — no shuffle anywhere in the plan."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    lined = _synth_lines(docs)
+    arr = F.split(F.col("text"), "\n")
+    pl = F.transform(
+        arr,
+        lambda x, i: F.when(
+            (F.col("doc_id") % 11 == 0) & (i == 0),
+            F.lit("embedded javascript nav bar boilerplate."),
+        )
+        .when(i % 3 == 2, x)
+        .otherwise(F.concat(x, F.lit("."))),
+    )
+    text2 = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.array_join(pl, "\n"), F.lit("\nlorem ipsum { dolor sit amet.")),
+    ).otherwise(F.array_join(pl, "\n"))
+    fixture = lined.select("doc_id", text2.alias("text"))
+    return TX.c4_quality_filter(fixture, "text", "doc_id")
+
+
+@query(
+    "q_paragraph_dedup",
+    oracle=f"""
+    WITH {_LINES_CTE}
+    , pex AS (
+      SELECT doc_id, i AS pos, lines[i] AS para,
+             REGEXP_REPLACE(TRIM(LOWER(lines[i])), '\\s+', ' ', 'g') AS k
+      FROM (SELECT doc_id, lines,
+                   UNNEST(GENERATE_SERIES(1, LEN(lines))) AS i
+            FROM lines2)
+    ), prn AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+      FROM pex
+    )
+    SELECT doc_id,
+           COALESCE(ARRAY_TO_STRING(LIST(para ORDER BY pos) FILTER (WHERE rn = 1),
+                                    CHR(10)), '') AS dedup_text,
+           COUNT(*) AS n_paragraphs,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+    FROM prn GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph dedup (C4 §2.2: first occurrence wins) over
+    the synthesized multi-line corpus — its planted intra-doc repeats plus
+    whatever 8-word chunks recur across documents dedup globally. The Spark
+    window keys on xxhash64 of the normalized paragraph (8-byte shuffle
+    key); the oracle keys on the normalized text itself — identical cluster
+    structure barring a 2^-64 collision."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    return D.paragraph_dedup(_synth_lines(docs), "text", "doc_id")
+
+
+@query(
+    "q_vocabulary",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
+      FROM documents WHERE TRIM(text) != ''
+    ), c AS (
+      SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM ex GROUP BY token HAVING COUNT(*) >= 5
+    ), r AS (
+      SELECT token, cnt, doc_freq,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM c
+    )
+    SELECT token, cnt, doc_freq, rank FROM r WHERE rank <= 100
+    """,
+)
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with counts, document frequency and frequency rank
+    (min_count=5, top 100) — the tokenizer-training primitive. The rank
+    window sorts the VOCAB (bounded), never the corpus."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    out = TX.vocabulary(docs, "text", "doc_id", min_count=5, top_k=100)
+    return out.select("token", "cnt", "doc_freq", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
+      FROM documents WHERE TRIM(text) != ''
+    ), lm AS (
+      SELECT token, COUNT(*) AS cnt FROM ex GROUP BY token
+    ), t AS (
+      SELECT SUM(cnt) AS total FROM lm
+    ), scored AS (
+      SELECT e.doc_id, COUNT(*) AS n_tokens,
+             ROUND(AVG(LN(lm.cnt * 1.0 / t.total)), 4) AS unigram_logprob
+      FROM ex e JOIN lm USING (token) CROSS JOIN t
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.unigram_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency scoring: per-doc mean log-probability under the
+    corpus's own unigram LM (more negative = rarer vocabulary). Token-keyed
+    LM aggregate + join, doc-keyed mean; the total-token scalar stays
+    in-plan (broadcast 1-row aggregate, no driver round-trip)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    return TX.unigram_logprob_score(docs, "text", "doc_id")
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
+      FROM documents WHERE TRIM(text) != ''
+    ), pairs AS (
+      SELECT DISTINCT token, doc_id FROM ex
+    )
+    SELECT token, COUNT(*) AS doc_freq,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(LIST(doc_id ORDER BY doc_id)[1:20],
+                            x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM pairs GROUP BY token HAVING COUNT(*) >= 50
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → posting list (sorted doc ids, capped at 20, serialized to a
+    CSV string per the oracle protocol) with full document frequency, for
+    tokens appearing in ≥ 50 documents. doc_freq counts the FULL posting
+    set even when the emitted list is truncated."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    return TX.inverted_index(docs, "text", "doc_id", min_df=50, max_postings=20)
+
+
+@query(
+    "q_token_budget_trim",
+    oracle="""
+    WITH cum AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY SUBSTR(MD5('9:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM cum WHERE c <= 20000
+    """,
+)
+def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing with a HARD per-source budget: each source admits
+    documents in content-hash order (seed 9) until 20k cumulative chars —
+    reproducible across engines/partitioning because admission order is a
+    pure function of (seed, doc_id). One group-keyed window is the only
+    shuffle."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "source", "n_chars")
+    return SA.token_budget_trim(
+        docs, "doc_id", "source", "n_chars", budget=20000, seed=9
+    )
+
+
+@query(
+    "q_source_quality_rollup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, text,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(LEN(text)), 2) AS avg_chars,
+           ROUND(AVG(LEN(ws)), 2) AS avg_words,
+           ROUND(AVG(CASE WHEN LEN(ws) = 0 THEN 0
+                 ELSE LEN(LIST_FILTER(ws, x -> x IN ({_STOP_EN}))) * 1.0 / LEN(ws) END), 4)
+             AS avg_stopword_ratio,
+           COUNT(*) FILTER (WHERE LEN(ws) < 10) AS n_too_short
+    FROM w GROUP BY source
+    """,
+)
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality profile — the triage view a curation run starts
+    with (which sources are short/stopword-poor and worth trimming).
+    Composes quality_features with one source-keyed aggregate; everything
+    map-side combines."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    feats = TX.quality_features(
+        t["documents"].select("doc_id", "source", "text"), "text"
+    )
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q_n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg("q_n_words"), 2).alias("avg_words"),
+        F.round(F.avg("q_stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.count(F.when(F.col("q_n_words") < 10, 1)).alias("n_too_short"),
+    )

@@ -459,3 +459,75 @@ def test_gopher_repetition_filter_verdict(spark):
     assert out[1].keep is True
     assert out[2].keep is False
     assert out[2].dup_line_frac > 0.8
+
+
+def test_c4_quality_filter_rules(spark):
+    """Each C4 rule verified on a hand-built doc: terminal punctuation,
+    min words per line, javascript lines, doc-level lorem-ipsum/brace."""
+    good = "alpha beta gamma.\nshort.\nno terminal punct\nbad javascript line."
+    lorem = "one two three.\nfour five six.\nseven eight nine.\nlorem ipsum x."
+    brace = "one two three.\nfour five six.\nseven eight {nine}."
+    clean = "one two three.\nfour five six!\nseven eight nine?"
+    df = spark.createDataFrame(
+        [(1, good), (2, lorem), (3, brace), (4, clean)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.c4_quality_filter(df, "text", "doc_id").collect()}
+    # doc 1: 'short.' (<3 words), bare line (no punct), javascript → only 1 kept
+    assert out[1].n_lines == 4 and out[1].n_lines_kept == 1
+    assert out[1].kept_text == "alpha beta gamma."
+    assert out[1].keep is False  # < 3 kept lines
+    assert out[2].n_lines_kept == 4 and out[2].keep is False  # lorem ipsum
+    assert out[3].keep is False  # brace
+    assert out[4].keep is True and out[4].kept_text == clean
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Global first occurrence (lowest doc_id, pos) survives; later copies
+    drop; within-doc order is preserved; whitespace/case normalize."""
+    df = spark.createDataFrame(
+        [
+            (1, "shared footer\nunique one"),
+            (2, "unique two\nSHARED   FOOTER\nunique three"),
+            (3, "shared footer\nshared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.paragraph_dedup(df, "text", "doc_id").collect()}
+    assert out[1].dedup_text == "shared footer\nunique one"
+    assert out[2].dedup_text == "unique two\nunique three"
+    assert out[2].n_paragraphs == 3 and out[2].n_kept == 2
+    assert out[3].dedup_text == "" and out[3].n_kept == 0
+    # exact mode keeps the case-variant copy
+    exact = {r.doc_id: r for r in
+             D.paragraph_dedup(df, "text", "doc_id", normalize=False).collect()}
+    assert exact[2].n_kept == 3
+
+
+def test_vocabulary_and_unigram_logprob(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id long, text string"
+    )
+    vocab = {r.token: r for r in TX.vocabulary(df, "text", "doc_id").collect()}
+    assert vocab["a"].cnt == 3 and vocab["a"].doc_freq == 2 and vocab["a"].rank == 1
+    assert vocab["b"].cnt == 1 and vocab["b"].doc_freq == 1
+    assert TX.vocabulary(df, "text", "doc_id", min_count=2).count() == 1
+    # unigram LM: total 5 tokens; P(a)=3/5, P(b)=1/5, P(c)=1/5
+    out = {r.doc_id: r for r in
+           TX.unigram_logprob_score(df, "text", "doc_id").collect()}
+    exp1 = (2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    assert abs(out[1].unigram_logprob - round(exp1, 4)) < 1e-9
+    assert out[3].n_tokens == 0 and out[3].unigram_logprob is None
+
+
+def test_inverted_index_cap_and_df(spark):
+    rows = [(i, "common token" + (" rare" if i == 0 else "")) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: r for r in
+           TX.inverted_index(df, "text", "doc_id", max_postings=5).collect()}
+    assert out["common"].doc_freq == 30  # full df even when list capped
+    assert out["common"].postings == "0,1,2,3,4"
+    assert out["rare"].postings == "0"
+    assert TX.inverted_index(df, "text", "doc_id", min_df=2).count() == 2

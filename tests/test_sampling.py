@@ -129,3 +129,27 @@ def test_l2_normalize(spark):
     out = {r.id: r.n for r in df.select("id", S.l2_normalize(F.col("v")).alias("n")).collect()}
     assert abs(out[1][0] - 0.6) < 1e-12 and abs(out[1][1] - 0.8) < 1e-12
     assert out[2] == [0.0, 0.0]
+
+
+def test_token_budget_trim_hard_cap(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        F.lit(7).alias("tok"),
+    )
+    out = SA.token_budget_trim(df, "k", "src", "tok", budget=70, seed=3)
+    rows = out.collect()
+    # hard cap: each group admits exactly floor(70/7)=10 rows
+    per = {}
+    for r in rows:
+        per[r.src] = per.get(r.src, 0) + r.tok
+    assert all(v <= 70 for v in per.values()) and len(per) == 2
+    # deterministic under repartitioning
+    again = {r.k for r in
+             SA.token_budget_trim(df.repartition(13), "k", "src", "tok",
+                                  budget=70, seed=3).collect()}
+    assert {r.k for r in rows} == again
+    # different seed admits a different prefix
+    other = {r.k for r in
+             SA.token_budget_trim(df, "k", "src", "tok", budget=70, seed=4).collect()}
+    assert {r.k for r in rows} != other
