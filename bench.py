@@ -43,6 +43,11 @@ HEADLINE = [
     "q18_large_volume_customer",
     "q_signlsh_topk",
     "q_revgeo_multizone",
+    # corpus-curation paths (round 3): zero-shuffle line rules, corpus-global
+    # paragraph dedup, token-keyed LM join
+    "q_c4_filter",
+    "q_paragraph_dedup",
+    "q_unigram_logprob",
 ]
 
 
