@@ -583,7 +583,11 @@ def vocabulary(
 
 
 def unigram_logprob_score(
-    df: DataFrame, text_col: str, id_col: str, ndigits: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ndigits: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram LM — the CCNet-style fluency signal (CCNet scores with a
@@ -597,9 +601,18 @@ def unigram_logprob_score(
     Scale: one token-keyed aggregate for the LM, one join of the exploded
     corpus back to it (both sides shuffle on the token hash), one doc-keyed
     mean. The total-token scalar folds in as a window-free cross join of a
-    1-row aggregate, not a driver round-trip."""
+    1-row aggregate, not a driver round-trip.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the LM frame —
+    it is vocab-sized (small at any corpus size), and without it Catalyst
+    re-plans the full tokenize+aggregate subtree for BOTH consumers (the
+    scoring join and the total), tokenizing the corpus three times instead
+    of twice (plan-audited; DataFrame reuse is lineage reuse, not
+    computation reuse — same lesson as the LSH shingle frame)."""
     ex = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("token"))
     lm = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
+    if materialize:
+        lm = lm.localCheckpoint(eager=True)
     total = lm.agg(F.sum("__cnt").alias("__total"))
     scored = (
         ex.join(lm, "token")

@@ -44,6 +44,22 @@ Notes on specific plans:
 - **q_deterministic_sample** — the md5-threshold predicate is a plain
   filter: it sits directly on the scan (no shuffle, no RNG state), which is
   what makes hash-sampling composable with partition pruning at 100 TB.
+- **q_c4_filter** — the entire C4 rule set is ONE Project over the scan: no
+  Exchange anywhere in the plan. Line splitting, per-line predicates, and
+  doc verdicts are higher-order functions over the line array — interpreted,
+  but per-row and shuffle-free, so the operator composes with any upstream
+  partitioning and pushes through joins untouched.
+- **q_paragraph_dedup** — two Exchanges total: hash(xxhash64(paragraph))
+  for the first-occurrence window (8-byte key, not the paragraph text) and
+  hash(doc_id) for the re-assembly aggregate. Nothing quadratic; the
+  paragraph text itself shuffles once, unavoidably, to meet its twin.
+- **q_unigram_logprob** — the vocab-sized LM frame is eagerly
+  localCheckpointed, so the scoring join AND the corpus-total aggregate read
+  one cached RDD (`Scan ExistingRDD` twice) and the corpus is tokenized
+  exactly twice (LM build + scoring side) — without it the plan re-derived
+  the tokenize+aggregate subtree per consumer, tokenizing 3×. The total
+  scalar stays a broadcast 1-row aggregate inside the plan, not a driver
+  job.
 """
 
 
@@ -64,6 +80,9 @@ def main() -> None:
         "q_incremental_merge",
         "q_minhash_lsh_dedup",
         "q_deterministic_sample",
+        "q_c4_filter",
+        "q_paragraph_dedup",
+        "q_unigram_logprob",
     ]
     out = [HEADER.format(sf=sf_dir)]
     for name in names:
