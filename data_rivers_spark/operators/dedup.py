@@ -463,6 +463,7 @@ def incremental_lsh_dedup(
     run_log=None,
     run_log_source: str = "lsh_dedup",
     keep_dropped_signatures: bool = False,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new batch against BOTH itself and an already-deduped corpus
     without re-mining the corpus — the shape a 100 TB pipeline actually runs
@@ -500,7 +501,16 @@ def incremental_lsh_dedup(
 
     Determinism: signatures are seeded xxhash64 (no RNG), so signature rows
     computed in an earlier run collide correctly with rows computed today —
-    nothing needs re-hashing as the store grows."""
+    nothing needs re-hashing as the store grows.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the BATCH-scale
+    intermediates (shingle sets, banded rows, dupe ids) — each has multiple
+    downstream consumers, and lineage-only sharing re-plans the whole batch
+    tokenize per consumer (a plan audit of the two-batch query showed the
+    documents scan replicated 62×). All three frames are batch-sized by the
+    operator's own premise, and a production pipeline writes the banded
+    frame to the store table anyway. Pass False when staging every
+    intermediate through tables yourself."""
     if batch_min_id is None and run_log is not None:
         stored = run_log.last_successful_run(run_log_source)
         if stored is not None:
@@ -509,7 +519,11 @@ def incremental_lsh_dedup(
         row = batch.agg(F.min(F.col(id_col))).first()
         batch_min_id = row[0] if row and row[0] is not None else 0
     sets_b = shingle_sets(batch, text_col, id_col, shingle_n)
+    if materialize:
+        sets_b = sets_b.localCheckpoint(eager=True)
     banded_b = _banded_from_sets(sets_b, id_col, num_hashes, bands)
+    if materialize:
+        banded_b = banded_b.localCheckpoint(eager=True)
     all_banded = (
         banded_b
         if master_banded is None
@@ -531,6 +545,8 @@ def incremental_lsh_dedup(
         batch, cands, text_col, id_col, threshold, shingle_n=shingle_n, sets=sets
     )
     dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if materialize:
+        dupes = dupes.localCheckpoint(eager=True)
     survivors = batch.join(dupes, id_col, "left_anti")
     if keep_dropped_signatures:
         return survivors, banded_b
