@@ -531,3 +531,16 @@ def test_inverted_index_cap_and_df(spark):
     assert out["common"].postings == "0,1,2,3,4"
     assert out["rare"].postings == "0"
     assert TX.inverted_index(df, "text", "doc_id", min_df=2).count() == 2
+
+
+def test_exact_dedup_single_pass_equivalence(spark):
+    """Both exact_dedup formulations produce identical surviving rows."""
+    df = spark.createDataFrame(
+        [(3, "dup", "c"), (1, "dup", "a"), (2, "uniq", "b"), (4, "dup", "d")],
+        "doc_id long, text string, extra string",
+    )
+    a = sorted((r.doc_id, r.text, r.extra) for r in
+               D.exact_dedup(df, "text", "doc_id").collect())
+    b = sorted((r.doc_id, r.text, r.extra) for r in
+               D.exact_dedup(df, "text", "doc_id", single_pass=True).collect())
+    assert a == b == [(1, "dup", "a"), (2, "uniq", "b")]
