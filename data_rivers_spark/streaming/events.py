@@ -154,3 +154,65 @@ def stream_merge_into_catalog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_into_corpus(
+    docs: DataFrame,
+    catalog,
+    corpus_table: str,
+    signature_table: str,
+    text_col: str,
+    id_col: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    keep_dropped_signatures: bool = False,
+):
+    """Continuous corpus ingestion with near-dup dedup: every micro-batch
+    runs ``incremental_lsh_dedup`` against the PERSISTED signature store,
+    appends the surviving docs to the corpus table and their banded
+    signature rows to the store — the streaming twin of the batch
+    incremental dedup, with exactly-once micro-batch bookkeeping from the
+    checkpoint instead of a hand-rolled watermark file.
+
+    Contract carried over from the batch operator: doc ids must be
+    monotonically increasing across batches (the id cutoff is what prunes
+    corpus-vs-corpus work). Per batch this touches the corpus text only via
+    the bucket-hit semi-join, so steady-state cost tracks the batch size,
+    not the accumulated corpus.
+
+    Scale note: foreachBatch is the right tool here, not a stateful
+    operator — the dedup state (banded signatures) is corpus-sized and
+    belongs in a table, not in the state store."""
+    from data_rivers_spark.operators.dedup import incremental_lsh_dedup
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        first = batch_df.select(F.min(F.col(id_col)).alias("m")).collect()
+        if not first or first[0].m is None:
+            return
+        batch_min_id = first[0].m
+        have_store = catalog.exists(signature_table)
+        master_docs = catalog.read(corpus_table) if have_store else None
+        master_banded = catalog.read(signature_table) if have_store else None
+        survivors, banded = incremental_lsh_dedup(
+            batch_df,
+            master_docs,
+            master_banded,
+            text_col,
+            id_col,
+            threshold=threshold,
+            batch_min_id=batch_min_id,
+            keep_dropped_signatures=keep_dropped_signatures,
+        )
+        if have_store:
+            catalog.insert_into(corpus_table, survivors)
+            catalog.insert_into(signature_table, banded)
+        else:
+            catalog.create_or_replace(survivors, corpus_table)
+            catalog.create_or_replace(banded, signature_table)
+
+    return (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -42,3 +42,51 @@ def test_running_user_totals_across_batches(spark, tmp_path):
         final[r.user_id] = (r.n_events, r.total_value)
     assert final[1] == (2, 5.5)
     assert final[2] == (1, 2.0)
+
+
+def test_stream_dedup_into_corpus_across_batches(spark, tmp_path):
+    """foreachBatch incremental dedup: the second micro-batch must dedup
+    against the signature store the first micro-batch persisted — exact
+    copies of already-ingested docs are rejected, novel docs land, and the
+    store grows by exactly the survivors."""
+    import json as _json
+
+    from data_rivers_spark.catalog.tables import ManagedCatalog
+    from data_rivers_spark.streaming.events import stream_dedup_into_corpus
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = "one two three four five six seven eight nine ten"
+    d3 = "red orange yellow green blue indigo violet bright shine colors"
+    # maxFilesPerTrigger=1 → two micro-batches in id order
+    (src / "a_batch1.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t})
+                  for i, t in [(1, d1), (2, d2)])
+    )
+    (src / "b_batch2.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t})
+                  for i, t in [(10, d1), (11, d3)])  # 10 = copy of doc 1
+    )
+    # FileStreamSource orders files by modification time — pin distinct
+    # mtimes so batch 1 (the lower ids) genuinely ingests first
+    import os as _os
+
+    _os.utime(src / "a_batch1.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b_batch2.json", (1_700_000_100, 1_700_000_100))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cat = ManagedCatalog(spark, str(tmp_path / "warehouse"))
+    q = stream_dedup_into_corpus(
+        stream, cat, "corpus", "corpus_sigs", "text", "doc_id",
+        checkpoint=str(tmp_path / "ckpt2"), threshold=0.8,
+    )
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in cat.read("corpus").collect())
+    assert got == [1, 2, 11], got  # copy of doc 1 rejected, novel doc kept
+    sig_ids = sorted(r.doc_id for r in
+                     cat.read("corpus_sigs").select("doc_id").distinct().collect())
+    assert sig_ids == [1, 2, 11]
