@@ -1348,3 +1348,65 @@ def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("q_stopword_ratio"), 4).alias("avg_stopword_ratio"),
         F.count(F.when(F.col("q_n_words") < 10, 1)).alias("n_too_short"),
     )
+
+
+@query(
+    "q_pii_scrub",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN ' call 412-555-1234' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '[EMAIL_ADDRESS]', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[US_SOCIAL_SECURITY_NUMBER]', 'g'),
+             '(\\+?1[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}',
+             '[PHONE_NUMBER]', 'g') AS scrubbed
+    FROM planted
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale PII redaction (the reference's ReplacePII regex fallback,
+    dataflow_utils.py:570-594, applied as a training-data curation step):
+    emails, SSNs, then phone numbers become bracketed info-type tokens.
+    Planted PII by id class keeps the check non-degenerate; replacement
+    ORDER is part of the contract (SSN before phone — a bare 3-2-4 SSN must
+    not be half-eaten by the 3-3-4 phone pattern) and the oracle mirrors
+    it. Pure regexp_replace expressions — no shuffle."""
+    from data_rivers_spark.operators import transforms as TR
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" call 412-555-1234")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = TR.replace_pii(planted, "text", "scrubbed")
+    return out.select("doc_id", "scrubbed")
