@@ -1410,3 +1410,68 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = TR.replace_pii(planted, "text", "scrubbed")
     return out.select("doc_id", "scrubbed")
+
+
+@query(
+    "q_validate_orders",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS rule,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations,
+           COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                               OR o_orderstatus IS NULL),
+           COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                               OR o_orderstatus IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000
+                               OR o_totalprice IS NULL),
+           COUNT(*),
+           COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000
+                               OR o_totalprice IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           SUM(n - 1), SUM(n), SUM(n - 1) = 0
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'referential(o_custkey->c_custkey)',
+           (SELECT COUNT(*) FROM orders o LEFT JOIN
+              (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o LEFT JOIN
+              (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+    """,
+)
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style validation of the orders batch before publish:
+    three row-level rules in ONE aggregation pass (null custkey, status
+    domain, price range), plus the keyed uniqueness and referential-
+    integrity checks, unioned into a (rule, violations, total, passed)
+    report — the declarative generalization of the reference's ad-hoc
+    data-quality table (general_queries.py:23-44)."""
+    from data_rivers_spark.operators import validation as V
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    orders, customer = t["orders"], t["customer"]
+    report = V.validate(
+        orders,
+        [
+            V.not_null("o_custkey"),
+            V.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            V.in_range("o_totalprice", 0, 1_000_000),
+        ],
+    )
+    return report.unionByName(
+        V.unique_check(orders, ["o_orderkey"])
+    ).unionByName(
+        V.referential_check(orders, "o_custkey", customer, "c_custkey")
+    )
