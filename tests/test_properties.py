@@ -1,66 +1,81 @@
-"""Property-based tests (hypothesis) for the string-shaping operators.
+"""Property-based tests (hypothesis) for operator invariants.
 
-The reference has no property tests (SURVEY §5); these pin invariants that
-golden fixtures can't cover exhaustively. Strategy: generate inputs in
-Python, run them through the Spark operators in one batch per example set
-(collected via a shared session), and check invariants row-wise."""
+Each example batches its generated rows into ONE Spark job, and
+max_examples stays small — the point is randomized coverage of invariants
+(idempotence, bounds, symmetry) that example tables can miss, not
+throughput."""
 
 from __future__ import annotations
-
-import re
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from data_rivers_spark.functions.text import camel_to_snake_case
-from data_rivers_spark.operators import transforms as X
+from pyspark.sql import functions as F
 
-SLOW = settings(
-    max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abc xyz.!?\n")), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=12,
 )
 
 
-@given(st.text(alphabet=st.characters(min_codepoint=48, max_codepoint=122), min_size=1, max_size=30))
-@settings(max_examples=200, deadline=None)
-def test_camel_to_snake_properties(s):
-    out = camel_to_snake_case(s)
-    # idempotent and lowercase
-    assert camel_to_snake_case(out) == out
-    assert out == out.lower()
+@given(texts)
+@SET
+def test_dup_ngram_char_fraction_bounded(spark, rows):
+    """0 ≤ dup-ngram coverage ≤ 1 for ANY text (the defect class the
+    interval-union fix removed was values > 1)."""
+    from data_rivers_spark.operators import textstats as TX
+
+    df = spark.createDataFrame(list(enumerate(rows)), "doc_id long, text string")
+    vals = [
+        r.dup_2gram_char_frac
+        for r in TX.dup_ngram_char_fraction(df, "text", "doc_id", n=2).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals), vals
 
 
-PHONES = st.lists(
-    st.sampled_from(list("0123456789-.,+() ")), min_size=10, max_size=20
-).map("".join).filter(lambda s: len(re.sub(r"[^0-9]", "", s)) >= 10)
+@given(texts)
+@SET
+def test_jaccard_words_bounds_symmetry_identity(spark, rows):
+    from data_rivers_spark.operators.dedup import jaccard_words
+
+    df = spark.createDataFrame(list(enumerate(rows)), "doc_id long, text string")
+    pairs = df.alias("a").crossJoin(df.alias("b")).select(
+        jaccard_words(F.col("a.text"), F.col("b.text")).alias("jab"),
+        jaccard_words(F.col("b.text"), F.col("a.text")).alias("jba"),
+        (F.col("a.doc_id") == F.col("b.doc_id")).alias("same"),
+    )
+    for r in pairs.collect():
+        assert 0.0 <= r.jab <= 1.0
+        assert abs(r.jab - r.jba) < 1e-12  # symmetric
+        if r.same:
+            assert r.jab == 1.0  # self-similarity (empty text defined as 1)
 
 
-@SLOW
-@given(st.lists(PHONES, min_size=1, max_size=20, unique=True))
-def test_phone_format_properties(spark, phones):
-    df = spark.createDataFrame([(p,) for p in phones], "phone string")
-    out = [r.phone for r in X.reformat_phone_numbers(df, "phone").collect()]
-    for raw, got in zip(phones, out):
-        digits = re.sub(r"[^0-9]", "", raw)
-        # shape: +CC (AAA) XXX-XXXX, last 10 digits preserved in order
-        assert re.fullmatch(r"\+\d+ \(\d{3}\) \d{3}-\d{4}", got), (raw, got)
-        assert re.sub(r"[^0-9]", "", got)[-10:] == digits[-10:]
-
-
-PARCELS = st.one_of(
-    st.from_regex(r"[0-9]{1,4}-[A-Z]-[0-9]{1,5}", fullmatch=True),
-    st.from_regex(r"[0-9]{4}[A-Z][0-9]{5}[0-9A-Z]{4}[0-9A-Z]{2}", fullmatch=True),
-    st.text(min_size=0, max_size=20),
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("0123456789ABC-")), max_size=20),
+        min_size=1,
+        max_size=15,
+    )
 )
+@SET
+def test_parcel_standardization_idempotent(spark, raws):
+    """standardize(standardize(x)) == standardize(x) for arbitrary junk —
+    canonical forms must be fixed points, junk must stay rejected."""
+    from data_rivers_spark.operators import transforms as TR
 
-
-@SLOW
-@given(st.lists(PARCELS, min_size=1, max_size=30, unique=True))
-def test_parcel_standardization_properties(spark, parcels):
-    df = spark.createDataFrame([(p,) for p in parcels], "parc string")
-    out = [r.parc for r in X.standardize_parcel_numbers(df, "parc").collect()]
-    for got in out:
-        # output is either a sentinel or a canonical 16-char parcel with >2
-        # distinct chars and no hyphens
-        assert got in ("invalid input", "invalid_input") or (
-            len(got) == 16 and "-" not in got and len(set(got)) > 2
-        ), got
+    df = spark.createDataFrame(list(enumerate(raws)), "id long, parc_id string")
+    once = TR.standardize_parcel_numbers(df, "parc_id")
+    twice = TR.standardize_parcel_numbers(once, "parc_id")
+    a = {r.id: r.parc_id for r in once.collect()}
+    b = {r.id: r.parc_id for r in twice.collect()}
+    assert a == b
