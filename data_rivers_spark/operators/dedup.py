@@ -882,3 +882,39 @@ def paragraph_dedup(
         ).alias("dedup_text"),
     )
     return agg.select(id_col, "dedup_text", "n_paragraphs", "n_kept")
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    exact_closure: bool = False,
+) -> DataFrame:
+    """Near-dup dedup via SimHash: signature → blocked hamming pairs →
+    greedy min-id drop (every doc that is the greater side of a ≤
+    max_hamming pair is removed). The cheap single-signature alternative to
+    MinHash-LSH when per-doc cost matters more than Jaccard fidelity —
+    SimHash is one 64-bit signature per doc vs k minhashes, at the price of
+    a fuzzier similarity notion (weighted token overlap, not shingle
+    Jaccard).
+
+    ``exact_closure=True`` runs connected components over the pair graph
+    first, so a chain a~b~c collapses to one survivor even when a and c
+    never paired directly (same option as dedup_by_components for LSH).
+
+    The pair frame is materialized once (localCheckpoint) before the
+    anti-join — same pushed-through-Union replay hazard as
+    minhash_lsh_dedup."""
+    sigs = simhash_column(df.select(F.col(id_col), F.col(text_col)), text_col)
+    pairs = simhash_near_pairs(sigs, id_col, max_hamming=max_hamming).localCheckpoint(
+        eager=True
+    )
+    if exact_closure:
+        comps = connected_components(pairs.select("id_a", "id_b"))
+        dupes = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, id_col, "left_anti")

@@ -189,3 +189,66 @@ def cherwell_pipeline(
     else:
         catalog.create_or_replace(incoming, master_table)
     return catalog.read(master_table)
+
+
+def corpus_curation_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    dedup_threshold: float = 0.8,
+    sample_fraction: float = 1.0,
+    test_fraction: float = 0.05,
+    pack_budget: int = 2048,
+    seed: int | str = 0,
+) -> DataFrame:
+    """The full training-corpus preparation chain, composed from the
+    oracled building blocks in the order the modern pipelines run them
+    (C4 → Gopher → global paragraph dedup → MinHash-LSH near-dup dedup →
+    benchmark decontamination → deterministic sample → train/test split →
+    sequence packing):
+
+    1. C4 line cleaning (c4_quality_filter) — doc rejected or its kept
+       lines become the working text.
+    2. Gopher repetition filter over the cleaned text.
+    3. Corpus-global paragraph dedup (first occurrence wins).
+    4. MinHash-LSH near-dup dedup of whole documents.
+    5. Decontamination vs the benchmark set (skipped when None).
+    6. Content-hash sampling + leakage-safe split.
+    7. Token counting + per-split sequence packing.
+
+    Each stage is the operator already verified by its own driver oracle;
+    this function pins the COMPOSITION (column contracts between stages),
+    which the end-to-end test exercises. Output: one row per surviving doc
+    with (id, text, n_tokens, split, chunk_idx)."""
+    from data_rivers_spark.operators import dedup as D
+    from data_rivers_spark.operators import sampling as SA
+    from data_rivers_spark.operators import textstats as TX
+
+    c4 = TX.c4_quality_filter(docs, text_col, id_col)
+    cleaned = (
+        c4.filter(F.col("keep"))
+        .select(F.col(id_col), F.col("kept_text").alias(text_col))
+    )
+    gopher = TX.gopher_repetition_filter(cleaned, text_col, id_col)
+    kept = cleaned.join(
+        gopher.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    para = D.paragraph_dedup(kept, text_col, id_col)
+    para_docs = (
+        para.filter(F.col("n_kept") > 0)
+        .select(F.col(id_col), F.col("dedup_text").alias(text_col))
+    )
+    deduped = D.minhash_lsh_dedup(
+        para_docs, text_col, id_col, threshold=dedup_threshold
+    )
+    if benchmark is not None:
+        flagged = TX.flag_contaminated(deduped, benchmark, text_col, id_col)
+        deduped = flagged.filter(~F.col("contaminated")).select(id_col, text_col)
+    sampled = SA.deterministic_sample(deduped, id_col, sample_fraction, seed)
+    split = SA.train_test_split(sampled, id_col, test_fraction, seed)
+    counted = split.withColumn("n_tokens", TX.token_count_ws(F.col(text_col)))
+    packed = TX.sequential_pack(
+        counted, "n_tokens", id_col, budget=pack_budget, group_col="split"
+    )
+    return packed

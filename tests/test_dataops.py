@@ -544,3 +544,66 @@ def test_exact_dedup_single_pass_equivalence(spark):
     b = sorted((r.doc_id, r.text, r.extra) for r in
                D.exact_dedup(df, "text", "doc_id", single_pass=True).collect())
     assert a == b == [(1, "dup", "a"), (2, "uniq", "b")]
+
+
+def test_simhash_dedup_greedy_and_closure(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " x"),
+         (4, "entirely different words about columnar query execution engines")],
+        "doc_id long, text string",
+    )
+    surv = {r.doc_id for r in
+            D.simhash_dedup(df, "text", "doc_id", max_hamming=3).collect()}
+    assert 1 in surv and 2 not in surv and 4 in surv
+    closure = {r.doc_id for r in
+               D.simhash_dedup(df, "text", "doc_id", max_hamming=3,
+                               exact_closure=True).collect()}
+    assert closure <= surv and 1 in closure and 4 in closure
+
+
+def test_corpus_curation_pipeline_end_to_end(spark):
+    """Column contracts between all 7 stages hold; dirty docs fall out at
+    the right stage; output carries (split, chunk_idx) for every survivor."""
+    from data_rivers_spark.plans.pipelines import corpus_curation_pipeline
+
+    good = "red blue. green gold. pink gray.\none two. three four. five six.\ncat dog. fox owl. bee ant."
+    # same lines, permuted → every paragraph is a global dup of doc 1's →
+    # dies at the paragraph-dedup stage (n_kept = 0)
+    line_permuted = "\n".join(reversed(good.split("\n")))
+    # same WORD stream reflowed across different line breaks → every line
+    # key is new (survives paragraph dedup) but shingle jaccard vs doc 1 is
+    # 14/16 = 0.875 → dies at the LSH stage
+    reflowed = (
+        "red blue. green gold.\n"
+        "pink gray. one two. three four.\n"
+        "five six. cat dog. fox owl.\n"
+        "bee ant."  # < 3 words: C4 drops just this line
+    )
+    lorem = "one two three.\nfour five six.\nseven eight nine.\nlorem ipsum dolor."
+    spammy = "\n".join(["buy now best price today."] * 12)
+    bench = spark.createDataFrame(
+        [(999, "totally unrelated benchmark prompt")], "doc_id long, text string"
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, line_permuted), (3, lorem), (4, spammy),
+         # long enough that no single 2-gram covers >20% of the doc (the
+         # Gopher top-2gram rule intentionally rejects very short docs)
+         (5, "unique survivor document number one with plenty of words inside.\n"
+             "another completely full sentence follows here right now today.\n"
+             "third distinct line closes this healthy document gracefully.")],
+        "doc_id long, text string",
+    ).unionByName(
+        spark.createDataFrame([(6, reflowed)], "doc_id long, text string")
+    )
+    out = corpus_curation_pipeline(
+        df, benchmark=bench, dedup_threshold=0.6, pack_budget=8
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 in ids and 5 in ids
+    assert 3 not in ids      # lorem ipsum rejected by C4
+    assert 4 not in ids      # repetition rejected by Gopher
+    assert 2 not in ids      # all paragraphs were global dups → paragraph stage
+    assert 6 not in ids      # reflowed near-dup of doc 1 → LSH stage
+    for r in out:
+        assert r.split in ("train", "test") and r.chunk_idx >= 0 and r.n_tokens > 0
