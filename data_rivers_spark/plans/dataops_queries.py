@@ -1475,3 +1475,124 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         V.referential_check(orders, "o_custkey", customer, "c_custkey")
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH {_LINES_CTE}
+    , dotted AS (
+      SELECT doc_id, LIST_TRANSFORM(lines, x -> x || '.') AS lines FROM lines2
+    ), based AS (
+      SELECT doc_id, ARRAY_TO_STRING(lines, CHR(10)) AS text FROM dotted
+    ), aug AS (
+      SELECT doc_id, text FROM based
+      UNION ALL
+      SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
+      FROM based WHERE doc_id % 6 = 0
+    ), c4f AS (
+      SELECT doc_id, text,
+             LIST_FILTER(STRING_SPLIT(text, CHR(10)), x ->
+               REGEXP_MATCHES(RTRIM(x), '[.!?"]$')
+               AND LEN(STRING_SPLIT_REGEX(TRIM(x), '\\s+')) >= 3
+               AND NOT CONTAINS(LOWER(x), 'javascript')) AS kept
+      FROM aug
+    ), c4kept AS (
+      SELECT doc_id, kept FROM c4f
+      WHERE NOT CONTAINS(LOWER(text), 'lorem ipsum')
+        AND NOT CONTAINS(text, '{{') AND LEN(kept) >= 3
+    ), sh AS (
+      SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id,
+                     STRING_SPLIT_REGEX(TRIM(LOWER(ARRAY_TO_STRING(kept, CHR(10)))), '\\s+') AS ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(
+                       LEN(STRING_SPLIT_REGEX(TRIM(LOWER(ARRAY_TO_STRING(kept, CHR(10)))), '\\s+')) - 2, 1))) AS i
+              FROM c4kept)
+      ) GROUP BY doc_id
+    ), drop1 AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+    ), dd AS (
+      SELECT doc_id, kept FROM c4kept
+      WHERE doc_id NOT IN (SELECT id_b FROM drop1)
+    ), pex AS (
+      SELECT doc_id, i AS pos, kept[i] AS para,
+             REGEXP_REPLACE(TRIM(LOWER(kept[i])), '\\s+', ' ', 'g') AS k
+      FROM (SELECT doc_id, kept, UNNEST(GENERATE_SERIES(1, LEN(kept))) AS i
+            FROM dd)
+    ), prn AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+      FROM pex
+    ), pdocs AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST(para ORDER BY pos) FILTER (WHERE rn = 1),
+                             CHR(10)) AS text,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+      FROM prn GROUP BY doc_id
+    ), toked AS (
+      SELECT doc_id,
+             CASE WHEN SUBSTR(MD5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '19999999'
+                  THEN 'test' ELSE 'train' END AS split,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END AS n_tok
+      FROM pdocs WHERE n_kept > 0
+    )
+    SELECT doc_id, split, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id)
+                       - n_tok) / 512.0) AS BIGINT) AS chunk_idx
+    FROM toked
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation pipeline as one driver-checked query — every
+    stage's oracle composed into a single SQL program:
+
+    fixture: multi-line corpus (8-word chunks, intra-doc repeat planting
+    from _synth_lines), every line '.'-terminated, plus word-dropped
+    near-dup copies (doc_id+100000) of every 6th doc;
+    1. C4 line cleaning (short-line and <3-line docs fall out);
+    2. MinHash-LSH doc dedup at 0.7 — drops exactly the planted copies
+       (J ≈ 0.95+; the corpus's natural pair similarities stay below 0.6,
+       re-verified on the transformed text, so banded recall is total);
+    3. corpus-global paragraph dedup (eats the planted intra-doc repeats
+       and cross-doc chunk collisions);
+    4. leakage-safe split (content-hash, 10% test);
+    5. per-split sequence packing into 512-token windows.
+
+    Output: (doc_id, split, n_tok, chunk_idx) per surviving document."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    lined = _synth_lines(docs)
+    arr = F.split(F.col("text"), "\n")
+    dotted = F.array_join(
+        F.transform(arr, lambda x: F.concat(x, F.lit("."))), "\n"
+    )
+    base = lined.select("doc_id", dotted.alias("text"))
+    copies = (
+        base.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    aug = base.unionByName(copies)
+    c4 = TX.c4_quality_filter(aug, "text", "doc_id")
+    kept = c4.filter(F.col("keep")).select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    dd = D.minhash_lsh_dedup(kept, "text", "doc_id", threshold=0.7)
+    para = D.paragraph_dedup(dd, "text", "doc_id")
+    pdocs = (
+        para.filter(F.col("n_kept") > 0)
+        .select("doc_id", F.col("dedup_text").alias("text"))
+    )
+    split = SA.train_test_split(pdocs, "doc_id", 0.1, seed="cur")
+    toked = split.select(
+        "doc_id", "split", TX.token_count_ws(F.col("text")).alias("n_tok")
+    )
+    return TX.sequential_pack(toked, "n_tok", "doc_id", 512, "split")
