@@ -44,10 +44,11 @@ HEADLINE = [
     "q_signlsh_topk",
     "q_revgeo_multizone",
     # corpus-curation paths (round 3): zero-shuffle line rules, corpus-global
-    # paragraph dedup, token-keyed LM join
+    # paragraph dedup, token-keyed LM join, the full composed pipeline
     "q_c4_filter",
     "q_paragraph_dedup",
     "q_unigram_logprob",
+    "q_curation_pipeline",
 ]
 
 

@@ -1438,7 +1438,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'unique(o_orderkey)',
-           SUM(n - 1), SUM(n), SUM(n - 1) = 0
+           CAST(SUM(n - 1) AS BIGINT), CAST(SUM(n) AS BIGINT), SUM(n - 1) = 0
     FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
     UNION ALL
     SELECT 'referential(o_custkey->c_custkey)',

@@ -617,3 +617,36 @@ def test_csv_read_quarantine_roundtrip(spark, tmp_path):
     write_csv(out_df, str(tmp_path / "out_csv"))
     back = spark.read.option("header", "true").csv(str(tmp_path / "out_csv"))
     assert {r.tags for r in back.collect()} == {'["a","b"]', '["c"]'}
+
+
+def test_write_range_clustered_files_disjoint(spark, tmp_path):
+    """Each output file must cover a disjoint key range (this is what makes
+    parquet min/max stats prune whole files for range predicates)."""
+    from data_rivers_spark.catalog.tables import write_range_clustered
+
+    df = spark.range(10_000).selectExpr("id AS k", "id % 7 AS v")
+    path = str(tmp_path / "clustered")
+    write_range_clustered(df, path, ["k"], num_files=8)
+    from pyspark.sql import functions as F
+
+    spans = (
+        spark.read.parquet(path)
+        .select("k", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(r.n for r in spans) == 10_000
+    ordered = sorted(spans, key=lambda r: r.lo)
+    assert len(ordered) > 1
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.hi < b.lo  # disjoint ranges → file-level pruning works
+    # and the filter actually prunes: only matching files are read
+    pruned = (
+        spark.read.parquet(path)
+        .filter("k BETWEEN 100 AND 200")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert pruned <= 2
