@@ -918,3 +918,58 @@ def simhash_dedup(
     else:
         dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dupes, id_col, "left_anti")
+
+
+def char_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """One row per character n-gram: (id, shingle) — the tokenizer-free
+    twin of ``word_shingle_rows`` for scripts without whitespace word
+    boundaries (CJK, Thai) and mixed corpora, where whitespace
+    tokenization collapses a whole document into one 'word' and word-level
+    MinHash degenerates to exact matching.
+
+    Normalization matches ``words``: lowercase + trim, runs of whitespace
+    collapse to one space (so reflowing never changes the shingle set).
+    Documents shorter than n chars yield the whole text as one shingle;
+    empty docs yield nothing.
+
+    Codegen shape: sequence + native substring explode — no interpreted
+    higher-order functions in the per-char loop."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    ln = F.length(norm)
+    return (
+        df.select(F.col(id_col), norm.alias("__t"), ln.alias("__l"))
+        .filter(F.col("__l") > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.col("__l") <= n, F.array(F.col("__t"))
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__l") - n + 1),
+                        lambda i: F.substring(F.col("__t"), i, F.lit(n)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def char_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """(id, __set) of DISTINCT char n-grams — drop-in for ``shingle_sets``
+    in the LSH pipeline when the corpus needs tokenizer-free similarity:
+
+        sets = char_shingle_sets(docs, "text", "doc_id")
+        banded = _banded_from_sets(sets, "doc_id", 32, 8)
+
+    (MinHash over char shingles approximates char-shingle Jaccard — the
+    measure SimHash/LSH literature uses for CJK dedup.)"""
+    return (
+        char_shingle_rows(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__set"))
+    )

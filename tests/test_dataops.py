@@ -607,3 +607,27 @@ def test_corpus_curation_pipeline_end_to_end(spark):
     assert 6 not in ids      # reflowed near-dup of doc 1 → LSH stage
     for r in out:
         assert r.split in ("train", "test") and r.chunk_idx >= 0 and r.n_tokens > 0
+
+
+def test_char_shingles_cjk_and_reflow(spark):
+    """Char shingles differentiate unspaced (CJK-like) texts that word
+    tokenization collapses to single tokens, and are whitespace-reflow
+    invariant."""
+    cjk_a = "春眠不覚暁処処聞啼鳥"
+    cjk_b = "春眠不覚暁夜来風雨声"
+    df = spark.createDataFrame(
+        [(1, cjk_a), (2, cjk_b), (3, "latin  text\nwith   reflow"),
+         (4, "latin text with reflow")],
+        "doc_id long, text string",
+    )
+    # word-level: each CJK doc is ONE token → one whole-text shingle each
+    w = D.word_shingle_rows(df, "text", "doc_id", 3)
+    assert w.filter(F.col("doc_id").isin(1, 2)).count() == 2
+    sets = {r["doc_id"]: set(r["__set"]) for r in
+            D.char_shingle_sets(df, "text", "doc_id", n=3).collect()}
+    # char-level: overlapping prefix 春眠不覚暁 shares shingles, suffixes differ
+    inter = sets[1] & sets[2]
+    assert inter and sets[1] != sets[2]
+    assert "春眠不" in sets[1] and "春眠不" in sets[2]
+    # reflow invariance: docs 3 and 4 have identical shingle sets
+    assert sets[3] == sets[4]
