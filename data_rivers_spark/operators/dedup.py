@@ -382,6 +382,7 @@ def minhash_lsh_dedup(
     verify: str = "shingle",
     bucket_cap: int = 1000,
     materialize: bool = True,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
     survivors (docs that are not a higher-id duplicate of any kept doc).
@@ -389,6 +390,9 @@ def minhash_lsh_dedup(
     verify='shingle' (default) checks candidates with the n-gram shingle
     Jaccard that MinHash approximates — the internally-consistent choice;
     'word' uses word-set jaccard (a looser, vocabulary-level notion).
+    ``shingle_mode='char'`` switches the whole pipeline (signatures AND
+    verification) to character n-grams — the tokenizer-free path for
+    CJK/mixed-script corpora (pair with a larger shingle_n, e.g. 5).
 
     ``materialize=True`` (default) eagerly localCheckpoints the duplicate-id
     frame (and, on the shingle path, the shared shingle-set frame) BEFORE
@@ -415,6 +419,7 @@ def minhash_lsh_dedup(
             shingle_n,
             bucket_cap,
             materialize=materialize,
+            shingle_mode=shingle_mode,
         )
     else:
         cands = minhash_lsh_candidates(
@@ -442,10 +447,17 @@ def minhash_lsh_verified_pairs(
     shingle_n: int = 3,
     bucket_cap: int = 1000,
     materialize: bool = True,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Exact-Jaccard-verified near-dup pairs (id_a < id_b) with ONE tokenize
     pass: signatures and verification both derive from the same
     distinct-shingle-set frame.
+
+    ``shingle_mode='char'`` shingles on character n-grams instead of word
+    n-grams (char_shingle_sets) — the tokenizer-free path for CJK and
+    mixed-script corpora where whitespace word boundaries don't exist;
+    verification then checks char-shingle Jaccard, the measure the char
+    MinHash approximates.
 
     ``materialize=True`` (default) makes the single pass PHYSICAL: the
     shingle-set frame is eagerly localCheckpointed (executor block store,
@@ -459,7 +471,10 @@ def minhash_lsh_verified_pairs(
 
     Feed the result to the greedy min-id drop (minhash_lsh_dedup) or to
     dedup_by_components for the exact closure."""
-    sets = shingle_sets(df, text_col, id_col, shingle_n)
+    if shingle_mode == "char":
+        sets = char_shingle_sets(df, text_col, id_col, shingle_n)
+    else:
+        sets = shingle_sets(df, text_col, id_col, shingle_n)
     if materialize:
         sets = sets.localCheckpoint(eager=True)
     banded = _banded_from_sets(sets, id_col, num_hashes, bands)

@@ -1596,3 +1596,53 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split", TX.token_count_ws(F.col("text")).alias("n_tok")
     )
     return TX.sequential_pack(toked, "n_tok", "doc_id", 512, "split")
+
+
+@query(
+    "q_char_lsh_dedup",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents WHERE TRIM(text) != ''
+      UNION ALL
+      SELECT doc_id + 100000, SUBSTRING(text, 4)
+      FROM documents WHERE doc_id % 9 = 0 AND TRIM(text) != ''
+    ), norm AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g') AS t
+      FROM aug
+    ), grams AS (
+      SELECT doc_id, LIST_DISTINCT(LIST(SUBSTRING(t, i, 7))) AS gs
+      FROM (SELECT doc_id, t,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 6, 1))) AS i
+            FROM norm)
+      GROUP BY doc_id
+    ), drops AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.8
+    )
+    SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT id_b FROM drops)
+    """,
+)
+def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-free MinHash-LSH dedup on character 7-grams — the CJK/
+    mixed-script path — with planted prefix-clipped copies (doc_id+100000,
+    first 3 chars dropped; char-gram J ≈ 0.95+).
+
+    Oracle = exact all-pairs char-7-gram Jaccard ≥ 0.8 with greedy min-id
+    drop. Shingle size chosen from the measured similarity distribution:
+    at n=7 this corpus's natural pair similarities are < 0.2 except the
+    near-identical pairs at ≥ 0.9 (the same ones word-level LSH sees), so
+    banded recall at 0.8 is total — verified at sf0.001/0.01/0.1."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    copies = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.expr("substring(text, 4, length(text))"))
+    )
+    aug = docs.unionByName(copies)
+    return D.minhash_lsh_dedup(
+        aug, "text", "doc_id", threshold=0.8, shingle_n=7, shingle_mode="char"
+    ).select("doc_id")

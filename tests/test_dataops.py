@@ -631,3 +631,18 @@ def test_char_shingles_cjk_and_reflow(spark):
     assert "春眠不" in sets[1] and "春眠不" in sets[2]
     # reflow invariance: docs 3 and 4 have identical shingle sets
     assert sets[3] == sets[4]
+
+
+def test_char_mode_lsh_dedup_cjk(spark):
+    """Char-mode LSH catches near-dup unspaced (CJK-like) docs that
+    word-mode cannot even bucket meaningfully."""
+    a = "春眠不覚暁処処聞啼鳥夜来風雨声花落知多少春眠不覚暁処処聞啼鳥"
+    near_a = a[2:]  # clipped copy, char-gram J high
+    other = "国破山河在城春草木深感時花濺涙恨別鳥驚心烽火連三月家書抵萬金"
+    df = spark.createDataFrame(
+        [(1, a), (2, near_a), (3, other)], "doc_id long, text string"
+    )
+    surv = {r.doc_id for r in D.minhash_lsh_dedup(
+        df, "text", "doc_id", threshold=0.7, shingle_n=5, shingle_mode="char"
+    ).collect()}
+    assert surv == {1, 3}
