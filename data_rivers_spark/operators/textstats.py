@@ -478,7 +478,15 @@ def gopher_repetition_filter(
     verdict (all feature columns retained for audit). Each feature is an
     independent explode→agg pipeline joined back on id — at corpus scale the
     joins are co-partitioned on the id hash, so AQE coalesces them without
-    extra exchanges."""
+    extra exchanges.
+
+    Plan-audit note: the (id, text) columns are scanned once per feature
+    family (the line stats, top-n-gram, and dup-n-gram pipelines each need
+    a different explode granularity). Collapsing to one scan would require
+    checkpointing a token-level frame — corpus × tokens bytes of executor
+    storage — which costs more than re-reading two pruned parquet columns
+    at any scale; callers composing many filters over the same batch can
+    pass an already-cached ``df`` to amortize instead."""
     feats = (
         line_repetition_stats(df, text_col, id_col, sep=line_sep)
         .join(top_ngram_char_fraction(df, text_col, id_col, 2), id_col)

@@ -60,6 +60,11 @@ Notes on specific plans:
   the tokenize+aggregate subtree per consumer, tokenizing 3×. The total
   scalar stays a broadcast 1-row aggregate inside the plan, not a driver
   job.
+- **q_curation_pipeline** — five chained stages, yet the FINAL plan scans
+  documents only twice and holds 2 Generate + 2 Window nodes: the LSH
+  stage's shingle/dupe frames are checkpointed inside the operator, so the
+  paragraph/split/pack stages build on cached RDDs instead of replaying
+  C4+LSH lineage per consumer.
 """
 
 
@@ -83,6 +88,7 @@ def main() -> None:
         "q_c4_filter",
         "q_paragraph_dedup",
         "q_unigram_logprob",
+        "q_curation_pipeline",
     ]
     out = [HEADER.format(sf=sf_dir)]
     for name in names:
