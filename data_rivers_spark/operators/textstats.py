@@ -677,3 +677,34 @@ def inverted_index(
     if min_df > 1:
         out = out.filter(F.col("doc_freq") >= F.lit(min_df))
     return out
+
+
+def quantile_trim_approx(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    low: float = 0.0,
+    high: float = 1.0,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The scale form of ``quantile_trim``: per-group approx_percentile
+    thresholds (one map-side-combinable aggregation over a t-digest-style
+    sketch) broadcast back as a plain filter — no per-group sort, no rank
+    window, so it works for high-cardinality groups where an exact
+    percent_rank would sort every group.
+
+    Tradeoff vs the exact form: boundary rows within the sketch's rank
+    error (~1/accuracy of each group) may differ; use the exact form when
+    reproducibility of the exact cut matters more than cost."""
+    aggs = [
+        F.percentile_approx(F.col(score_col), F.lit(low), F.lit(accuracy)).alias("__lo"),
+        F.percentile_approx(F.col(score_col), F.lit(high), F.lit(accuracy)).alias("__hi"),
+    ]
+    if group_col:
+        th = df.groupBy(group_col).agg(*aggs)
+        joined = df.join(F.broadcast(th), group_col)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    return joined.filter(
+        (F.col(score_col) >= F.col("__lo")) & (F.col(score_col) <= F.col("__hi"))
+    ).drop("__lo", "__hi")

@@ -153,3 +153,18 @@ def test_token_budget_trim_hard_cap(spark):
     other = {r.k for r in
              SA.token_budget_trim(df, "k", "src", "tok", budget=70, seed=4).collect()}
     assert {r.k for r in rows} != other
+
+
+def test_quantile_trim_approx_matches_exact_closely(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") * 37 % 2000).alias("score"),
+    )
+    exact = TX.quantile_trim(df, "score", "k", "g", low=0.1, high=0.9)
+    approx = TX.quantile_trim_approx(df, "score", "g", low=0.1, high=0.9)
+    ne, na = exact.count(), approx.count()
+    # same ballpark (sketch boundary error only), and grouped bounds hold
+    assert abs(ne - na) <= 0.02 * 2000
+    lo = {r.g: r.mn for r in approx.groupBy("g").agg(F.min("score").alias("mn")).collect()}
+    assert all(v > 0 for v in lo.values())  # bottom decile trimmed per group
