@@ -1646,3 +1646,81 @@ def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(
         aug, "text", "doc_id", threshold=0.8, shingle_n=7, shingle_mode="char"
     ).select("doc_id")
+
+
+@query(
+    "q_dup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM aug WHERE TRIM(text) != ''
+    ), w AS (
+      SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+              FROM toks)
+      ) GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
+            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT c, COUNT(*) AS sz FROM comp GROUP BY c
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+    UNION ALL
+    SELECT 1, CAST((SELECT COUNT(*) FROM toks) -
+                   (SELECT COUNT(*) FROM comp) AS BIGINT)
+    """,
+)
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster profile of the corpus: histogram of near-dup
+    cluster sizes from the exact connected-components closure, plus the
+    singleton count — the report a dedup run should publish (is redundancy
+    a few huge boilerplate cliques or many small pairs?). Oracled by the
+    same recursive-CTE closure as q_minhash_cc_dedup."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    aug = docs.unionByName(copies)
+    verified = D.minhash_lsh_verified_pairs(aug, "text", "doc_id", 0.7)
+    comps = D.connected_components(verified)
+    hist = (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    n_docs = aug.filter(F.trim(F.col("text")) != "").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    n_nodes = comps.agg(F.count(F.lit(1)).alias("__m"))
+    singletons = n_docs.crossJoin(n_nodes).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("__n") - F.col("__m")).cast("long").alias("n_clusters"),
+    )
+    return hist.unionByName(singletons)
