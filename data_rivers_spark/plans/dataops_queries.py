@@ -1585,6 +1585,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = c4.filter(F.col("keep")).select(
         "doc_id", F.col("kept_text").alias("text")
     )
+    # the synthetic fixture + C4 expression chain is the expensive map here
+    # (~3 s of interpreted HOFs at sf0.1) and three later stages consume
+    # `kept`; one doc-scale checkpoint pays it once — exactly what a real
+    # pipeline does by materializing the cleaned batch
+    kept = kept.localCheckpoint(eager=True)
     dd = D.minhash_lsh_dedup(kept, "text", "doc_id", threshold=0.7)
     para = D.paragraph_dedup(dd, "text", "doc_id")
     pdocs = (
