@@ -11,9 +11,11 @@ from data_rivers_spark.operators import (  # noqa: F401
     multimodal,
     nested,
     relational,
+    sampling,
     similarity,
     textstats,
     transforms,
+    validation,
 )
 
 __all__ = [
@@ -23,7 +25,9 @@ __all__ = [
     "multimodal",
     "nested",
     "relational",
+    "sampling",
     "similarity",
     "textstats",
     "transforms",
+    "validation",
 ]
