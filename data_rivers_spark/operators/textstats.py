@@ -708,3 +708,60 @@ def quantile_trim_approx(
     return joined.filter(
         (F.col(score_col) >= F.col("__lo")) & (F.col(score_col) <= F.col("__hi"))
     ).drop("__lo", "__hi")
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Span-level decontamination (the Dolma-style alternative to dropping
+    whole documents): delete the individual paragraphs/lines that share an
+    n-gram shingle with the benchmark set and keep the rest of the
+    document. Use ``flag_contaminated`` when policy is doc-level removal.
+
+    Output: (id, clean_text, n_spans, n_removed).
+
+    Scale: docs explode to (id, pos, span) once; each span's shingles
+    explode and probe the broadcast benchmark hash set (same 8-byte
+    equi-join as flag_contaminated); hit span keys come back as one
+    left-semi-joinable frame. Two doc-keyed shuffles (hit aggregation +
+    reassembly), benchmark side broadcast, nothing quadratic."""
+    from data_rivers_spark.operators.dedup import word_shingle_rows, words
+
+    spans = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__span")
+    )
+    # shingle each span; spans shorter than n words fall back to the whole
+    # span (word_shingle_rows semantics) so short quotes still match
+    span_sh = word_shingle_rows(
+        spans.withColumn("__sid", F.concat_ws(":", F.col(id_col), F.col("__pos"))),
+        "__span",
+        "__sid",
+        shingle_n,
+    ).select("__sid", F.xxhash64("shingle").alias("__h"))
+    bench_sh = F.broadcast(
+        word_shingle_rows(benchmark, text_col, id_col, shingle_n)
+        .select(F.xxhash64("shingle").alias("__h"))
+        .distinct()
+    )
+    hit_sids = span_sh.join(bench_sh, "__h").select("__sid").distinct()
+    flagged = spans.withColumn(
+        "__sid", F.concat_ws(":", F.col(id_col), F.col("__pos"))
+    ).join(hit_sids.withColumn("__hit", F.lit(True)), "__sid", "left")
+    kept_struct = F.when(
+        F.col("__hit").isNull(), F.struct(F.col("__pos"), F.col("__span"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["__span"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+    )

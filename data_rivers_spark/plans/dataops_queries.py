@@ -1729,3 +1729,55 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__n") - F.col("__m")).cast("long").alias("n_clusters"),
     )
     return hist.unionByName(singletons)
+
+
+@query(
+    "q_decontaminate_spans",
+    oracle=f"""
+    WITH {_LINES_CTE}
+    , bench AS (
+      SELECT lines[1] AS btext FROM lines2 WHERE doc_id % 25 = 0
+    ), bsh AS (
+      SELECT DISTINCT ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+      FROM (SELECT STRING_SPLIT_REGEX(TRIM(LOWER(btext)), '\\s+') AS ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(
+                     LEN(STRING_SPLIT_REGEX(TRIM(LOWER(btext)), '\\s+')) - 4, 1))) AS i
+            FROM bench)
+    ), sp AS (
+      SELECT doc_id, i AS pos, lines[i] AS span
+      FROM (SELECT doc_id, lines, UNNEST(GENERATE_SERIES(1, LEN(lines))) AS i
+            FROM lines2)
+    ), ssh AS (
+      SELECT doc_id, pos, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, pos,
+                   STRING_SPLIT_REGEX(TRIM(LOWER(span)), '\\s+') AS ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(
+                     LEN(STRING_SPLIT_REGEX(TRIM(LOWER(span)), '\\s+')) - 4, 1))) AS i
+            FROM sp)
+    ), hits AS (
+      SELECT DISTINCT doc_id, pos FROM ssh JOIN bsh USING (gram)
+    )
+    SELECT s.doc_id,
+           COALESCE(ARRAY_TO_STRING(
+             LIST(s.span ORDER BY s.pos) FILTER (WHERE h.pos IS NULL),
+             CHR(10)), '') AS clean_text,
+           COUNT(*) AS n_spans,
+           COUNT(*) FILTER (WHERE h.pos IS NOT NULL) AS n_removed
+    FROM sp s LEFT JOIN hits h ON s.doc_id = h.doc_id AND s.pos = h.pos
+    GROUP BY s.doc_id
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (Dolma-style): the benchmark set is the
+    first 8-word line of every 25th document, and any LINE anywhere in the
+    corpus sharing a 5-gram shingle with it is deleted while the rest of
+    the document survives — contrast q_decontaminate, which flags whole
+    documents. Hash-equi probe against the broadcast benchmark shingle set;
+    reassembly preserves span order."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    lined = _synth_lines(docs)
+    bench = lined.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.split(F.col("text"), "\n").getItem(0).alias("text")
+    )
+    return TX.remove_contaminated_spans(lined, bench, "text", "doc_id", shingle_n=5)

@@ -646,3 +646,29 @@ def test_char_mode_lsh_dedup_cjk(spark):
         df, "text", "doc_id", threshold=0.7, shingle_n=5, shingle_mode="char"
     ).collect()}
     assert surv == {1, 3}
+
+
+def test_remove_contaminated_spans(spark):
+    """Only the contaminated line is removed; the document survives with
+    order preserved; an entirely-contaminated doc collapses to ''."""
+    bench = spark.createDataFrame(
+        [(1, "the exact benchmark question appears right here verbatim")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "clean opening line of text\n"
+                "the exact benchmark question appears right here verbatim\n"
+                "clean closing line of text"),
+            (2, "totally unrelated content here\nnothing shared with eval data"),
+            (3, "the exact benchmark question appears right here verbatim"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           TX.remove_contaminated_spans(docs, bench, "text", "doc_id").collect()}
+    assert out[1].n_removed == 1 and out[1].clean_text == (
+        "clean opening line of text\nclean closing line of text"
+    )
+    assert out[2].n_removed == 0 and out[2].n_spans == 2
+    assert out[3].clean_text == "" and out[3].n_removed == 1
