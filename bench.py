@@ -29,6 +29,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q14_promo_revenue",
     # reference workload: window dedup, merge, spatial join, parent/child agg
     "q_dedup_latest",
     "q_incremental_merge",

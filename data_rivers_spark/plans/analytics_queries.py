@@ -295,3 +295,120 @@ def q_sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["events"].select(
         "user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("rolling_1h")
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 'view>click', COUNT(*) FROM c
+    UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM p
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click within 24h → purchase within
+    24h of that click), counted per stage. Each stage is one keyed
+    aggregate joined to the previous stage's anchor timestamps — the event
+    stream shuffles on user_id once per stage, never self-joins row-to-row.
+    The anchors frame is user-count-sized → broadcast."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view>click"))
+        .unionByName(stage(p, "view>click>purchase"))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             DATE_DIFF('day', f.cohort_week,
+                       DATE_TRUNC('week', e.ts)) / 7 AS offset_weeks
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(offset_weeks AS BIGINT) AS offset_weeks,
+           COUNT(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted as retained in each later week they show activity. Two
+    user-keyed aggregates and a broadcast of the user-count-sized firsts
+    frame; week truncation is ISO-Monday on both engines."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("offset_weeks"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "offset_weeks",
+    ).agg(F.count(F.lit(1)).alias("n_users"))
