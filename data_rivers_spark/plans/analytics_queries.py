@@ -412,3 +412,43 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "offset_weeks",
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             CASE WHEN value < 0 THEN 0
+                  WHEN value >= 100 THEN 21
+                  ELSE CAST(FLOOR(value / 5.0) AS BIGINT) + 1 END AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket, COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value histograms: 20 fixed-width buckets over [0, 100)
+    with underflow 0 / overflow 21 (width_bucket semantics, spelled as
+    explicit FLOOR math because DuckDB lacks the function) — the profiling
+    aggregate that should precede any outlier-trim threshold choice. One
+    map-side-combined aggregate; no sort, no window."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0, F.lit(0))
+        .when(v >= 100, F.lit(21))
+        .otherwise(F.floor(v / 5.0) + 1)
+    ).cast("long")
+    return (
+        t["events"]
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
