@@ -326,13 +326,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     24h of that click), counted per stage. Each stage is one keyed
     aggregate joined to the previous stage's anchor timestamps — the event
     stream shuffles on user_id once per stage, never self-joins row-to-row.
-    The anchors frame is user-count-sized → broadcast."""
+    The anchor frames are user-count-sized and eagerly checkpointed: stage
+    N+1's plan would otherwise REPLAY stage N's whole subtree through the
+    broadcast (plan audit: events scanned 6× lineage-only vs 3× — once per
+    stage filter — with the checkpoints)."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].select("user_id", "event_type", "ts")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -343,6 +347,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -386,28 +391,22 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-activity week,
-    counted as retained in each later week they show activity. Two
-    user-keyed aggregates and a broadcast of the user-count-sized firsts
-    frame; week truncation is ISO-Monday on both engines."""
+    counted as retained in each later week they show activity. ONE scan and
+    one user-keyed shuffle: the cohort week is a min-over-user window on
+    the same pass that computes each event's offset (the agg + join-back
+    formulation read events twice); week truncation is ISO-Monday on both
+    engines."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].select("user_id", "ts")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
-    activity = (
-        ev.join(F.broadcast(firsts), "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
-                / 7
-            )
-            .cast("long")
-            .alias("offset_weeks"),
-        )
-        .distinct()
-    )
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    activity = ev.select(
+        "user_id",
+        cohort.alias("cohort_week"),
+        (F.datediff(F.date_trunc("week", F.col("ts")), cohort) / 7)
+        .cast("long")
+        .alias("offset_weeks"),
+    ).distinct()
     return activity.groupBy(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "offset_weeks",
