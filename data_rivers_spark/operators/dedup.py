@@ -865,6 +865,13 @@ def paragraph_dedup(
     ``normalize=True`` keys repeats on the whitespace-normalized lowercased
     paragraph; False keys on the exact text.
 
+    Empty/whitespace-only paragraphs are NOT dedup keys: splitting
+    'a\\n\\nb' yields an empty segment, and a corpus-wide key on '' would
+    delete every blank separator except the globally first, silently
+    collapsing paragraph structure in every reassembled doc. Blanks are
+    kept unconditionally (they count in n_paragraphs and n_kept), keyed
+    per-occurrence so the blank key is also never a shuffle-skew hotspot.
+
     Scale shape: explode paragraphs once → ROW_NUMBER over a window keyed
     on the paragraph HASH (xxhash64 — 8-byte shuffle key instead of the
     paragraph text; a collision merges two distinct paragraphs with
@@ -878,9 +885,13 @@ def paragraph_dedup(
     key = (
         F.regexp_replace(F.trim(F.lower(raw)), r"\s+", " ") if normalize else raw
     )
+    blank_key = F.xxhash64(F.col(id_col), F.col("__pos"), F.lit("__blank__"))
     ex = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para")
-    ).withColumn("__key", F.xxhash64(key))
+    ).withColumn(
+        "__key",
+        F.when(F.trim(raw) == "", blank_key).otherwise(F.xxhash64(key)),
+    )
     w = Window.partitionBy("__key").orderBy(id_col, "__pos")
     flagged = ex.withColumn("__rn", F.row_number().over(w))
     kept_struct = F.when(

@@ -69,15 +69,33 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     Returns (rule, violations, total, passed) — one row per rule. All rule
     counters ride the same partial-aggregate, so cost is a single scan
     regardless of rule count."""
+    if not rules:
+        # 'stack(0, ...)' would be invalid SQL; an empty report is the
+        # correct degenerate answer (nothing to check, nothing failed).
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations long, total long, passed boolean"
+        )
     aggs = [F.count(F.lit(1)).alias("__total")] + [
         F.sum(r.violated.cast("int")).alias(f"__v{i}") for i, r in enumerate(rules)
     ]
     row = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{r.name.replace(chr(39), '')}', __v{i}" for i, r in enumerate(rules)
+    # Unpivot via explode of literal structs rather than a stack() SQL
+    # string: rule names pass through as Column literals, so quotes and
+    # other SQL metacharacters in names survive verbatim.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r.name).alias("rule"), F.col(f"__v{i}").alias("violations")
+            )
+            for i, r in enumerate(rules)
+        ]
     )
-    return row.selectExpr(
-        f"stack({len(rules)}, {stack_args}) AS (rule, violations)", "__total AS total"
+    return row.select(
+        F.explode(pairs).alias("kv"), F.col("__total").alias("total")
+    ).select(
+        F.col("kv.rule").alias("rule"),
+        F.col("kv.violations").alias("violations"),
+        "total",
     ).select(
         "rule",
         F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias("violations"),

@@ -239,8 +239,11 @@ def corpus_curation_pipeline(
         para.filter(F.col("n_kept") > 0)
         .select(F.col(id_col), F.col("dedup_text").alias(text_col))
     )
+    # 16 bands of 2 rows: per-pair miss <= (1-J^2)^16 ~ 2e-5 at J=0.7 —
+    # recall near the threshold is a design bound, not corpus luck
     deduped = D.minhash_lsh_dedup(
-        para_docs, text_col, id_col, threshold=dedup_threshold
+        para_docs, text_col, id_col, threshold=dedup_threshold,
+        num_hashes=32, bands=16,
     )
     if benchmark is not None:
         flagged = TX.flag_contaminated(deduped, benchmark, text_col, id_col)

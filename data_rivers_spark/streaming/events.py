@@ -138,7 +138,13 @@ def stream_merge_into_catalog(
     """Continuous incremental merge: each micro-batch runs the engine's
     generic merge (insert_new + sync_update + dedup_latest) into a managed
     table via foreachBatch — the reference's hourly master-table sync
-    (SURVEY §3.2) as a streaming job with exactly-once batch bookkeeping."""
+    (SURVEY §3.2) as a streaming job.
+
+    Delivery: foreachBatch is AT-LEAST-ONCE (a batch can be replayed after
+    a failure). That is safe here because merge_upsert is idempotent —
+    replaying the same batch upserts the same keys to the same values —
+    which is exactly why merge, not append, is the right sink shape for a
+    retried micro-batch."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -166,13 +172,13 @@ def stream_dedup_into_corpus(
     checkpoint: str,
     threshold: float = 0.8,
     keep_dropped_signatures: bool = False,
+    history_table: str | None = None,
 ):
     """Continuous corpus ingestion with near-dup dedup: every micro-batch
     runs ``incremental_lsh_dedup`` against the PERSISTED signature store,
     appends the surviving docs to the corpus table and their banded
     signature rows to the store — the streaming twin of the batch
-    incremental dedup, with exactly-once micro-batch bookkeeping from the
-    checkpoint instead of a hand-rolled watermark file.
+    incremental dedup.
 
     Contract carried over from the batch operator: doc ids must be
     monotonically increasing across batches (the id cutoff is what prunes
@@ -180,19 +186,87 @@ def stream_dedup_into_corpus(
     the bucket-hit semi-join, so steady-state cost tracks the batch size,
     not the accumulated corpus.
 
+    ``keep_dropped_signatures=True`` requires ``history_table``: the
+    signature store then contains DROPPED docs' ids, and verification of a
+    bucket hit needs that doc's text — which the corpus table (survivors
+    only) cannot supply. The wrapper appends every FULL batch to
+    ``history_table`` and verifies against it, honoring
+    ``incremental_lsh_dedup``'s caller-must-pass-full-history contract.
+    Without a history table the flag would silently have no effect (bucket
+    hits on dropped ids find no text and are discarded), so it raises.
+
+    Delivery: foreachBatch is AT-LEAST-ONCE, and the table appends here are
+    not idempotent, so replayed batch ids are skipped via a committed-ids
+    table (``<signature_table>__commits``). The commit record lands AFTER
+    the data appends; a crash between an append and the commit record can
+    still duplicate that one batch's rows on replay — closing that last
+    window needs a transactional sink (e.g. Delta/Iceberg), which the
+    plain-parquet catalog deliberately is not.
+
     Scale note: foreachBatch is the right tool here, not a stateful
     operator — the dedup state (banded signatures) is corpus-sized and
     belongs in a table, not in the state store."""
+    dedup_batch = make_dedup_batch_fn(
+        catalog,
+        corpus_table,
+        signature_table,
+        text_col,
+        id_col,
+        threshold=threshold,
+        keep_dropped_signatures=keep_dropped_signatures,
+        history_table=history_table,
+    )
+    return (
+        docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_dedup_batch_fn(
+    catalog,
+    corpus_table: str,
+    signature_table: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    keep_dropped_signatures: bool = False,
+    history_table: str | None = None,
+):
+    """Build the foreachBatch callable for ``stream_dedup_into_corpus``.
+
+    Exposed separately so the replay/idempotency behavior is directly
+    testable: calling the returned fn twice with the same batch_id must be
+    a no-op the second time (the committed-ids guard)."""
     from data_rivers_spark.operators.dedup import incremental_lsh_dedup
 
+    if keep_dropped_signatures and history_table is None:
+        raise ValueError(
+            "keep_dropped_signatures=True requires history_table: dropped "
+            "docs' text must be persisted for later bucket-hit verification"
+        )
+    commits_table = f"{signature_table}__commits"
+
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if catalog.exists(commits_table):
+            committed = catalog.read(commits_table)
+            if committed.filter(F.col("batch_id") == batch_id).take(1):
+                return  # replay of an already-committed batch: no-op
         first = batch_df.select(F.min(F.col(id_col)).alias("m")).collect()
         if not first or first[0].m is None:
             return
         batch_min_id = first[0].m
         have_store = catalog.exists(signature_table)
-        master_docs = catalog.read(corpus_table) if have_store else None
-        master_banded = catalog.read(signature_table) if have_store else None
+        if have_store:
+            # with dropped ids in the store, text lookup must cover dropped
+            # docs too — that is the history table, not the corpus
+            src = history_table if keep_dropped_signatures else corpus_table
+            master_docs = catalog.read(src)
+            master_banded = catalog.read(signature_table)
+        else:
+            master_docs = master_banded = None
         survivors, banded = incremental_lsh_dedup(
             batch_df,
             master_docs,
@@ -206,13 +280,17 @@ def stream_dedup_into_corpus(
         if have_store:
             catalog.insert_into(corpus_table, survivors)
             catalog.insert_into(signature_table, banded)
+            if history_table is not None:
+                catalog.insert_into(history_table, batch_df)
         else:
             catalog.create_or_replace(survivors, corpus_table)
             catalog.create_or_replace(banded, signature_table)
+            if history_table is not None:
+                catalog.create_or_replace(batch_df, history_table)
+        commit = spark.createDataFrame([(batch_id,)], "batch_id long")
+        if catalog.exists(commits_table):
+            catalog.insert_into(commits_table, commit)
+        else:
+            catalog.create_or_replace(commit, commits_table)
 
-    return (
-        docs.writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return dedup_batch

@@ -504,6 +504,24 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert exact[2].n_kept == 3
 
 
+def test_paragraph_dedup_blank_paragraphs_exempt(spark):
+    """Empty/whitespace-only paragraphs are separators, not dedupable
+    content: every blank survives (not just the corpus-globally first), so
+    'a\\n\\nb' keeps its paragraph break even when another doc also
+    contains a blank line."""
+    df = spark.createDataFrame(
+        [(1, "alpha\n\nbeta"), (2, "gamma\n \ndelta"), (3, "alpha\n\nomega")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.paragraph_dedup(df, "text", "doc_id").collect()}
+    assert out[1].dedup_text == "alpha\n\nbeta" and out[1].n_kept == 3
+    # doc 2's whitespace-only separator also survives verbatim
+    assert out[2].dedup_text == "gamma\n \ndelta" and out[2].n_kept == 3
+    # non-blank dedup still applies: doc 3 loses the repeated 'alpha' but
+    # keeps its own blank line
+    assert out[3].dedup_text == "\nomega" and out[3].n_kept == 2
+
+
 def test_vocabulary_and_unigram_logprob(spark):
     import math
 

@@ -90,3 +90,91 @@ def test_stream_dedup_into_corpus_across_batches(spark, tmp_path):
     sig_ids = sorted(r.doc_id for r in
                      cat.read("corpus_sigs").select("doc_id").distinct().collect())
     assert sig_ids == [1, 2, 11]
+
+
+def _twenty_words():
+    return [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+        "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi", "rho",
+        "sigma", "tau", "upsilon",
+    ]
+
+
+def test_keep_dropped_signatures_requires_history(spark, tmp_path):
+    import pytest
+
+    from data_rivers_spark.catalog.tables import ManagedCatalog
+    from data_rivers_spark.streaming.events import make_dedup_batch_fn
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="history_table"):
+        make_dedup_batch_fn(
+            cat, "corpus", "sigs", "text", "doc_id",
+            keep_dropped_signatures=True,
+        )
+
+
+def test_keep_dropped_signatures_rejects_dup_of_dropped_doc(spark, tmp_path):
+    """The flag's whole point: a later doc that duplicates a DROPPED doc
+    (but not its kept representative — similarity is not transitive) must
+    be rejected. Batch 1: doc1 = base, doc2 = base with the LAST word
+    swapped (J3-shingle 17/19 ≈ 0.895 vs doc1 → dropped). Batch 2:
+    doc10 = doc2 with the FIRST word swapped (≈0.895 vs doc2, but only
+    16/20 = 0.80 vs doc1 < threshold 0.85). Without the history table the
+    store's doc2 signature has no text to verify against and doc10 slips
+    in; with it, doc10 is rejected."""
+    from data_rivers_spark.catalog.tables import ManagedCatalog
+    from data_rivers_spark.streaming.events import make_dedup_batch_fn
+
+    w = _twenty_words()
+    d1 = " ".join(w)
+    d2 = " ".join(w[:-1] + ["zzz"])
+    d10 = " ".join(["qqq"] + w[1:-1] + ["zzz"])
+
+    def run(root, keep_dropped, history):
+        cat = ManagedCatalog(spark, root)
+        fn = make_dedup_batch_fn(
+            cat, "corpus", "sigs", "text", "doc_id", threshold=0.85,
+            keep_dropped_signatures=keep_dropped, history_table=history,
+        )
+        b1 = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+        b2 = spark.createDataFrame([(10, d10)], "doc_id long, text string")
+        fn(b1, 0)
+        fn(b2, 1)
+        return sorted(r.doc_id for r in cat.read("corpus").collect()), cat
+
+    # default mode: doc10 matches only the dropped doc2 → admitted
+    got_default, _ = run(str(tmp_path / "wh_default"), False, None)
+    assert got_default == [1, 10]
+    # keep-dropped mode with history: doc10 rejected via doc2's signature
+    got_hist, cat = run(str(tmp_path / "wh_hist"), True, "hist")
+    assert got_hist == [1]
+    # the history table holds the FULL ingest (dropped docs included)
+    assert sorted(r.doc_id for r in cat.read("hist").collect()) == [1, 2, 10]
+
+
+def test_dedup_batch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a committed batch_id must
+    not re-append corpus or signature rows."""
+    from data_rivers_spark.catalog.tables import ManagedCatalog
+    from data_rivers_spark.streaming.events import make_dedup_batch_fn
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh_replay"))
+    fn = make_dedup_batch_fn(cat, "corpus", "sigs", "text", "doc_id")
+    w = _twenty_words()
+    b1 = spark.createDataFrame(
+        [(1, " ".join(w)), (2, " ".join(reversed(w)))], "doc_id long, text string"
+    )
+    fn(b1, 0)
+    n_corpus = cat.read("corpus").count()
+    n_sigs = cat.read("sigs").count()
+    fn(b1, 0)  # replay: same batch_id → no-op
+    assert cat.read("corpus").count() == n_corpus
+    assert cat.read("sigs").count() == n_sigs
+    # a genuinely new batch still lands
+    b2 = spark.createDataFrame(
+        [(10, "totally different words entirely novel content here okay fine yes")],
+        "doc_id long, text string",
+    )
+    fn(b2, 1)
+    assert cat.read("corpus").count() == n_corpus + 1

@@ -46,3 +46,20 @@ def test_validate_empty_frame(spark):
     df = spark.createDataFrame([], "k long, status string")
     out = {r.rule: r for r in V.validate(df, [V.not_null("k")]).collect()}
     assert out["not_null(k)"].violations == 0 and out["not_null(k)"].passed
+
+
+def test_validate_empty_rules_returns_empty_report(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    out = V.validate(df, [])
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "rule", "violations", "total", "passed"
+    ]
+
+
+def test_validate_rule_names_with_quotes_survive(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    rule = V.Rule("it's a 'quoted' rule", V.F.col("k").isNull())
+    out = V.validate(df, [rule]).collect()
+    assert out[0].rule == "it's a 'quoted' rule"
+    assert out[0].violations == 1 and not out[0].passed
