@@ -51,6 +51,14 @@ HEADLINE = [
     "q_paragraph_dedup",
     "q_unigram_logprob",
     "q_curation_pipeline",
+    # round 4: production dedup modes (signature-store incremental, char-mode
+    # CJK), event analytics (funnel/retention/histogram), grid-mode revgeo
+    "q_incremental_dedup",
+    "q_char_lsh_dedup",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_value_histogram",
+    "q_revgeo_multizone_grid",
 ]
 
 
@@ -92,6 +100,15 @@ def main() -> None:
             }
         )
     )
+
+    # regenerate PLANS.md for the exact set just benched, so the plan
+    # evidence can never lag the bench set (set SPARK_GRAFT_SKIP_PLANS=1
+    # to skip, e.g. when timing the bench itself)
+    if not os.environ.get("SPARK_GRAFT_SKIP_PLANS"):
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import gen_plans
+
+        gen_plans.generate(spark, sf_dir, HEADLINE)
 
 
 if __name__ == "__main__":

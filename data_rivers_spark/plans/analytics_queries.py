@@ -323,52 +323,74 @@ def q_sliding_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click within 24h → purchase within
-    24h of that click), counted per stage. Each stage is one keyed
-    aggregate joined to the previous stage's anchor timestamps — the event
-    stream shuffles on user_id once per stage, never self-joins row-to-row.
-    The anchor frames are user-count-sized and eagerly checkpointed: stage
-    N+1's plan would otherwise REPLAY stage N's whole subtree through the
-    broadcast (plan audit: events scanned 6× lineage-only vs 3× — once per
-    stage filter — with the checkpoints)."""
+    24h of that click), counted per stage — see ``conversion_funnel``."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=True)
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
-        .filter(
-            (F.col("ts") > F.col("t1"))
-            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=True)
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(
-            (F.col("ts") > F.col("t2"))
-            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    def stage(df, name):
+    return conversion_funnel(ev, ["view", "click", "purchase"])
+
+
+def conversion_funnel(
+    ev: DataFrame,
+    stage_types: list[str],
+    window: str = "24 HOURS",
+    materialize: str | bool = "local",
+) -> DataFrame:
+    """N-stage ordered conversion funnel over (user_id, event_type, ts).
+    Each stage is one keyed aggregate joined to the previous stage's anchor
+    timestamps — the event stream shuffles on user_id once per stage, never
+    self-joins row-to-row.
+
+    Anchor materialization (``materialize``): each stage's anchor frame is
+    user-count-sized and consumed twice (next stage's broadcast + its own
+    stage-count row); without materialization stage N+1's plan REPLAYS
+    stage N's whole subtree (plan audit: events scanned 6× lineage-only vs
+    once per stage with it).
+    - ``"local"`` (default): ``localCheckpoint`` — blocks live in executor
+      memory, spilling to executor LOCAL disk under pressure
+      (MEMORY_AND_DISK). Fine at any events-table scale because the
+      anchors are |distinct converting users| rows, NOT events rows — at
+      100× events the anchor grows only with the user population — but
+      the blocks are lost with an executor (recompute restarts the stage).
+    - ``"checkpoint"``: reliable ``checkpoint()`` to the directory set via
+      ``spark.sparkContext.setCheckpointDir`` — survives executor loss;
+      the right call inside a many-hour job.
+    - ``False``: lineage only (no materialization) — accept the replay.
+    """
+
+    def _mat(df: DataFrame) -> DataFrame:
+        if materialize == "local":
+            return df.localCheckpoint(eager=True)
+        if materialize == "checkpoint":
+            return df.checkpoint(eager=True)
+        return df
+
+    anchors = []
+    prev = None
+    for i, etype in enumerate(stage_types):
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(F.broadcast(prev), "user_id").filter(
+                (F.col("ts") > F.col(f"t{i}"))
+                & (F.col("ts") <= F.col(f"t{i}") + F.expr(f"INTERVAL {window}"))
+            )
+        cur = cur.groupBy("user_id").agg(F.min("ts").alias(f"t{i + 1}"))
+        # the last stage feeds only its count row — no second consumer
+        if i < len(stage_types) - 1:
+            cur = _mat(cur)
+        anchors.append(cur)
+        prev = cur
+
+    def stage_row(df, name):
         return df.agg(F.count(F.lit(1)).alias("n_users")).select(
             F.lit(name).alias("stage"), "n_users"
         )
 
-    return (
-        stage(v, "view")
-        .unionByName(stage(c, "view>click"))
-        .unionByName(stage(p, "view>click>purchase"))
-    )
+    out = None
+    for i, df in enumerate(anchors):
+        name = ">".join(stage_types[: i + 1])
+        row = stage_row(df, name)
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @query(

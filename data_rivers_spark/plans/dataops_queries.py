@@ -354,6 +354,36 @@ def q_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ivf_topk",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (trained coarse quantizer) approximate top-k, oracled via the
+    same planted-copy recall construction as q_signlsh_topk: an EXACT copy
+    of a query vector is assigned to the centroid nearest the query vector
+    itself — necessarily the query's FIRST probe (argmin over the same
+    centroid set) — and scores cosine 1.0, the maximum, so it cannot be
+    evicted from top-k regardless of how the deterministic Lloyd training
+    (similarity.py train_ivf_centroids: lowest-id seeding, no RNG) shaped
+    the centroids. The full IVF pipeline executes (train, assign inverted
+    lists, nprobe probe join, exact rerank) before the planted filter;
+    broader recall vs exact cosine stays pinned in tests."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.unionByName(q.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = S.ivf_topk(corpus, q, "embedding", "vec_id", 5, n_centroids=16, nprobe=4)
+    return (
+        out.filter(F.col("neighbor_id") == F.col("query_id") + 100000)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+@query(
     "q_fingerprint",
     oracle="""
     WITH aug AS (

@@ -326,6 +326,76 @@ def q_revgeo_multizone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_revgeo_multizone_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, (o_orderkey % 50) + 0.5 AS px, (o_custkey % 9) + 0.25 AS py,
+             o_orderdate
+      FROM orders
+    ), xzones AS (
+      SELECT n_name AS zone, n_nationkey * 2 AS x1, n_nationkey * 2 + 2 AS x2 FROM nation
+    ), yzones AS (
+      SELECT s_name AS zone, s_suppkey AS y1, s_suppkey + 1 AS y2 FROM supplier
+    ), rzones AS (
+      SELECT r_name AS zone, r_regionkey * 10 AS x1, r_regionkey * 10 + 10 AS x2 FROM region
+    )
+    SELECT o_orderkey, x.zone AS neighborhood, y.zone AS ward, r.zone AS council_district
+    FROM pts
+    LEFT JOIN xzones x ON px > x.x1 AND px < x.x2 AND py > 0 AND py < 10
+    LEFT JOIN yzones y ON py > y.y1 AND py < y.y2 AND px > 0 AND px < 50
+    LEFT JOIN rzones r ON px > r.x1 AND px < r.x2 AND py > 0 AND py < 10
+    """,
+)
+def q_revgeo_multizone_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_revgeo_multizone with the grid-cell equi-join FORCED (grid=True):
+    zones explode into the coarse cells their bbox covers, the probe side
+    keys on its point's cell, and the join becomes a BroadcastHashJoin on
+    (cx, cy) with the exact bbox/polygon predicate as a residual — the plan
+    shape that wins past ~64 zones, where the BroadcastNestedLoopJoin's
+    points×zones predicate evaluations dominate. Identical results to the
+    BNLJ path by construction (the grid only prefilters candidate pairs),
+    same oracle; benched side by side to locate the crossover (SCALING.md)."""
+    from data_rivers_spark.operators.geo import revgeo_multi_zone
+
+    t = load_tables(spark, sf_dir, ["orders", "nation", "supplier", "region"])
+    open_interval = (
+        F.lit("1900-01-01").cast("timestamp"),
+        F.lit(None).cast("timestamp"),
+    )
+
+    def zone_table(src: DataFrame, name_col, wkt) -> DataFrame:
+        return src.select(
+            F.col(name_col).alias("zone"),
+            wkt.alias("geometry"),
+            open_interval[0].alias("start_date"),
+            open_interval[1].alias("end_date"),
+        )
+
+    xz = zone_table(
+        t["nation"], "n_name",
+        _rect_wkt(F.col("n_nationkey") * 2, F.lit(0), F.col("n_nationkey") * 2 + 2, F.lit(10)),
+    )
+    yz = zone_table(
+        t["supplier"], "s_name",
+        _rect_wkt(F.lit(0), F.col("s_suppkey"), F.lit(50), F.col("s_suppkey") + 1),
+    )
+    rz = zone_table(
+        t["region"], "r_name",
+        _rect_wkt(F.col("r_regionkey") * 10, F.lit(0), F.col("r_regionkey") * 10 + 10, F.lit(10)),
+    )
+    pts = _order_points(t["orders"])
+    out = revgeo_multi_zone(
+        pts,
+        {"neighborhood": xz, "ward": yz, "council_district": rz},
+        "px",
+        "py",
+        "create_date",
+        grid=True,
+    )
+    return out.select("o_orderkey", "neighborhood", "ward", "council_district")
+
+
+@query(
     "q_nearest_zone",
     oracle="""
     WITH cents AS (

@@ -146,3 +146,82 @@ def generate_soap_envelope(body_xml: str, ns: str = "http://www.w3.org/2003/05/s
         f"<soap12:Body>{body_xml}</soap12:Body>"
         f"</soap12:Envelope>"
     )
+
+
+def poll_until_ready(
+    submit: Callable[[], object],
+    check: Callable[[object], tuple[str, object]],
+    refresh_auth: Callable[[], None] | None = None,
+    max_rounds: int = 5,
+    max_attempts: int = 5,
+    base_delay: float = 3.0,
+    delay_factor: float = 1.25,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """Submit-then-poll export retrieval — the async-report API shape
+    (Twilio Flex Insights raw export, pandas_etl/twilio_conversations_etl.py:
+    108-147: POST the report request, then GET the result URI until the
+    server stops answering 202-still-computing, refreshing the short-lived
+    token on 401).
+
+    ``submit()`` starts the job and returns a handle (e.g. the result URI).
+    ``check(handle)`` polls once and returns a ``(status, payload)`` pair:
+    ``("ready", payload)`` ends the poll, ``("pending", _)`` sleeps and
+    retries with the delay growing by ``delay_factor`` (the reference's
+    1.25x progressive wait), ``("auth_expired", _)`` invokes
+    ``refresh_auth`` and starts a fresh round with the delay reset — at
+    most ``max_rounds`` rounds of ``max_attempts`` polls each, then
+    ``TimeoutError``. Transport-agnostic: callers close over their HTTP
+    session/headers; tests wire in fakes."""
+    handle = submit()
+    delay = base_delay
+    for _round in range(max_rounds):
+        for _attempt in range(max_attempts):
+            status, payload = check(handle)
+            if status == "ready":
+                return payload
+            if status == "auth_expired":
+                break  # refresh and burn a round
+            sleep(delay)
+            delay *= delay_factor
+        else:
+            continue  # attempts exhausted without auth expiry → next round
+        if refresh_auth is None:
+            raise PermissionError("auth expired and no refresh_auth provided")
+        refresh_auth()
+        delay = base_delay
+    raise TimeoutError(
+        f"export not ready after {max_rounds} rounds x {max_attempts} polls"
+    )
+
+
+def fetch_paged_redirect(
+    get: Callable[[str], object],
+    url: str,
+    rows: Callable[[dict], list[dict]],
+    next_url: Callable[[dict], str | None],
+    retry_unauthorized: bool = True,
+    max_pages: int = 10_000,
+) -> list[dict]:
+    """Paged report pull through an auth-preserving redirect — the Ceridian
+    Dayforce report shape (get_ceridian_report, gcs_utils.py:751-778: the
+    first GET 401s because the service answers from a redirected URL; retry
+    the SAME session at ``response.url`` so the auth header survives the
+    hop, then follow ``Paging.Next`` links until exhausted).
+
+    ``get(url)`` returns a response-like object with ``.status_code``,
+    ``.url`` (the post-redirect location) and ``.json()`` — a
+    ``requests.Session().get`` bound with auth in production, a fake in
+    tests. ``rows(payload)`` extracts the record list; ``next_url(payload)``
+    returns the next page URL or None."""
+    all_records: list[dict] = []
+    pages = 0
+    while url and pages < max_pages:
+        resp = get(url)
+        if retry_unauthorized and getattr(resp, "status_code", 200) == 401:
+            resp = get(resp.url)
+        payload = resp.json()
+        all_records.extend(rows(payload))
+        url = next_url(payload)
+        pages += 1
+    return all_records

@@ -95,3 +95,110 @@ def test_soap_envelope():
     xml = generate_soap_envelope("<GetEmployees/>")
     assert xml.startswith('<?xml version="1.0"')
     assert "<soap12:Body><GetEmployees/></soap12:Body>" in xml
+
+
+def test_poll_until_ready_happy_path_with_pending():
+    from data_rivers_spark.sources.extract import poll_until_ready
+
+    slept = []
+    states = iter(["pending", "pending", "ready"])
+
+    out = poll_until_ready(
+        submit=lambda: "uri-1",
+        check=lambda h: (
+            (s := next(states)),
+            {"csv": "data"} if s == "ready" else None,
+        ),
+        sleep=slept.append,
+        base_delay=3.0,
+        delay_factor=1.25,
+    )
+    assert out == {"csv": "data"}
+    # progressive 1.25x waits, exactly the reference's posture
+    assert slept == [3.0, 3.75]
+
+
+def test_poll_until_ready_refreshes_expired_auth():
+    from data_rivers_spark.sources.extract import poll_until_ready
+
+    refreshes = []
+    states = iter(["pending", "auth_expired", "pending", "ready"])
+    slept = []
+
+    out = poll_until_ready(
+        submit=lambda: "uri-2",
+        check=lambda h: ((s := next(states)), "payload" if s == "ready" else None),
+        refresh_auth=lambda: refreshes.append(1),
+        sleep=slept.append,
+        base_delay=3.0,
+    )
+    assert out == "payload"
+    assert refreshes == [1]
+    # delay resets to base after the token refresh (new round)
+    assert slept == [3.0, 3.0]
+
+
+def test_poll_until_ready_times_out_and_auth_guard():
+    from data_rivers_spark.sources.extract import poll_until_ready
+
+    with pytest.raises(TimeoutError):
+        poll_until_ready(
+            submit=lambda: "h",
+            check=lambda h: ("pending", None),
+            max_rounds=2,
+            max_attempts=2,
+            sleep=lambda d: None,
+        )
+    with pytest.raises(PermissionError):
+        poll_until_ready(
+            submit=lambda: "h",
+            check=lambda h: ("auth_expired", None),
+            refresh_auth=None,
+            sleep=lambda d: None,
+        )
+
+
+class _FakeResp:
+    def __init__(self, status_code, payload, url="https://redirected.example/x"):
+        self.status_code = status_code
+        self.url = url
+        self._payload = payload
+
+    def json(self):
+        return self._payload
+
+
+def test_fetch_paged_redirect_retries_401_at_redirect_url():
+    """The Ceridian shape: first GET 401s at the original URL; the retry at
+    response.url (same session, auth preserved) succeeds; Paging.Next links
+    are followed until absent."""
+    from data_rivers_spark.sources.extract import fetch_paged_redirect
+
+    calls = []
+    pages = {
+        "https://host/api/reports/r1": _FakeResp(
+            401, None, url="https://real-host/api/reports/r1"
+        ),
+        "https://real-host/api/reports/r1": _FakeResp(
+            200,
+            {"Data": {"Rows": [{"a": 1}, {"a": 2}]},
+             "Paging": {"Next": "https://real-host/api/reports/r1?p=2"}},
+        ),
+        "https://real-host/api/reports/r1?p=2": _FakeResp(
+            200, {"Data": {"Rows": [{"a": 3}]}, "Paging": {"Next": None}}
+        ),
+    }
+
+    def get(url):
+        calls.append(url)
+        return pages[url]
+
+    out = fetch_paged_redirect(
+        get,
+        "https://host/api/reports/r1",
+        rows=lambda p: p["Data"]["Rows"],
+        next_url=lambda p: p["Paging"]["Next"],
+    )
+    assert out == [{"a": 1}, {"a": 2}, {"a": 3}]
+    assert calls[0] == "https://host/api/reports/r1"
+    assert calls[1] == "https://real-host/api/reports/r1"  # 401 → redirect retry

@@ -65,31 +65,42 @@ Notes on specific plans:
   stage's shingle/dupe frames are checkpointed inside the operator, so the
   paragraph/split/pack stages build on cached RDDs instead of replaying
   C4+LSH lineage per consumer.
+- **q06_forecast_revenue / q14_promo_revenue** — the pushdown stress pair:
+  `PushedFilters` must show all three q06 range predicates (shipdate,
+  discount, quantity) at the lineitem scan and `ReadSchema` must be 2
+  columns wide (price, discount) — a scan reading more proves pruning
+  regressed. q14 additionally shows a BroadcastHashJoin with part.
+- **q_funnel** — each stage's anchor frame appears as `Scan ExistingRDD`
+  (localCheckpoint): without them the plan audit showed events scanned 6×
+  (stage N+1 replaying stage N's subtree through the broadcast) vs once
+  per stage filter with them. Anchors are user-count-sized, never
+  events-sized — see conversion_funnel's materialize docstring for the
+  100× spill posture.
+- **q_retention_cohorts** — ONE events scan: the first-seen cohort week
+  rides a window over the same shuffle as the activity dedup (the r3
+  rewrite collapsed the 2-scan groupBy+self-join form).
+- **q_value_histogram** — explicit bucket math (floor((v-min)/width)) over
+  a single pre-aggregated min/max broadcast row; one scan + one exchange
+  for the bucket counts.
+- **q_incremental_dedup** — the production dedup shape: batch-sized
+  checkpointed frames (`Scan ExistingRDD`), the corpus contributing ONLY
+  signature rows, and the text semi-join bounded by bucket hits.
+- **q_char_lsh_dedup** — same banded-LSH plan as the word path but over
+  character 7-gram explode; no tokenizer, so the Generate node feeds from
+  a substring sequence, and the rest of the pipeline is shared code.
+- **q_revgeo_multizone_grid** — the forced grid variant: each zone join is
+  a BroadcastHashJoin keyed on (cell_x, cell_y) with the exact predicate
+  residual, vs the BNLJ of q_revgeo_multizone. Compare the two sections —
+  same result, different join strategy; SCALING.md locates the zone-count
+  crossover.
 """
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    from data_rivers_spark.session import get_spark
-
+def generate(spark, sf_dir: str, names: list[str]) -> None:
+    """Render .explain('formatted') for `names` into PLANS.md."""
     import __spark_entry__ as entry
 
-    spark = get_spark(app_name="gen_plans")
     queries = entry.queries()
-    names = [
-        "q01_pricing_summary",
-        "q03_shipping_priority",
-        "q_top_k_types",
-        "q_revgeo_timebound",
-        "q_revgeo_multizone",
-        "q_incremental_merge",
-        "q_minhash_lsh_dedup",
-        "q_deterministic_sample",
-        "q_c4_filter",
-        "q_paragraph_dedup",
-        "q_unigram_logprob",
-        "q_curation_pipeline",
-    ]
     out = [HEADER.format(sf=sf_dir)]
     for name in names:
         df = queries[name](spark, sf_dir)
@@ -97,9 +108,24 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"\n## {name}\n\n```\n{buf.getvalue().rstrip()}\n```\n")
-    with open("PLANS.md", "w") as f:
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    with open(plans_path, "w") as f:
         f.write("".join(out))
     print(f"PLANS.md regenerated ({len(names)} plans)")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from data_rivers_spark.session import get_spark
+
+    # the plan set IS the bench set — single source of truth in bench.py,
+    # regenerated automatically at the end of every bench run
+    from bench import HEADLINE
+
+    spark = get_spark(app_name="gen_plans")
+    generate(spark, sf_dir, HEADLINE)
 
 
 if __name__ == "__main__":
