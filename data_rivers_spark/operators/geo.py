@@ -54,7 +54,7 @@ def revgeo_timebound_join(
     end_col: str = "end_date",
     out_col: str | None = None,
     grid: bool | str = "auto",
-    grid_threshold: int = 64,
+    grid_threshold: int = 512,
     zone_count_hint: int | None = None,
 ) -> DataFrame:
     """LEFT OUTER spatial-interval join: attach the zone containing each point
@@ -67,6 +67,14 @@ def revgeo_timebound_join(
     ``grid_threshold`` rows; True/False force either plan. Both plans give
     identical results — the grid only prefilters which (point, zone) pairs
     reach the exact predicate.
+
+    ``grid_threshold=512`` is measured, not guessed (SCALING.md crossover
+    table): the BNLJ's per-zone work short-circuits at the 4-comparison
+    bbox prefilter — the ray cast only runs for the ~1 bbox-matching zone —
+    so BNLJ stays ahead of the grid's explode+hash overhead until the high
+    hundreds of zones (measured crossover ≈ 1024 tiling rectangles at
+    local[32]; 512 leaves margin for zones with larger bboxes, which raise
+    the grid's candidates-per-cell).
 
     Driver-job budget: auto mode runs AT MOST ONE tiny job on the zone dim
     table — a combined count+bbox-stats aggregation, reused for cell sizing

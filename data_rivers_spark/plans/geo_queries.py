@@ -351,10 +351,12 @@ def q_revgeo_multizone_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones explode into the coarse cells their bbox covers, the probe side
     keys on its point's cell, and the join becomes a BroadcastHashJoin on
     (cx, cy) with the exact bbox/polygon predicate as a residual — the plan
-    shape that wins past ~64 zones, where the BroadcastNestedLoopJoin's
-    points×zones predicate evaluations dominate. Identical results to the
-    BNLJ path by construction (the grid only prefilters candidate pairs),
-    same oracle; benched side by side to locate the crossover (SCALING.md)."""
+    shape that wins once the BroadcastNestedLoopJoin's per-zone bbox
+    prefilter evaluations dominate (measured crossover ≈ 512-1024 zones,
+    SCALING.md — the BNLJ short-circuits before the ray cast, so it holds
+    longer than naive cost models predict). Identical results to the BNLJ
+    path by construction (the grid only prefilters candidate pairs), same
+    oracle; benched side by side so both strategies stay timed."""
     from data_rivers_spark.operators.geo import revgeo_multi_zone
 
     t = load_tables(spark, sf_dir, ["orders", "nation", "supplier", "region"])

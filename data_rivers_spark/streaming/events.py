@@ -98,6 +98,37 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), on, how)
 
 
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows over the stream: ``session_window`` merges
+    events per user into sessions that close after ``gap`` of inactivity —
+    the streaming twin of the batch q_sessionize (lag + cumulative-sum
+    session numbering): identical session boundaries, but computed
+    incrementally with watermark-bounded state instead of a full-history
+    window. A session's row is emitted once its close is final (watermark
+    passes session_end + gap), so the sink sees each session exactly once
+    in append mode.
+
+    State scale: one open session per active user, evicted by the
+    watermark — state tracks concurrent users, not event volume."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def latest_state_per_user(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Continuous latest-wins state per user — the streaming twin of
     dedup_latest/incremental_merge. applyInPandasWithState generalizes this to

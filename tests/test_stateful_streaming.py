@@ -178,3 +178,58 @@ def test_dedup_batch_replay_is_noop(spark, tmp_path):
     )
     fn(b2, 1)
     assert cat.read("corpus").count() == n_corpus + 1
+
+
+def test_sessionized_event_counts_stream(spark, tmp_path):
+    """session_window over a file stream: events within the 30-min gap
+    merge into one session; a later event opens a new one; sessions span
+    micro-batch boundaries (user 1's second event arrives in batch 2 but
+    lands in the batch-1 session)."""
+    import json as _json
+
+    from data_rivers_spark.streaming.events import (
+        read_events_stream,
+        sessionized_event_counts,
+    )
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 1,
+         "event_type": "c", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T05:00:00.000Z", "user_id": 2,
+         "event_type": "c", "value": 2.0, "props": "{}"},
+    ]
+    b2 = [
+        # 10 min after user 1's first event: same session
+        {"event_id": 3, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1,
+         "event_type": "c", "value": 4.0, "props": "{}"},
+        # 3h later: new session for user 1
+        {"event_id": 4, "ts": "2024-01-01T03:00:00.000Z", "user_id": 1,
+         "event_type": "c", "value": 8.0, "props": "{}"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    import os as _os
+
+    _os.utime(src / "b1.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b2.json", (1_700_000_100, 1_700_000_100))
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    out = sessionized_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sessions "
+        "ORDER BY user_id, session_start"
+    ).collect()
+    got = [(r.user_id, r.n_events, r.total_value) for r in rows]
+    # user 1: events 1+3 merge (10-min gap), event 4 is its own session
+    assert got == [(1, 2, 5.0), (1, 1, 8.0), (2, 1, 2.0)], got

@@ -31,8 +31,9 @@ Notes on specific plans:
 - **q_revgeo_multizone** — the points side is spread by `fan_out` (single
   Exchange RoundRobin near the scan), then flows through 8 chained broadcast
   joins in ONE stage: the fact stream is scanned once, never shuffled on a
-  key, and every zone table builds a broadcast. Past 64 zones the join keys
-  on grid cells (BroadcastHashJoin) instead of pure bbox conditions.
+  key, and every zone table builds a broadcast. Past the measured crossover
+  (grid_threshold=512 zones — SCALING.md) the join keys on grid cells
+  (BroadcastHashJoin) instead of pure bbox conditions.
 - **q_minhash_lsh_dedup** — the shared shingle-set frame and the
   duplicate-id frame are eagerly localCheckpointed inside the operator
   (dedup.py minhash_lsh_verified_pairs/minhash_lsh_dedup), so the final plan
