@@ -188,16 +188,28 @@ def _banded_from_sets(
     # ~8ms/doc for an aggregate()-based fold. This shape stays entirely in
     # whole-stage codegen, and because ``sets`` is already partitioned by id
     # the explode → min-agg round trip is shuffle-free.
+    #
+    # The shingle STRING is hashed exactly once; the k minhash functions
+    # derive from that 8-byte base via xxhash64(base, seed) — fixed-width
+    # integer re-hashes instead of k string traversals. For short shingles
+    # the win is modest (xxhash64 setup dominates tiny inputs), but the
+    # cost ceiling no longer scales with shingle LENGTH × k — long word
+    # shingles and high num_hashes configs pay one traversal. Two distinct
+    # shingles colliding in the base hash collide in every derived hash,
+    # but that is the same 2⁻⁶⁴ per-pair event class the signature scheme
+    # already accepts.
     hashed = sets.select(id_col, F.explode("__set").alias("shingle")).select(
+        id_col, F.xxhash64(F.col("shingle")).alias("__hb")
+    ).select(
         id_col,
-        *[F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
+        *[F.xxhash64(F.col("__hb"), F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
     )
     sig_df = hashed.groupBy(id_col).agg(
         *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
     )
     band_cols = [
         F.xxhash64(
-            F.concat_ws(",", *[F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            *[F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)]
         )
         for b in range(bands)
     ]

@@ -1682,13 +1682,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT id_b FROM pj WHERE j >= 0.8
     )
     -- PRECONDITION NOTE: this oracle is exact all-pairs Jaccard; the
-    -- implementation is banded MinHash-LSH (16 bands of 2 rows), whose
-    -- per-pair miss probability is (1-J^2)^16 <= 8.5e-8 for any pair at or
-    -- above the 0.8 threshold — so agreement is a designed recall bound,
-    -- not a fixture-specific similarity gap. Verification is exact, so
-    -- sub-threshold pairs can never be false positives at any banding.
+    -- implementation is banded MinHash-LSH with 16 bands of 4 rows. Rows
+    -- per band are chosen from the SIMILARITY LANDSCAPE, not one-size: the
+    -- word path uses r=2 (natural word-shingle J is tiny, so r=2 buys a
+    -- universal (1-J^2)^16 recall bound at no candidate cost), but char
+    -- 7-grams have a fat natural-similarity tail (common English 7-grams
+    -- put many pairs at J~0.15), and r=2 floods the verifier — measured
+    -- 1.36M candidates vs 6.8k at r=4 for the same 871 true pairs. r=4
+    -- recall: miss <= (1-J^4)^16 = 2.3e-4 at J=0.8, 7e-6 at J=0.85. The
+    -- guard below fails LOUDLY if a new sf_dir puts a pair in the
+    -- [0.8, 0.85) sliver where that bound is weakest.
     SELECT doc_id FROM aug
     WHERE doc_id NOT IN (SELECT id_b FROM drops)
+      AND 1 = (SELECT CASE WHEN COUNT(*) = 0 THEN 1 ELSE error(
+                 'pair in the LSH-weak band J in [0.8,0.85): r=4 banded '
+                 || 'recall is ~2e-4..1e-5 miss there; this sf_dir '
+                 || 'violates q_char_lsh_dedup''s precondition')
+               END FROM pj WHERE j >= 0.8 AND j < 0.85)
     """,
 )
 def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1697,9 +1707,12 @@ def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 3 chars dropped; char-gram J ≈ 0.95+).
 
     Oracle = exact all-pairs char-7-gram Jaccard ≥ 0.8 with greedy min-id
-    drop. Banding is 16 bands of 2 rows: per-pair miss ≤ (1-0.8²)^16 ≈
-    8.5e-8 at the threshold itself, so oracle agreement does not depend on
-    this corpus's (measured, but fixture-specific) similarity gap."""
+    drop. Banding is 16 bands of 4 rows — char-grams need r=4 because the
+    natural char-similarity tail is fat (see the oracle's precondition
+    note: r=2 produced 1.36M candidates for 871 true pairs, a 37s verify;
+    r=4 produces 6.8k for the same 871, verified in 2.4s). The oracle
+    carries a loud guard on the [0.8, 0.85) band where r=4 recall is
+    weakest."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
     copies = (
@@ -1709,7 +1722,7 @@ def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(copies)
     return D.minhash_lsh_dedup(
-        aug, "text", "doc_id", threshold=0.8, num_hashes=32, bands=16,
+        aug, "text", "doc_id", threshold=0.8, num_hashes=64, bands=16,
         shingle_n=7, shingle_mode="char",
     ).select("doc_id")
 
