@@ -98,6 +98,51 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Windowed stream-stream INNER join: each right-side event pairs with
+    the same key's left-side events from the preceding ``window`` — the
+    streaming form of click→purchase attribution (the batch funnel's
+    adjacent-stage join, q_funnel, as a continuous query).
+
+    Both sides carry event-time watermarks and the join predicate bounds
+    the time range, which is what lets Spark EVICT join state: left rows
+    older than (right watermark − window) can never match again and are
+    dropped, so state tracks the window's worth of events per side, not
+    the stream's history. Without the range condition a stream-stream join
+    keeps unbounded state — the classic leak this helper exists to avoid.
+
+    Inner-join rows emit as soon as both sides arrive (the watermark only
+    gates state cleanup and outer-join NULL emission)."""
+    lt, rt = f"{left_prefix}_ts", f"{right_prefix}_ts"
+    l = left.select(
+        F.col(key),
+        F.col("ts").alias(lt),
+        F.col("event_id").alias(f"{left_prefix}_event_id"),
+        F.col("value").alias(f"{left_prefix}_value"),
+    ).withWatermark(lt, watermark)
+    r = right.select(
+        F.col(key).alias(f"__{key}"),
+        F.col("ts").alias(rt),
+        F.col("event_id").alias(f"{right_prefix}_event_id"),
+        F.col("value").alias(f"{right_prefix}_value"),
+    ).withWatermark(rt, watermark)
+    joined = l.join(
+        r,
+        (F.col(key) == F.col(f"__{key}"))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.drop(f"__{key}")
+
+
 def sessionized_event_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -233,3 +233,57 @@ def test_sessionized_event_counts_stream(spark, tmp_path):
     got = [(r.user_id, r.n_events, r.total_value) for r in rows]
     # user 1: events 1+3 merge (10-min gap), event 4 is its own session
     assert got == [(1, 2, 5.0), (1, 1, 8.0), (2, 1, 2.0)], got
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Windowed stream-stream join: a purchase pairs with the same user's
+    clicks within the preceding hour — across micro-batches — and clicks
+    outside the window never pair."""
+    import json as _json
+    import os as _os
+
+    from data_rivers_spark.streaming.events import (
+        read_events_stream,
+        stream_stream_attribution_join,
+    )
+
+    src = tmp_path / "ss_in"
+    src.mkdir()
+    rows = [
+        # user 1: click at 00:00, purchase at 00:30 (within window, joins)
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        # user 2: click at 00:00, purchase at 02:30 (outside 1h window)
+        {"event_id": 2, "ts": "2024-01-01T00:00:00.000Z", "user_id": 2,
+         "event_type": "click", "value": 2.0, "props": "{}"},
+    ]
+    rows2 = [
+        {"event_id": 3, "ts": "2024-01-01T00:30:00.000Z", "user_id": 1,
+         "event_type": "purchase", "value": 10.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T02:30:00.000Z", "user_id": 2,
+         "event_type": "purchase", "value": 20.0, "props": "{}"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    _os.utime(src / "b1.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b2.json", (1_700_000_100, 1_700_000_100))
+
+    ev = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    clicks = ev.filter(ev.event_type == "click")
+    purchases = ev.filter(ev.event_type == "purchase")
+    out = stream_stream_attribution_join(clicks, purchases, window="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM attributed ORDER BY user_id").collect()
+    ]
+    # user 1's purchase attributes to its click; user 2's is out of window
+    assert got == [(1, 1, 3)], got

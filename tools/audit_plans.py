@@ -28,6 +28,67 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Reviewed multi-scan reasons. Every entry here was inspected: the extra
+# scans are the query's SEMANTICS (self-joins, two dimension roles, scalar
+# subquery + main pass, planted-copy union fixtures that union the same
+# parquet twice), or the documented two-scan formulation of an operator
+# whose single-scan variant exists (exact_dedup single_pass). A query that
+# starts multi-scanning WITHOUT an entry lands in the UNEXPLAINED section —
+# that's the lineage-replay regression signal this tool exists to catch
+# (it found the LSH 6x tokenize in round 2 and the unigram 3x in round 3).
+EXPLAINED = {
+    "q07_nation_volume": "nation joined twice (supplier role + customer role)",
+    "q08_market_share": "nation joined twice (two roles)",
+    "q17_small_quantity": "correlated avg subquery + main pass (TPC-H shape)",
+    "q18_large_volume_customer": "HAVING subquery + join-back (TPC-H shape)",
+    "q21_waiting_supplier": "l1/l2/l3 lineitem self-joins (EXISTS + NOT EXISTS)",
+    "q22_idle_customers": "scalar avg subquery + main customer pass",
+    "q_asof_join": "events as both quote and trade stream (self as-of)",
+    "q_char_lsh_dedup": "planted-copy union fixture (2 branches)",
+    "q_corpus_prep": "multi-signal prep: stats + filters re-derive per branch",
+    "q_cosine_topk": "query rows + corpus rows from one table",
+    "q_decontaminate": "corpus + benchmark fixture from one table",
+    "q_decontaminate_spans": "corpus + benchmark + span check",
+    "q_detect_changed": "current vs incoming fixture from one table",
+    "q_dq_new_values": "history vs batch fixture",
+    "q_dup_cluster_stats": "planted-copy union fixture",
+    "q_eeo4_full_report": "row counts + pct denominator pass",
+    "q_embedding_neardup": "pair join: both sides from one table",
+    "q_exact_dedup": "union fixture x documented two-scan min+semi-join form",
+    "q_except_intersect": "EXCEPT/INTERSECT branches are separate scans",
+    "q_fingerprint": "planted-copy union fixture",
+    "q_gopher_filter": "line/ngram/char repetition signals union fixture",
+    "q_groupwise_max": "max-per-group + join-back",
+    "q_id_fallback_join": "primary + fallback join attempts (by design)",
+    "q_increment_counts": "existing counts + delta fixture",
+    "q_incremental_dedup": "batch + master fixture from one table",
+    "q_incremental_merge": "events as batch and master fixture",
+    "q_insert_new_records": "target + incoming fixture",
+    "q_ivf_topk": "query rows + corpus rows (+ planted copies)",
+    "q_linked_array_merge": "existing + incoming linked arrays",
+    "q_minhash_cc_dedup": "planted-copy union fixture",
+    "q_minhash_lsh_dedup": "planted-copy union fixture",
+    "q_ngram_jaccard": "pair join: both sides from one table",
+    "q_ngram_repetition": "planted repetition union fixture",
+    "q_parcel_centroid": "parcels + points from one table",
+    "q_parcel_centroid_shoelace": "parcels + points from one table",
+    "q_remove_false_parents": "parents + children from one table",
+    "q_replace_matched_rows": "target + replacement fixture",
+    "q_self_join_pairs": "employee-manager self-join",
+    "q_signlsh_topk": "query + corpus + planted copies",
+    "q_snapshot_append": "prior snapshot + new batch fixture",
+    "q_submitter_linkage": "requests + submitters fixture",
+    "q_sync_311_updates": "anti + inner branches over source",
+    "q_sync_update": "target + source update pass",
+    "q_tfidf_top_terms": "term stats + doc join-back",
+    "q_timebank_discrepancy": "three balance sources from one table",
+    "q_top_k_types": "top-k list + join-back (by design)",
+    "q_unigram_logprob": "LM build + scoring side (documented 2 tokenizes)",
+    "q_update_submitter": "aggregate + anti-union branches",
+    "q_validate_orders": "row rules + unique + referential checks",
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from data_rivers_spark.session import get_spark
@@ -54,9 +115,20 @@ def main() -> None:
         dupes = {t: n for t, n in tables.items() if n > 1}
         if dupes:
             flagged.append((name, dupes))
+    unexplained = []
     for name, dupes in flagged:
-        print(f"multi  {name}: " + ", ".join(f"{t}x{n}" for t, n in sorted(dupes.items())))
-    print(f"\n{len(flagged)}/{len(queries)} queries scan some table more than once")
+        counts = ", ".join(f"{t}x{n}" for t, n in sorted(dupes.items()))
+        if name in EXPLAINED:
+            print(f"known  {name}: {counts}  [{EXPLAINED[name]}]")
+        else:
+            unexplained.append((name, counts))
+    for name, counts in unexplained:
+        print(f"UNEXPLAINED  {name}: {counts}")
+    print(
+        f"\n{len(flagged)}/{len(queries)} multi-scan queries: "
+        f"{len(flagged) - len(unexplained)} reviewed-by-design, "
+        f"{len(unexplained)} UNEXPLAINED (treat as regressions)"
+    )
 
 
 if __name__ == "__main__":
