@@ -79,3 +79,78 @@ def test_parcel_standardization_idempotent(spark, raws):
     a = {r.id: r.parc_id for r in once.collect()}
     b = {r.id: r.parc_id for r in twice.collect()}
     assert a == b
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.lists(st.integers(min_value=0, max_value=63), max_size=3),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_simhash_blocking_recall_is_exact(spark, sigs_and_flips):
+    """Pigeonhole guarantee of combination blocking: for ANY base signature
+    and ANY ≤3 flipped bits, the (base, flipped) pair MUST appear in
+    simhash_near_pairs — blocking may only add candidates, never lose a
+    within-distance pair. This is the exactness the Manku-style scheme
+    claims; a bug in block widths/offsets or key packing would break it."""
+    from data_rivers_spark.operators import dedup as D
+
+    rows = []
+    expected = set()
+    for i, (base, flip_bits) in enumerate(sigs_and_flips):
+        a_id, b_id = 2 * i, 2 * i + 1
+        flipped = base
+        for b in set(flip_bits):
+            flipped ^= 1 << b
+        # int -> signed 64-bit long domain
+        def s64(x):
+            x &= (1 << 64) - 1
+            return x - (1 << 64) if x >= 1 << 63 else x
+        rows.append((a_id, s64(base)))
+        rows.append((b_id, s64(flipped)))
+        if s64(base) != s64(flipped):
+            expected.add((a_id, b_id))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    # every planted within-distance pair recalled (other cross pairs may
+    # legitimately also qualify if generated signatures happen to be close)
+    missing = expected - got
+    assert not missing, missing
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),     # user
+            st.integers(min_value=0, max_value=100_000),  # seconds offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_funnel_stage_counts_monotone(spark, events):
+    """An ordered funnel can only narrow: each stage's user count is ≤ the
+    previous stage's, for ANY event stream."""
+    import datetime
+
+    from data_rivers_spark.plans.analytics_queries import conversion_funnel
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(seconds=s), t)
+        for u, s, t in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.stage: r.n_users for r in
+           conversion_funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"] >= out["view>click"] >= out["view>click>purchase"]
