@@ -279,6 +279,12 @@ def train_ivf_centroids(
     return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
 
 
+def cmat_rows(cmat):
+    """Enumerate centroid-matrix rows; tiny helper shared by assignment and
+    probe ranking."""
+    return list(enumerate(cmat))
+
+
 def _assign_to_centroids(df: DataFrame, vec_col: str, cents) -> DataFrame:
     """argmin centroid by squared L2, as array_min over (distance, id)
     structs — linear expression size (a chained when(closer, …) fold doubles
@@ -310,7 +316,12 @@ def ivf_topk(
 
     Scale: the inverted lists shuffle once on a 4-byte centroid id (like a
     trained version of signlsh buckets); probe cost ≈ nprobe/n_centroids of
-    the corpus per query. n_centroids grows with sqrt(corpus) in practice."""
+    the corpus per query. n_centroids grows with sqrt(corpus) in practice.
+    Probe assignment is DISTRIBUTED — each query row ranks the (tiny,
+    plan-embedded) centroid table and explodes its nprobe nearest, so the
+    query set never collects to the driver and can itself be
+    arbitrarily large (only the centroid matrix, n_centroids × dim, is
+    driver-side — that is the trained model, inherently small)."""
     import numpy as np
 
     cents = train_ivf_centroids(corpus, vec_col, id_col, n_centroids)
@@ -320,16 +331,24 @@ def ivf_topk(
         "__cv",
         cmat,
     )
-    q_rows = queries.select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype=np.float64)
-        d = ((cmat - qv) ** 2).sum(axis=1)
-        for cid in np.argsort(d)[:nprobe]:
-            probe_rows.append((int(r[0]), [float(x) for x in qv], int(cid)))
+    # per-query top-nprobe centroids as expressions over the embedded
+    # centroid literals: distance structs -> array_sort -> slice -> explode
+    qv = _as_double(F.col(vec_col))
+    dist_structs = []
+    for i, c in cmat_rows(cmat):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(qv, plane, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    top_cids = F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)
     probes = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            probe_rows, "query_id long, __qv array<double>, centroid_id int"
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            qv.alias("__qv"),
+            F.explode(F.transform(top_cids, lambda s: s["i"])).alias("centroid_id"),
         )
     )
     pairs = lists.join(probes, "centroid_id")
