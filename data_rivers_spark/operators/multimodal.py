@@ -247,3 +247,100 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.sum(F.length(F.col("content")).cast("long")).alias("total_bytes"),
         F.max(F.length(F.col("content")).cast("long")).alias("max_bytes"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], dict] = fake_decode,
+    grid: int = 8,
+) -> DataFrame:
+    """64-bit perceptual hash per media row: decode → pixel grid → 2D
+    DCT-II (numpy, no extra deps) → keep the top-left ``grid``×``grid``
+    low-frequency block (minus DC) → median threshold → bit-pack. Visually
+    similar images land within a small hamming distance, the classic pHash
+    property; EXACT byte duplicates always collide under any decoder,
+    including ``fake_decode`` — which is what the hermetic tests pin, since
+    the fake decoder's output has no visual structure.
+
+    mapInPandas with the same quarantine posture as extract_features:
+    decode failures yield phash=NULL, decode_ok=False."""
+    import numpy as np
+
+    def _phash(pixels: list, w: int, h: int) -> int:
+        n = 32
+        arr = np.resize(np.asarray(pixels, dtype=np.float64), (n, n))
+        # orthonormal DCT-II matrix, applied on both axes
+        k = np.arange(n)
+        basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        basis[0, :] = np.sqrt(1.0 / n)
+        freq = basis @ arr @ basis.T
+        block = freq[:grid, :grid].ravel()[1:]  # drop DC: brightness invariance
+        med = np.median(block)
+        bits = 0
+        for i, v in enumerate(block >= med):
+            if v:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"media_id": [], "phash": [], "decode_ok": []}
+            for mid, content, mtype in zip(
+                batch["media_id"], batch["content"], batch["media_type"]
+            ):
+                out["media_id"].append(mid)
+                try:
+                    d = decoder(content, mtype)
+                    out["phash"].append(
+                        _phash(d["pixels"], d.get("width", 0), d.get("height", 0))
+                    )
+                    out["decode_ok"].append(True)
+                except Exception:  # noqa: BLE001 - quarantine any codec failure
+                    out["phash"].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    decoder: Callable[[bytes, str], dict] = fake_decode,
+) -> DataFrame:
+    """Near-duplicate media pairs: perceptual hash + the SAME Manku
+    combination-blocked hamming join the text SimHash path uses
+    (dedup.simhash_near_pairs) — one blocking implementation serves both
+    modalities, because both reduce near-duplication to 64-bit signatures.
+    Returns (id_a, id_b, hamming) with id_a < id_b; undecodable rows
+    (phash NULL) can never pair and fall out in the blocking join."""
+    from data_rivers_spark.operators.dedup import simhash_near_pairs
+
+    sigs = perceptual_hash(df, decoder=decoder).filter(F.col("decode_ok"))
+    return simhash_near_pairs(
+        sigs, "media_id", sim_col="phash", max_hamming=max_hamming
+    )
+
+
+def media_dedup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    decoder: Callable[[bytes, str], dict] = fake_decode,
+) -> DataFrame:
+    """Drop near-duplicate media rows, keeping the lowest media_id per
+    near-dup pair (greedy min-id, same semantics as the text dedups).
+    Undecodable rows are KEPT — quarantine is a separate decision from
+    dedup, and dropping rows the pipeline couldn't even read would hide
+    data loss."""
+    pairs = media_near_dup_pairs(df, max_hamming=max_hamming, decoder=decoder)
+    dupes = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    return df.join(dupes, "media_id", "left_anti")

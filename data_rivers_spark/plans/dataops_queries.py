@@ -603,6 +603,51 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_phash_dedup",
+    oracle="""
+    SELECT doc_id AS original_id, TRUE AS copy_dropped
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image/media near-dup dedup via perceptual hash + Manku-blocked
+    hamming pairs (operators/multimodal.media_dedup), over a binary column
+    synthesized from document bytes with planted exact-duplicate copies
+    (doc_id%7 → +100000, same content). Oracled via planted-copy recall,
+    the hash-independent construction shared with q_signlsh_topk: equal
+    bytes give equal pHash under ANY decoder, hamming 0 is always blocked
+    (pigeonhole), so every planted copy MUST drop — regardless of which
+    hash-adjacent NATURAL pairs the perceptual measure also merges (a
+    perceptual hash is free to consider two different byte strings the
+    same image; pinning the full survivor set to byte equality would make
+    the oracle fail exactly when the operator does its job). The full
+    pipeline executes — mapInPandas DCT pHash, combination-blocked hamming
+    join, greedy min-id drop — before the planted filter."""
+    from data_rivers_spark.operators import multimodal as M
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("image").alias("media_type"),
+    )
+    copies = (
+        media.filter(F.col("media_id") % 7 == 0)
+        .withColumn("media_id", F.col("media_id") + 100000)
+    )
+    aug = media.unionByName(copies)
+    survivors = M.media_dedup(aug, max_hamming=3).select("media_id")
+    planted = media.filter(F.col("media_id") % 7 == 0).select(
+        F.col("media_id").alias("original_id")
+    )
+    return planted.join(
+        survivors.withColumnRenamed("media_id", "__surv"),
+        F.col("original_id") + 100000 == F.col("__surv"),
+        "left_anti",
+    ).select("original_id", F.lit(True).alias("copy_dropped"))
+
+
+@query(
     "q_corpus_prep",
     oracle="""
     WITH norm AS (

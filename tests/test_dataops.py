@@ -690,3 +690,34 @@ def test_remove_contaminated_spans(spark):
     )
     assert out[2].n_removed == 0 and out[2].n_spans == 2
     assert out[3].clean_text == "" and out[3].n_removed == 1
+
+
+def test_perceptual_hash_and_media_dedup(spark):
+    """pHash plumbing invariants that hold under ANY decoder: exact byte
+    duplicates collide (hamming 0) and dedup keeps the lowest media_id;
+    distinct contents get (deterministically) distinct hashes under
+    fake_decode; undecodable rows never pair but are KEPT by dedup."""
+    rows = [
+        (1, b"imagebytes-aaaa", "image"),
+        (2, b"imagebytes-bbbb", "image"),
+        (3, b"imagebytes-aaaa", "image"),   # exact duplicate of 1
+        (4, None, "image"),                 # decodes (fake) from empty
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary, media_type string")
+    ph = {r.media_id: r for r in M.perceptual_hash(df).collect()}
+    assert ph[1].phash == ph[3].phash
+    assert ph[1].phash != ph[2].phash
+    assert all(r.decode_ok for r in ph.values())
+
+    pairs = M.media_near_dup_pairs(df, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 3, 0)]
+
+    kept = sorted(r.media_id for r in M.media_dedup(df).collect())
+    assert kept == [1, 2, 4]
+
+    # a decoder that always fails → nothing pairs, dedup keeps everything
+    def boom(content, media_type):
+        raise ValueError("no codec")
+
+    assert M.media_near_dup_pairs(df, decoder=boom).collect() == []
+    assert sorted(r.media_id for r in M.media_dedup(df, decoder=boom).collect()) == [1, 2, 3, 4]
