@@ -1,0 +1,140 @@
+"""Declarative pipeline specs: the reference's config-first ergonomics on
+Spark.
+
+The reference composes every pipeline from configuration — an Airflow DAG
+chains BashOperator/BigQueryOperator steps whose behavior is a per-source
+config block (qalert_airflow.py:62-249; the 12-ParDo transform list at
+qalert_requests_dataflow.py:128-147 IS a declarative op list in code form).
+A user porting such a pipeline shouldn't have to hand-write DataFrame
+chains: ``run_spec`` interprets a plain dict (JSON/YAML-shaped — no custom
+classes, so specs serialize and diff) into the engine's operator calls.
+
+    spec = {
+        "source": {"table": "documents"},           # from load_tables(sf_dir)
+        "steps": [
+            {"op": "filter", "where": "trim(text) != ''"},
+            {"op": "columns_camel_to_snake_case"},
+            {"op": "dedup_latest", "keys": ["doc_id"], "order_cols": ["doc_id"]},
+        ],
+        "select": ["doc_id", "text"],               # optional final projection
+    }
+    df = run_spec(spark, spec, sf_dir)
+
+Step params mirror the operator keyword arguments exactly (the spec IS the
+call), so the operator docstrings are the spec reference.
+
+Scale posture: the interpreter only ASSEMBLES the lazy DataFrame plan —
+it adds zero execution overhead and Catalyst sees exactly the chain a
+hand-written pipeline would build, so pushdown/pruning/broadcast decisions
+are identical. Steps are data, so a deployment can version, review, and
+generate them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators import relational as R
+from data_rivers_spark.operators import transforms as T
+from data_rivers_spark.session import load_tables
+
+
+def _simple(fn: Callable) -> Callable:
+    """Adapter for ops whose signature is (df, **params)."""
+
+    def run(df: DataFrame, params: dict) -> DataFrame:
+        return fn(df, **params)
+
+    return run
+
+
+# op name -> (df, params) -> df. Names match the operator functions so a
+# reader can jump from a spec straight to the implementation; generic verbs
+# (filter/select/rename/sql) cover the inline-lambda steps reference DAGs
+# sprinkle between named transforms.
+OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
+    # generic verbs
+    "filter": lambda df, p: df.filter(p["where"]),
+    "select": lambda df, p: df.select(*p["columns"]),
+    "drop": lambda df, p: df.drop(*p["columns"]),
+    "rename": lambda df, p: df.withColumnsRenamed(p["mapping"]),
+    "with_column": lambda df, p: df.withColumn(p["name"], F.expr(p["expr"])),
+    "distinct": lambda df, p: df.distinct(),
+    "limit": lambda df, p: df.limit(int(p["n"])),
+    # shared transform library (SURVEY §2.1/2.2)
+    "columns_camel_to_snake_case": _simple(T.columns_camel_to_snake_case),
+    "columns_to_lower_case": _simple(T.columns_to_lower_case),
+    "swap_field_names": _simple(T.swap_field_names),
+    "filter_fields": _simple(T.filter_fields),
+    "change_data_types": _simple(T.change_data_types),
+    "convert_booleans": _simple(T.convert_booleans),
+    "convert_string_case": _simple(T.convert_string_case),
+    "strip_strings": _simple(T.strip_strings),
+    "strip_before_delim": _simple(T.strip_before_delim),
+    "prepend_characters": _simple(T.prepend_characters),
+    "replace_chars": _simple(T.replace_chars),
+    "reformat_phone_numbers": _simple(T.reformat_phone_numbers),
+    "filter_outliers": _simple(T.filter_outliers),
+    "anonymize_address_block": _simple(T.anonymize_address_block),
+    "anonymize_lat_long": _simple(T.anonymize_lat_long),
+    "standardize_times": _simple(T.standardize_times),
+    "get_date_strings_from_unix": _simple(T.get_date_strings_from_unix),
+    "format_and_classify_address": _simple(T.format_and_classify_address),
+    "replace_pii": _simple(T.replace_pii),
+    "standardize_parcel_numbers": _simple(T.standardize_parcel_numbers),
+    "decode_status": _simple(T.decode_status),
+    "get_closed_date": _simple(T.get_closed_date),
+    "detect_child_ticket": _simple(T.detect_child_ticket),
+    "deduplicate": _simple(T.deduplicate),
+    "fill_leading_zeroes": _simple(T.fill_leading_zeroes),
+    # relational verbs (SURVEY §2.3)
+    "dedup_latest": _simple(R.dedup_latest),
+    "filter_old_values": _simple(R.filter_old_values),
+    "top_k_join": _simple(R.top_k_join),
+    "groupwise_max": _simple(R.groupwise_max),
+    "global_row_number": _simple(R.global_row_number),
+    "remove_false_parents": _simple(R.remove_false_parents),
+    "child_ticket_rollup": _simple(R.child_ticket_rollup),
+}
+
+
+def run_spec(
+    spark: SparkSession,
+    spec: dict,
+    sf_dir: str | None = None,
+    source_df: DataFrame | None = None,
+    extra_ops: dict[str, Callable] | None = None,
+) -> DataFrame:
+    """Interpret a pipeline spec into a lazy DataFrame.
+
+    ``source_df`` overrides the spec's source (tests, or chaining specs);
+    ``extra_ops`` lets a deployment register custom steps without forking
+    the interpreter. Unknown ops fail fast with the full valid-name list —
+    a config typo should die at plan-build time, not mid-run."""
+    ops = {**OPS, **(extra_ops or {})}
+    if source_df is not None:
+        df = source_df
+    else:
+        src = spec["source"]
+        if "table" in src:
+            if sf_dir is None:
+                raise ValueError("sf_dir required for a {'table': ...} source")
+            df = load_tables(spark, sf_dir, [src["table"]])[src["table"]]
+        elif "path" in src:
+            df = spark.read.format(src.get("format", "parquet")).load(src["path"])
+        else:
+            raise ValueError(f"source needs 'table' or 'path', got {sorted(src)}")
+    for i, step in enumerate(spec.get("steps", [])):
+        op = step.get("op")
+        if op not in ops:
+            raise ValueError(
+                f"step {i}: unknown op {op!r}; valid ops: {sorted(ops)}"
+            )
+        params = {k: v for k, v in step.items() if k != "op"}
+        df = ops[op](df, params)
+    if "select" in spec:
+        df = df.select(*spec["select"])
+    return df

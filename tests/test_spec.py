@@ -1,0 +1,95 @@
+"""Declarative pipeline specs (plans/spec.py): the interpreted chain must
+equal the hand-written one, and config mistakes must die at build time."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_rivers_spark.plans.spec import OPS, run_spec
+
+
+def test_spec_equals_handwritten_chain(spark):
+    from data_rivers_spark.operators import relational as R
+    from data_rivers_spark.operators import transforms as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "  412-555-1234 ", "createdDate", "2024-01-02", 1),
+            (2, "4125559999", "createdDate", "2024-01-01", 1),
+            (3, None, "createdDate", "2024-01-03", 2),
+        ],
+        "id long, Phone string, src string, updated string, key long",
+    )
+    spec = {
+        "steps": [
+            {"op": "columns_to_lower_case"},
+            {"op": "strip_strings", "fields": ["phone"]},
+            {"op": "reformat_phone_numbers", "field": "phone"},
+            {"op": "dedup_latest", "keys": ["key"], "order_cols": ["updated"]},
+            {"op": "filter", "where": "phone IS NOT NULL"},
+        ],
+        "select": ["id", "phone"],
+    }
+    got = run_spec(spark, spec, source_df=df)
+    want = (
+        R.dedup_latest(
+            T.reformat_phone_numbers(
+                T.strip_strings(T.columns_to_lower_case(df), fields=["phone"]),
+                field="phone",
+            ),
+            keys=["key"],
+            order_cols=["updated"],
+        )
+        .filter("phone IS NOT NULL")
+        .select("id", "phone")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_spec_source_table_and_generic_verbs(spark, sf_dir):
+    spec = {
+        "source": {"table": "orders"},
+        "steps": [
+            {"op": "filter", "where": "o_orderstatus = 'O'"},
+            {"op": "with_column", "name": "bucket", "expr": "o_orderkey % 10"},
+            {"op": "limit", "n": 5},
+        ],
+        "select": ["o_orderkey", "bucket"],
+    }
+    rows = run_spec(spark, spec, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.bucket == r.o_orderkey % 10 for r in rows)
+
+
+def test_spec_unknown_op_fails_fast_with_catalog(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown op 'dedupe_latest'"):
+        run_spec(spark, {"steps": [{"op": "dedupe_latest"}]}, source_df=df)
+    # error message carries the valid-op catalog for the config author
+    try:
+        run_spec(spark, {"steps": [{"op": "nope"}]}, source_df=df)
+    except ValueError as e:
+        assert "dedup_latest" in str(e)
+
+
+def test_spec_extra_ops_extension_point(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = run_spec(
+        spark,
+        {"steps": [{"op": "double_it"}]},
+        source_df=df,
+        extra_ops={"double_it": lambda d, p: d.withColumn("id", F.col("id") * 2)},
+    )
+    assert sorted(r.id for r in out.collect()) == [2, 4]
+
+
+def test_spec_registry_is_plain_data(spark):
+    """Every registered op is callable and the spec itself is a plain dict —
+    serializable config, no custom classes."""
+    import json
+
+    assert all(callable(v) for v in OPS.values())
+    spec = {"source": {"table": "orders"}, "steps": [{"op": "distinct"}]}
+    assert json.loads(json.dumps(spec)) == spec
