@@ -138,3 +138,40 @@ def run_spec(
     if "select" in spec:
         df = df.select(*spec["select"])
     return df
+
+
+def backfill(
+    spark: SparkSession,
+    catalog,
+    table: str,
+    spec: dict,
+    partition_col: str,
+    partitions: list,
+) -> int:
+    """Replay a pipeline over selected partitions of a managed table — the
+    engine's form of the reference's Airflow backfill (re-run a DAG over a
+    date range after a transform fix, airflow catchup/backfill semantics).
+
+    Reads ONLY the named partitions from ``table``, runs the spec's steps
+    over them (the spec's own ``source`` is ignored — the backfill source
+    is the table), and writes the result back via
+    ``catalog.overwrite_partitions`` — O(touched partitions) thanks to the
+    hard-link retention of untouched ones, with the all-or-nothing version
+    swap keeping concurrent readers on a consistent snapshot throughout.
+
+    The partition filter is a plain ``isin`` on the partition column, so it
+    prunes at the scan (partition pruning, no full-table read). Returns the
+    number of rows written. Steps must preserve the partition column —
+    dropping it would silently re-home rows; that raises instead."""
+    src = catalog.read(table).filter(F.col(partition_col).isin(partitions))
+    out = run_spec(spark, {**spec, "source": {"table": "__ignored__"}},
+                   source_df=src)
+    if partition_col not in out.columns:
+        raise ValueError(
+            f"backfill steps dropped partition column {partition_col!r}; "
+            "the rewritten rows could not be re-partitioned"
+        )
+    out = out.localCheckpoint(eager=True)  # sever from the table being replaced
+    n = out.count()
+    catalog.overwrite_partitions(table, out, [partition_col])
+    return n
