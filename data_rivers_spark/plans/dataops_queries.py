@@ -198,6 +198,47 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(t["embeddings"], "embedding", "vec_id", 0.3, "label")
 
 
+@query(
+    "q_embedding_cc_dedup",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
+    """,
+)
+def q_embedding_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster collapse: exact cosine near-dup pairs →
+    connected components → keep one representative (min vec_id) per
+    cluster — the semantic-dedup move over an embedding column (a chain
+    a~b~c collapses to one survivor even when a and c never pair
+    directly). Oracled by the same recursive-CTE closure as
+    q_minhash_cc_dedup, over the exactly-SQL-expressible cosine pair set.
+    Scale: pairs come from the label-blocked exact join (bounded blocks);
+    CC is iterative min-label propagation with per-round checkpoints."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    pairs = S.embedding_near_dup_pairs(emb, "embedding", "vec_id", 0.3, "label")
+    return D.dedup_by_components(
+        emb, pairs.select("id_a", "id_b"), "vec_id"
+    ).select("vec_id")
+
+
 # --- non-SQL-expressible sketch operators: rows-only driver check + unit tests
 
 
