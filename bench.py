@@ -59,6 +59,8 @@ HEADLINE = [
     "q_retention_cohorts",
     "q_value_histogram",
     "q_revgeo_multizone_grid",
+    # mapInPandas + blocked hamming join over a binary media column
+    "q_media_phash_dedup",
 ]
 
 
