@@ -763,3 +763,345 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --- partsupp-dependent shapes (Q2/Q9/Q11/Q16/Q20) ------------------------
+# The driver's testdata has no partsupp table, so these five shapes derive a
+# DETERMINISTIC partsupp from the tables that exist: one row per distinct
+# (l_partkey, l_suppkey) with arithmetic supplycost/availqty. Both the Spark
+# fixture and the oracle CTE compute the identical derivation, so the
+# QUERIES over it are exercised exactly as TPC-H intends (correlated min
+# subquery, profit join, HAVING vs scalar, NOT IN, nested semi chains).
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+      -- supplycost stays EXACT-integer until one final division, so both
+      -- engines compute bit-identical doubles: a ROUND() here would sit a
+      -- .005 boundary under HALF_UP (Spark) vs half-even (DuckDB) and the
+      -- one-cent disagreements amplify through availqty multiplications
+      SELECT ps_partkey, ps_suppkey,
+             FLOOR(p_retailprice * 100)
+               * (40 + (ps_partkey * 7 + ps_suppkey) % 50) / 10000.0
+               AS ps_supplycost,
+             CAST(1 + (ps_partkey * 13 + ps_suppkey * 3) % 9999 AS BIGINT)
+               AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem)
+      JOIN part ON ps_partkey = p_partkey
+    )"""
+
+
+def _partsupp(t) -> DataFrame:
+    """Deterministic partsupp fixture — see _PARTSUPP_CTE for the contract."""
+    ps = (
+        t["lineitem"]
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_retailprice")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+    )
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            F.floor(F.col("p_retailprice") * 100)
+            * (40 + (F.col("ps_partkey") * 7 + F.col("ps_suppkey")) % 50)
+            / 10000.0
+        ).alias("ps_supplycost"),
+        (1 + (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 3) % 9999)
+        .cast("long")
+        .alias("ps_availqty"),
+    )
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    , regional AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA'
+    )
+    SELECT r.s_acctbal, r.s_name, r.n_name, r.ps_partkey AS p_partkey,
+           r.ps_supplycost
+    FROM regional r
+    JOIN part ON r.ps_partkey = p_partkey
+    WHERE p_type = 'PROMO' AND p_size <= 10
+      AND r.ps_supplycost = (SELECT MIN(r2.ps_supplycost) FROM regional r2
+                             WHERE r2.ps_partkey = r.ps_partkey)
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each qualifying part, the
+    region's supplier(s) offering the MINIMUM supply cost — the correlated
+    aggregate subquery, expressed as a per-part min aggregate joined back
+    on cost equality (one pass over the regional partsupp consumed twice
+    via checkpoint, no correlated re-execution)."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    regional = (
+        _partsupp(t)
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "AFRICA")
+                          .select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+        .localCheckpoint(eager=True)  # consumed twice: min agg + detail join
+    )
+    mins = regional.groupBy(F.col("ps_partkey").alias("__pk")).agg(
+        F.min("ps_supplycost").alias("__mincost")
+    )
+    qualified = t["part"].filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    return (
+        regional.join(
+            mins,
+            (F.col("ps_partkey") == F.col("__pk"))
+            & (F.col("ps_supplycost") == F.col("__mincost")),
+        )
+        .join(F.broadcast(qualified), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("ps_partkey").alias("p_partkey"), "ps_supplycost")
+    )
+
+
+@query(
+    "q09_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    -- profit in EXACT integer 1/10000-currency units end to end: prices
+    -- and discounts carry 2 decimals, so FLOOR(x*100) is a cross-engine-
+    -- stable integer; revenue = cents x (100 - discount%), cost =
+    -- (supplycost in 1e-4 units) x integral quantity. Integer sums are
+    -- accumulation-order-free — the double form flipped a cent boundary
+    -- at sf0.1 (group sums ~2e7 with ~1e-9 relative summation skew).
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))
+                    - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+                      * (40 + (ps_partkey * 7 + ps_suppkey) % 50)
+                      * CAST(FLOOR(l_quantity) AS BIGINT))
+                AS BIGINT) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: revenue minus supply cost per
+    supplier nation and order year — the widest fact-side join in the set
+    (lineitem⋈partsupp on a TWO-column key, plus part/supplier/orders/
+    nation). partsupp is fact-sized, so that join shuffles both sides on
+    (partkey, suppkey); every true dimension broadcasts. Profit arithmetic
+    runs in exact integer 1/10000-currency units (see the oracle note), so
+    the per-group sums are identical across engines regardless of
+    accumulation order."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "orders", "nation"]
+    )
+    li = t["lineitem"]
+    j = (
+        li.join(_partsupp(t),
+                (F.col("l_partkey") == F.col("ps_partkey"))
+                & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")
+                          .select("p_partkey", "p_retailprice")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    profit_i = (
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100).cast("long"))
+        - F.floor(F.col("p_retailprice") * 100).cast("long")
+        * (40 + (F.col("ps_partkey") * 7 + F.col("ps_suppkey")) % 50)
+        * F.floor(F.col("l_quantity")).cast("long")
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg((F.sum(profit_i).cast("long") / 10000.0).alias("sum_profit"))
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    , nat AS (
+      -- inventory value in EXACT integer 1/10000-currency units: the
+      -- HAVING compares a per-part sum against a global-total fraction,
+      -- and double accumulation order differs between engines — a part
+      -- landing within an ulp of the threshold (observed at sf0.01)
+      -- flips. Integer sums and an integer comparison are order-free.
+      SELECT ps_partkey,
+             CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+               * (40 + (ps_partkey * 7 + ps_suppkey) % 50)
+               * ps_availqty AS v_i
+      FROM partsupp
+      JOIN part ON ps_partkey = p_partkey
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+    )
+    SELECT ps_partkey,
+           CAST(SUM(v_i) AS BIGINT) / 10000.0 AS value
+    FROM nat GROUP BY ps_partkey
+    HAVING CAST(SUM(v_i) AS BIGINT) * 3000 > (SELECT CAST(SUM(v_i) AS BIGINT) FROM nat)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: per-part inventory value for one
+    nation's suppliers, kept only when it exceeds 1/3000 of the NATION-WIDE
+    total — the HAVING-against-global-scalar shape (the fraction is chosen
+    so the answer is non-degenerate at every driver SF). The total is a
+    broadcast 1-row aggregate of the SAME frame (checkpointed, no second
+    scan). Value arithmetic runs in exact integer 1/10000-units end to
+    end (supplycost is integer/10⁴ by construction), so the threshold
+    comparison is order-independent across engines — the double form
+    flaked on a part within one ulp of the boundary."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    # integral double -> exact long in both engines (cast rounding modes
+    # only diverge on non-integral doubles, which floor never produces)
+    v_i = (
+        F.floor(F.col("p_retailprice") * 100).cast("long")
+        * (40 + (F.col("ps_partkey") * 7 + F.col("ps_suppkey")) % 50)
+        * F.col("ps_availqty")
+    ).alias("v_i")
+    nat = (
+        _partsupp(t)
+        .join(F.broadcast(t["part"].select("p_partkey", "p_retailprice")),
+              F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_1")
+                          .select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", v_i)
+        .localCheckpoint(eager=True)  # consumed twice: per-part agg + total
+    )
+    total = nat.agg(F.sum("v_i").cast("long").alias("__total"))
+    return (
+        nat.groupBy("ps_partkey")
+        .agg(F.sum("v_i").cast("long").alias("__vi"))
+        .join(F.broadcast(total))
+        .filter(F.col("__vi") * 3000 > F.col("__total"))
+        .select("ps_partkey", (F.col("__vi") / 10000.0).alias("value"))
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier counts: distinct suppliers per (brand,
+    type, size) over filtered parts, EXCLUDING an unwanted supplier set —
+    the NOT IN subquery, expressed as a left-anti join (which also gets
+    NOT IN's null-trap semantics right by construction: there are no NULL
+    supplier keys here, and anti-join simply drops matches)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        _partsupp(t)
+        .join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    , shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2' AND s_suppkey IN (
+      SELECT ps_suppkey FROM partsupp
+      JOIN part ON ps_partkey = p_partkey
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE p_type = 'SMALL' AND ps_availqty > 0.5 * qty
+    )
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-stock suppliers: suppliers in one nation
+    holding more than half a year's shipped quantity of a SMALL-type part —
+    the nested-semi-join chain (part filter → per-(part,supp) shipped
+    aggregate → availability comparison → supplier semi). The correlated
+    scalar subquery becomes one keyed aggregate joined on the two-column
+    key; the final supplier restriction is a left-semi, so supplier rows
+    never duplicate."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "nation"])
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = (
+        _partsupp(t)
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "SMALL")
+                          .select("p_partkey")),
+              F.col("ps_partkey") == F.col("p_partkey"))
+        .join(shipped,
+              (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+    )
+    return (
+        t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_2")
+                          .select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, "s_suppkey", "left_semi")
+        .select("s_name")
+        .distinct()
+    )
