@@ -61,6 +61,8 @@ HEADLINE = [
     "q_revgeo_multizone_grid",
     # mapInPandas + blocked hamming join over a binary media column
     "q_media_phash_dedup",
+    # the widest fact-side join: lineitem x derived-partsupp on a 2-col key
+    "q09_product_profit",
 ]
 
 

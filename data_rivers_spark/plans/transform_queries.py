@@ -349,3 +349,48 @@ def q_classify_address(spark: SparkSession, sf_dir: str) -> DataFrame:
         contains_pii=True,
     )
     return out.select("o_orderkey", "address_type", "pii_input_address")
+
+
+@query(
+    "q_spec_pipeline",
+    oracle="""
+    WITH deduped AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderstatus = 'O'
+      ) WHERE rn = 1
+    )
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM deduped WHERE o_totalprice > 1000
+    """,
+)
+def q_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pipeline built ENTIRELY from a declarative spec (plans/spec.py
+    run_spec): filter → latest-order-per-customer dedup → threshold filter
+    → derived columns → projection, with the oracle restating the same
+    chain in SQL. This puts the spec interpreter itself under the driver's
+    hash gate — a regression in op dispatch, param plumbing, or step
+    ordering breaks the compare, not just a unit test."""
+    from data_rivers_spark.plans.spec import run_spec
+
+    spec = {
+        "source": {"table": "orders"},
+        "steps": [
+            {"op": "filter", "where": "o_orderstatus = 'O'"},
+            {
+                "op": "dedup_latest",
+                "keys": ["o_custkey"],
+                "order_cols": ["o_orderdate", "o_orderkey"],
+            },
+            {"op": "filter", "where": "o_totalprice > 1000"},
+            {"op": "with_column", "name": "total",
+             "expr": "ROUND(o_totalprice, 2)"},
+            {"op": "with_column", "name": "order_day",
+             "expr": "DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')"},
+        ],
+        "select": ["o_custkey", "o_orderkey", "total", "order_day"],
+    }
+    return run_spec(spark, spec, sf_dir)
