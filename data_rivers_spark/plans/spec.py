@@ -175,3 +175,63 @@ def backfill(
     n = out.count()
     catalog.overwrite_partitions(table, out, [partition_col])
     return n
+
+
+def run_spec_incremental(
+    spark: SparkSession,
+    catalog,
+    run_log,
+    source: str,
+    table: str,
+    spec: dict,
+    watermark_col: str,
+    target_table: str,
+    merge_keys: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    default_since=None,
+) -> int:
+    """Incremental spec execution: process ONLY the rows newer than the
+    stored watermark, land them, and advance the watermark on success —
+    the reference's cron-cadence contract (watermark-since extraction +
+    merge-into-master, qalert_requests_gcs.py:22-71 + SURVEY §3.2) with a
+    declarative transform in the middle.
+
+    Reads ``table`` filtered to ``watermark_col > last watermark`` (a
+    pushable range predicate — at scale this is partition/row-group
+    pruning, not a full scan), runs the spec's steps, then either
+    ``merge_upsert``s into ``target_table`` (``merge_keys`` given —
+    replayed batches upsert idempotently) or appends. The new watermark
+    (max of ``watermark_col`` over the processed batch, read from the
+    batch BEFORE transforms can drop the column) is recorded only AFTER
+    the write succeeds, so a mid-run failure reprocesses the same window
+    on retry — at-least-once, made safe by the merge path.
+
+    Returns the number of source rows processed (0 = no-op, watermark
+    untouched)."""
+    since = run_log.last_successful_run(source, default_since)
+    src = catalog.read(table)
+    if since is not None:
+        src = src.filter(F.col(watermark_col) > F.lit(since))
+    src = src.localCheckpoint(eager=True)  # one scan feeds count/max/transform
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"), F.max(watermark_col).alias("mx")
+    ).first()
+    if not stats.n:
+        return 0
+    out = run_spec(spark, {**spec, "source": {"table": "__ignored__"}},
+                   source_df=src)
+    if merge_keys:
+        if catalog.exists(target_table):
+            catalog.merge_upsert(
+                target_table, out, merge_keys,
+                [c for c in out.columns if c not in merge_keys],
+                order_cols or [watermark_col],
+            )
+        else:
+            catalog.create_or_replace(out, target_table)
+    elif catalog.exists(target_table):
+        catalog.insert_into(target_table, out)
+    else:
+        catalog.create_or_replace(out, target_table)
+    run_log.record_successful_run(source, str(stats.mx), rows=stats.n)
+    return stats.n

@@ -124,3 +124,58 @@ def test_backfill_replays_selected_partitions(spark, tmp_path):
         backfill(spark, cat, "facts",
                  {"steps": [{"op": "select", "columns": ["id", "val"]}]},
                  "day", ["2024-01-03"])
+
+
+def test_run_spec_incremental_watermark_cycles(spark, tmp_path):
+    """Three cron cycles: first run processes everything and records the
+    watermark; an empty cycle is a no-op that leaves it untouched; new
+    rows process alone on the next cycle; replaying the same window merges
+    idempotently (no duplicate keys in the target)."""
+    from data_rivers_spark.catalog.tables import ManagedCatalog
+    from data_rivers_spark.plans.spec import run_spec_incremental
+    from data_rivers_spark.sources.watermark import RunLog
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"))
+    log = RunLog(str(tmp_path / "runlog"))
+    cat.create_or_replace(
+        spark.createDataFrame(
+            [(1, "2024-01-01", " x "), (2, "2024-01-02", " y ")],
+            "id long, ts string, val string",
+        ),
+        "landing",
+    )
+    spec = {"steps": [{"op": "strip_strings", "fields": ["val"]}]}
+
+    n1 = run_spec_incremental(
+        spark, cat, log, "src1", "landing", spec, "ts", "master",
+        merge_keys=["id"], order_cols=["ts"],
+    )
+    assert n1 == 2
+    assert log.last_successful_run("src1") == "2024-01-02"
+    assert {r.id: r.val for r in cat.read("master").collect()} == {1: "x", 2: "y"}
+
+    # cycle 2: nothing new — no-op, watermark untouched
+    assert run_spec_incremental(
+        spark, cat, log, "src1", "landing", spec, "ts", "master",
+        merge_keys=["id"], order_cols=["ts"],
+    ) == 0
+    assert log.last_successful_run("src1") == "2024-01-02"
+
+    # cycle 3: a new row and an update to id=2 arrive
+    cat.insert_into(
+        "landing",
+        spark.createDataFrame(
+            [(3, "2024-01-03", " z "), (2, "2024-01-04", " y2 ")],
+            "id long, ts string, val string",
+        ),
+    )
+    n3 = run_spec_incremental(
+        spark, cat, log, "src1", "landing", spec, "ts", "master",
+        merge_keys=["id"], order_cols=["ts"],
+    )
+    assert n3 == 2
+    assert log.last_successful_run("src1") == "2024-01-04"
+    got = {r.id: r.val for r in cat.read("master").collect()}
+    assert got == {1: "x", 2: "y2", 3: "z"}
+    # exactly one row per key survived the merge
+    assert cat.read("master").count() == 3
