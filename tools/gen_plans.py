@@ -94,6 +94,13 @@ Notes on specific plans:
   residual, vs the BNLJ of q_revgeo_multizone. Compare the two sections —
   same result, different join strategy; SCALING.md locates the zone-count
   crossover.
+- **q_media_phash_dedup** — ArrowEvalPython/MapInPandas feeds the pHash;
+  the hamming join is the same combination-blocked equi-join as text
+  SimHash (Generate over 20 packed keys → SortMergeJoin/BHJ on the key).
+- **q09_product_profit** — the only fact⋈fact join in the suite: lineitem
+  and the derived partsupp shuffle on the composite (partkey, suppkey)
+  key (two Exchanges feeding one SortMergeJoin); every true dimension is
+  a BroadcastHashJoin around it.
 """
 
 
