@@ -37,6 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # that's the lineage-replay regression signal this tool exists to catch
 # (it found the LSH 6x tokenize in round 2 and the unigram 3x in round 3).
 EXPLAINED = {
+    "q02_min_cost_supplier": "partsupp derived from lineitem+part, part re-read for the size/type filter",
+    "q09_product_profit": "partsupp derivation reads lineitem+part; the profit join reads both again",
+    "q16_supplier_cnt": "partsupp derivation + part brand/size filter",
+    "q20_excess_stock_suppliers": "partsupp derivation + year-shipped aggregate both read lineitem",
+    "q_media_phash_dedup": "planted-copy union fixture x dedup anti-join branches",
     "q07_nation_volume": "nation joined twice (supplier role + customer role)",
     "q08_market_share": "nation joined twice (two roles)",
     "q17_small_quantity": "correlated avg subquery + main pass (TPC-H shape)",
