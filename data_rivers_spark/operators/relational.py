@@ -565,3 +565,95 @@ def increment_counts(
     return joined.withColumn(
         count_col, F.col(count_col) + F.coalesce(F.col("__inc"), F.lit(0))
     ).drop("__inc")
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    ts_col: str,
+    bucket: str,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Time-bucketed aggregate — the hypertable continuous-aggregate shape:
+    one row per (bucket, *group_cols) with the requested aggregates.
+
+    ``bucket`` is a date_trunc unit ('hour', 'day', 'week', ...); ``aggs``
+    maps output column → (function, input column) with function one of
+    sum/count/min/max/avg. The bucket lands as a canonical STRING key
+    (stable for partition directories and cross-engine comparison); note
+    that after persisting partitioned-by-bucket, Spark's partition-value
+    type inference reads the column back as TIMESTAMP — same instants,
+    better typed. One map-side-combinable shuffle on (bucket, groups)."""
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max, "avg": F.avg}
+    bucket_col = F.date_format(
+        F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+    ).alias("bucket")
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"agg {fn!r} not in {sorted(fns)}")
+        exprs.append(fns[fn](F.col(col)).alias(out))
+    return events.groupBy(bucket_col, *group_cols).agg(*exprs)
+
+
+def refresh_time_rollup(
+    catalog,
+    source_table: str,
+    rollup_table: str,
+    ts_col: str,
+    bucket: str,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    touched: DataFrame | list[str] | None = None,
+) -> int:
+    """Incrementally refresh a persisted time-bucket rollup — the
+    TimescaleDB continuous-aggregate / materialized-rollup maintenance
+    move, built from this catalog's partition verbs:
+
+    1. determine the TOUCHED buckets (pass the new batch — its distinct
+       buckets are computed with one tiny aggregate — or an explicit
+       bucket list; None = full rebuild);
+    2. re-aggregate ONLY those buckets from the source table, with the
+       bucket filter pushed into the scan (partition/row-group pruning —
+       at 100 TB this reads the touched hours, not the table);
+    3. swap them into the rollup via ``overwrite_partitions`` — untouched
+       bucket partitions are hard-linked, readers see an atomic version
+       flip, and a crashed refresh leaves the old version intact.
+
+    Aggregates are recomputed from source per touched bucket rather than
+    merged delta-wise, so ALL aggregate functions work (avg, min, max —
+    not just commutative adds) and late/updated/deleted source rows
+    converge on every refresh. Returns the number of rollup rows written."""
+    src = catalog.read(source_table)
+    bucket_expr = F.date_format(
+        F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+    )
+    if touched is None and not catalog.exists(rollup_table):
+        scoped = src
+    elif touched is None:
+        scoped = src
+    else:
+        if isinstance(touched, DataFrame):
+            vals = [
+                r[0]
+                for r in touched.select(
+                    F.date_format(
+                        F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+                    ).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+        else:
+            vals = list(touched)
+        if not vals:
+            return 0
+        scoped = src.filter(bucket_expr.isin(vals))
+    out = time_bucket_rollup(scoped, ts_col, bucket, group_cols, aggs)
+    out = out.localCheckpoint(eager=True)  # sever from the version replaced
+    n = out.count()
+    if catalog.exists(rollup_table):
+        catalog.overwrite_partitions(rollup_table, out, ["bucket"])
+    else:
+        catalog.create_or_replace(out, rollup_table, partition_by=["bucket"])
+    return n

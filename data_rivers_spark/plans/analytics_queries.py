@@ -473,3 +473,29 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@query(
+    "q_hourly_rollup",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucket rollup over the event stream — the hypertable
+    continuous-aggregate read shape (relational.time_bucket_rollup; the
+    incremental partition-scoped refresh of the PERSISTED rollup is
+    exercised in tests/test_relational.py). One map-side-combinable
+    shuffle on (bucket, event_type)."""
+    from data_rivers_spark.operators.relational import time_bucket_rollup
+
+    t = load_tables(spark, sf_dir, ["events"])
+    out = time_bucket_rollup(
+        t["events"], "ts", "hour", ["event_type"],
+        {"n": ("count", "value"), "total": ("sum", "value")},
+    )
+    return out.select("bucket", "event_type", "n", F.round("total", 2).alias("total"))

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_rivers_spark.operators import relational as R
 
 
@@ -104,3 +106,66 @@ def test_global_row_number_scalable_matches_exact(spark):
     # the moment the branches' subplans diverge
     plan = scal._jdf.queryExecution().executedPlan().toString()
     assert plan.count("rangepartitioning") == 0, plan
+
+
+def test_refresh_time_rollup_incremental(spark, tmp_path):
+    """Continuous-aggregate maintenance: the refresh recomputes ONLY the
+    buckets touched by the new batch (late rows included), leaves other
+    buckets' partitions untouched, and converges to the full-rebuild
+    answer."""
+    from data_rivers_spark.catalog.tables import ManagedCatalog
+    from data_rivers_spark.operators.relational import (
+        refresh_time_rollup,
+        time_bucket_rollup,
+    )
+
+    cat = ManagedCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:05:00", "a", 1.0),
+            (2, "2024-01-01 10:45:00", "a", 2.0),
+            (3, "2024-01-01 11:10:00", "b", 4.0),
+        ],
+        "event_id long, ts string, k string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cat.create_or_replace(base, "events_src")
+    aggs = {"n": ("count", "value"), "total": ("sum", "value")}
+
+    # bootstrap: full build
+    n0 = refresh_time_rollup(cat, "events_src", "hourly", "ts", "hour",
+                             ["k"], aggs)
+    assert n0 == 2
+    got = {(r.bucket, r.k): (r.n, r.total) for r in cat.read("hourly")
+           .withColumn("bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"))
+           .collect()}
+    assert got[("2024-01-01 10:00:00", "a")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "b")] == (1, 4.0)
+
+    # a LATE row lands in the 10:00 bucket; refresh scoped by the batch
+    late = spark.createDataFrame(
+        [(4, "2024-01-01 10:55:00", "a", 10.0)],
+        "event_id long, ts string, k string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cat.insert_into("events_src", late)
+    n1 = refresh_time_rollup(cat, "events_src", "hourly", "ts", "hour",
+                             ["k"], aggs, touched=late)
+    assert n1 == 1  # only the 10:00 bucket recomputed
+    got = {(r.bucket, r.k): (r.n, r.total) for r in cat.read("hourly")
+           .withColumn("bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss"))
+           .collect()}
+    # the touched bucket CONVERGED (recomputed from source, not delta-added)
+    assert got[("2024-01-01 10:00:00", "a")] == (3, 13.0)
+    assert got[("2024-01-01 11:00:00", "b")] == (1, 4.0)
+
+    # equivalently: matches the from-scratch rollup over the full source
+    full = {
+        (r.bucket, r.k): (r.n, r.total)
+        for r in time_bucket_rollup(
+            cat.read("events_src"), "ts", "hour", ["k"], aggs
+        ).collect()
+    }
+    assert got == full
+
+    # an empty touched set is a no-op
+    assert refresh_time_rollup(cat, "events_src", "hourly", "ts", "hour",
+                               ["k"], aggs, touched=[]) == 0
