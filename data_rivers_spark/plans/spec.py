@@ -37,7 +37,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_rivers_spark.operators import dedup as D
 from data_rivers_spark.operators import relational as R
+from data_rivers_spark.operators import sampling as SA
+from data_rivers_spark.operators import textstats as TX
 from data_rivers_spark.operators import transforms as T
 from data_rivers_spark.session import load_tables
 
@@ -98,6 +101,18 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "global_row_number": _simple(R.global_row_number),
     "remove_false_parents": _simple(R.remove_false_parents),
     "child_ticket_rollup": _simple(R.child_ticket_rollup),
+    "time_bucket_rollup": _simple(R.time_bucket_rollup),
+    # training-data curation verbs — a corpus pipeline is spec-able too
+    "exact_dedup": _simple(D.exact_dedup),
+    "minhash_lsh_dedup": _simple(D.minhash_lsh_dedup),
+    "paragraph_dedup": _simple(D.paragraph_dedup),
+    "simhash_dedup": _simple(D.simhash_dedup),
+    "c4_quality_filter": _simple(TX.c4_quality_filter),
+    "gopher_repetition_filter": _simple(TX.gopher_repetition_filter),
+    "detect_language": _simple(TX.detect_language),
+    "quality_features": _simple(TX.quality_features),
+    "deterministic_sample": _simple(SA.deterministic_sample),
+    "train_test_split": _simple(SA.train_test_split),
 }
 
 

@@ -179,3 +179,31 @@ def test_run_spec_incremental_watermark_cycles(spark, tmp_path):
     assert got == {1: "x", 2: "y2", 3: "z"}
     # exactly one row per key survived the merge
     assert cat.read("master").count() == 3
+
+
+def test_spec_curation_verbs(spark):
+    """The training-data verbs compose from a spec: exact dedup then a
+    deterministic sample, equal to the hand-written chain."""
+    from data_rivers_spark.operators import dedup as D
+    from data_rivers_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, "same text here" if i % 3 == 0 else f"doc {i} words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    spec = {
+        "steps": [
+            {"op": "exact_dedup", "text_col": "text", "id_col": "doc_id"},
+            {"op": "deterministic_sample", "key_col": "doc_id", "fraction": 0.5,
+             "seed": "s1"},
+        ],
+    }
+    got = sorted(r.doc_id for r in run_spec(spark, spec, source_df=df).collect())
+    want = sorted(
+        r.doc_id
+        for r in SA.deterministic_sample(
+            D.exact_dedup(df, text_col="text", id_col="doc_id"),
+            key_col="doc_id", fraction=0.5, seed="s1",
+        ).collect()
+    )
+    assert got == want and len(got) > 0
