@@ -37,9 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-KS = (1, 4, 16, 64)
+KS = (1, 4, 16, 64, 256)
 # ops too slow to run at the top octave get capped (recorded as blank)
-MAX_K = {"simhash_pairs": 64}
+MAX_K = {"simhash_pairs": 64}  # ~110s at 64x; the exponent is settled there
 
 
 def scaled(df, id_col: str, k: int, text_col: str | None = None, vec_col: str | None = None):
@@ -269,10 +269,16 @@ def main() -> None:
         .filter(F.trim("text") != "")
         .count()
     )
+    top_k = KS[-1]
+    header_cells = " | ".join(f"{k}x (s)" for k in KS)
+    ratio_cells = " | ".join(f"{a}x->{b}x" for a, b in zip(KS, KS[1:]))
     lines = [
-        "# SCALING — measured operator scaling at 1x / 4x / 16x / 64x corpus size\n",
+        "# SCALING — measured operator scaling at "
+        + " / ".join(f"{k}x" for k in KS)
+        + " corpus size\n",
         f"\nGenerated by `tools/scaling.py` on `{sf_dir}` (base corpus {n0} docs;",
-        " 64x = %d docs), local[32]. Each growth column is the runtime" % (n0 * 64),
+        " %dx = %d docs), local[32]. Each growth column is the runtime"
+        % (top_k, n0 * top_k),
         " ratio over a 4x data increase: ~4 = linear (healthy for",
         " shuffle-bounded ops), >>4 = super-linear (the quadratic smell the",
         " bucket caps / blocking / banding are there to prevent). Replicas",
@@ -281,17 +287,20 @@ def main() -> None:
         " a naive k-fold copy would grow dup-cluster size with k and measure",
         " the fixture's quadratic pair count, not the operator. Constant",
         " factors are flattered by the warm local page cache; the exponent is",
-        " the signal.\n",
-        "\n| operator | 1x (s) | 4x (s) | 16x (s) | 64x (s) | 4x->16x | 16x->64x |\n",
-        "|---|---|---|---|---|---|---|\n",
+        " the signal. A cell where a LATER octave runs faster than an",
+        " earlier one (non-monotone row) is a host/GC spike that min-of-2",
+        " didn't absorb, not operator behavior — read the surrounding",
+        " octaves.\n",
+        f"\n| operator | {header_cells} | {ratio_cells} |\n",
+        "|---|" + "---|" * (2 * len(KS) - 1) + "\n",
     ]
     for name, r in results.items():
-        r16 = round(r[16] / r[4], 2) if r.get(4) and r.get(16) else "—"
-        r64 = round(r[64] / r[16], 2) if r.get(16) and r.get(64) else "—"
-        lines.append(
-            f"| {name} | {r.get(1, '—')} | {r.get(4, '—')} | {r.get(16, '—')} |"
-            f" {r.get(64, '—')} | {r16} | {r64} |\n"
+        vals = " | ".join(str(r.get(k, "—")) for k in KS)
+        ratios = " | ".join(
+            str(round(r[b] / r[a], 2)) if r.get(a) and r.get(b) else "—"
+            for a, b in zip(KS, KS[1:])
         )
+        lines.append(f"| {name} | {vals} | {ratios} |\n")
     lines += [
         "\n## Revgeo join strategy: BroadcastNestedLoopJoin vs grid-cell "
         "BroadcastHashJoin by zone count\n",
