@@ -96,6 +96,63 @@ def train_test_split(
     return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
 
 
+def hash_unit_int(key: Column, seed: int | str = 0) -> Column:
+    """Stable uniform integer in [0, 16^8) for a key — the numeric twin of
+    ``hash_bucket`` for decisions whose threshold varies per row (weighted
+    sampling), where a string compare against a constant no longer works."""
+    return F.conv(hash_bucket(key, seed), 16, 10).cast("bigint")
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, rate: float, seed: int | str = 0
+) -> DataFrame:
+    """Deterministic weighted (Poisson) sampling: keep each row independently
+    with probability ``1 - exp(-rate * weight)`` — the quality-weighted
+    corpus-mixing primitive ("sample documents proportionally to their
+    quality/length score"). For small rate*weight the inclusion probability
+    is ≈ rate*weight (proportional-to-weight); it saturates smoothly toward 1
+    for heavy rows instead of needing an explicit cap.
+
+    Same contract as deterministic_sample: a pure per-row filter (no shuffle,
+    pushes below joins), reproducible across runs / engines / partitioning.
+    The per-row threshold is floored to an INTEGER in the hash space before
+    comparing, so both engines compare exact integers and a 1-ulp difference
+    in exp() can only matter when the true threshold sits within one ulp of
+    an integer boundary (~1e-16/1 per distinct weight — negligible, and flagged
+    nowhere near the driver's 500-row sample)."""
+    u = hash_unit_int(F.col(key_col), seed)
+    thr = F.floor(
+        (F.lit(1.0) - F.exp(-F.lit(rate) * F.col(weight_col).cast("double")))
+        * F.lit(float(_HEX_SPACE))
+    ).cast("bigint")
+    return df.filter(u < thr)
+
+
+def weighted_topk_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int, seed: int | str = 0
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws u ~ U(0,1) from its content hash and the k largest
+    ``u^(1/w)`` win — equivalently the k largest ``ln(u)/w``, which is what
+    both engines actually order by (monotone transform, no pow() parity risk).
+
+    Scale: orderBy(...).limit(k) compiles to TakeOrderedAndProject — a
+    per-partition top-k heap plus a k-row driver merge, NOT a global sort;
+    the only data movement is k rows per partition. Deterministic tiebreak on
+    the key column keeps the selection stable under ulp-equal ranks
+    (possible only for equal hashes, i.e. never for distinct keys)."""
+    u01 = (hash_unit_int(F.col(key_col), seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_HEX_SPACE)
+    )
+    rank = F.log(u01) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__aes_rank", rank)
+        .orderBy(F.col("__aes_rank").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__aes_rank")
+    )
+
+
 def token_budget_trim(
     df: DataFrame,
     key_col: str,

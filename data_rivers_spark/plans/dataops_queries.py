@@ -828,6 +828,58 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5('11:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+        < CAST(FLOOR((1 - EXP(-0.002 * n_chars)) * 4294967296.0) AS BIGINT)
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (Poisson) sampling: inclusion probability
+    1 - exp(-0.002 * n_chars), so longer documents are kept proportionally
+    more often — the quality/length-weighted corpus-mixing draw, still a pure
+    per-row filter (no shuffle, no RNG state). The oracle replays the exact
+    integer-threshold decision: both engines floor the per-row threshold into
+    the 2^32 hash space and compare integers, so exp() ulp noise cannot flip
+    a row (see sampling.weighted_sample)."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SA.weighted_sample(t["documents"], "doc_id", "n_chars", 0.002, seed=11).select(
+        "doc_id", "n_chars"
+    )
+
+
+@query(
+    "q_weighted_topk_sample",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY LN((CAST(CONCAT('0x', SUBSTR(MD5('13:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0) / n_chars DESC,
+             doc_id
+    LIMIT 50
+    """,
+)
+def q_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): the 50 largest ln(u)/weight ranks win, u drawn from the content
+    hash. Spark compiles the orderBy+limit to TakeOrderedAndProject (per-
+    partition heap + k-row merge, not a global sort). Rank parity across
+    engines: both order by the same double expression; a flip would need two
+    distinct hashes within one ulp of each other (~2^-52 relative — ruled out
+    by the 2^-32-granular hash lattice), and ulp-equal ranks tiebreak on
+    doc_id identically."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SA.weighted_topk_sample(
+        t["documents"], "doc_id", "n_chars", 50, seed=13
+    ).select("doc_id", "n_chars")
+
+
+@query(
     "q_train_test_split",
     oracle="""
     SELECT doc_id,

@@ -168,3 +168,39 @@ def test_quantile_trim_approx_matches_exact_closely(spark):
     assert abs(ne - na) <= 0.02 * 2000
     lo = {r.g: r.mn for r in approx.groupBy("g").agg(F.min("score").alias("mn")).collect()}
     assert all(v > 0 for v in lo.values())  # bottom decile trimmed per group
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    # two weight classes: heavy rows must be kept at ~the designed Poisson
+    # rate, light rows at theirs, and the draw must be repartition-stable
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit(100)).otherwise(F.lit(1000)).alias("w"),
+    )
+    out = SA.weighted_sample(df, "k", "w", rate=0.001, seed=5)
+    kept = {r.k for r in out.collect()}
+    light = sum(1 for k in kept if k % 2 == 0) / 2000  # pi = 1-e^-0.1 ~ 0.095
+    heavy = sum(1 for k in kept if k % 2 == 1) / 2000  # pi = 1-e^-1.0 ~ 0.632
+    assert 0.06 < light < 0.14
+    assert 0.58 < heavy < 0.69
+    again = {r.k for r in SA.weighted_sample(df.repartition(17), "k", "w",
+                                             rate=0.001, seed=5).collect()}
+    assert kept == again
+
+
+def test_weighted_topk_sample_fixed_size_and_weight_biased(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, F.lit(500.0)).otherwise(F.lit(5.0)).alias("w"),
+    )
+    out = SA.weighted_topk_sample(df, "k", "w", k=100, seed=9)
+    rows = out.collect()
+    assert len(rows) == 100
+    # the 100 heavy rows (10% of rows, 100x weight) should dominate the draw
+    heavy = sum(1 for r in rows if r.k < 100)
+    assert heavy > 60
+    # exactly reproducible
+    again = sorted(r.k for r in
+                   SA.weighted_topk_sample(df.repartition(13), "k", "w",
+                                           k=100, seed=9).collect())
+    assert sorted(r.k for r in rows) == again
