@@ -657,3 +657,66 @@ def refresh_time_rollup(
     else:
         catalog.create_or_replace(out, rollup_table, partition_by=["bucket"])
     return n
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy flattening (recursive-CTE closure — no native Spark equivalent)
+# ---------------------------------------------------------------------------
+
+
+def flatten_hierarchy(
+    edges: DataFrame,
+    child_col: str,
+    parent_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Flatten a parent-pointer forest to ``(node, root, depth)`` — the
+    recursive-CTE closure (org charts, category trees, parent-ticket chains)
+    Spark SQL cannot express declaratively.
+
+    A root is any parent that never appears as a child; every non-root node
+    resolves to the root of its chain and its distance from it. Cycles are
+    NOT followed forever: nodes still unsettled after ``max_iterations``
+    doublings raise (a cycle has no root, so silently dropping or emitting
+    them would corrupt the rollup that consumes this).
+
+    Scale design: pointer DOUBLING, not step-by-step walking — each round
+    joins the frontier's known-highest ancestor to that ancestor's own
+    pointer, so the resolved distance doubles per round and a depth-D
+    hierarchy settles in ceil(log2 D) self-joins (a 1M-deep chain = 20
+    rounds), each one equi-join shuffle on the ancestor key. Lineage is cut
+    per round with localCheckpoint, as in connected_components; rounds stop
+    early at fixpoint (no unsettled rows)."""
+    ptr = edges.select(
+        F.col(child_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.lit(1).alias("depth"),
+    ).localCheckpoint(eager=False)
+    # settled(node) := anc has no outgoing pointer (anc is a root)
+    children = edges.select(F.col(child_col).alias("__c")).distinct()
+    for _ in range(max_iterations):
+        jump = ptr.alias("p").join(
+            ptr.select(
+                F.col("node").alias("__jn"),
+                F.col("anc").alias("__janc"),
+                F.col("depth").alias("__jd"),
+            ).alias("j"),
+            F.col("p.anc") == F.col("__jn"),
+            "left",
+        )
+        ptr = jump.select(
+            "node",
+            F.coalesce(F.col("__janc"), F.col("anc")).alias("anc"),
+            (F.col("depth") + F.coalesce(F.col("__jd"), F.lit(0))).alias("depth"),
+        ).localCheckpoint(eager=False)
+        unsettled = ptr.join(children, ptr.anc == children.__c, "left_semi")
+        if unsettled.isEmpty():
+            break
+    else:
+        n = ptr.join(children, ptr.anc == children.__c, "left_semi").count()
+        if n:
+            raise ValueError(
+                f"flatten_hierarchy: {n} nodes unresolved after "
+                f"{max_iterations} doublings — cycle, or depth > 2^{max_iterations}"
+            )
+    return ptr.select("node", F.col("anc").alias("root"), "depth")

@@ -514,3 +514,41 @@ def q_increment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cts"))
     )
     return R.increment_counts(master, inc, "o_custkey", "num_requests")
+
+
+@query(
+    "q_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT c_custkey AS child, c_custkey // 8 AS parent
+      FROM customer WHERE c_custkey >= 8
+    ), walk AS (
+      SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+      UNION ALL
+      SELECT w.node, e.parent, w.depth + 1
+      FROM walk w JOIN edges e ON w.anc = e.child
+    )
+    SELECT node, anc AS root, depth FROM walk
+    WHERE anc NOT IN (SELECT child FROM edges)
+    """,
+)
+def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy closure: every node resolved to (root, depth)
+    over a parent-pointer forest (the org-chart / parent-ticket-chain shape;
+    reference's child-ticket and employee-manager builders walk ONE level —
+    this is the full closure Spark SQL cannot express declaratively).
+
+    Fixture: customers form a forest via parent = c_custkey DIV 8 (roots are
+    custkeys 1..7). The oracle walks edge-by-edge with WITH RECURSIVE; the
+    engine resolves the same closure in O(log depth) pointer-doubling rounds
+    (relational.flatten_hierarchy)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    edges = (
+        t["customer"]
+        .filter(F.col("c_custkey") >= 8)
+        .select(
+            F.col("c_custkey").alias("child"),
+            F.expr("c_custkey DIV 8").alias("parent"),
+        )
+    )
+    return R.flatten_hierarchy(edges, "child", "parent")

@@ -169,3 +169,24 @@ def test_refresh_time_rollup_incremental(spark, tmp_path):
     # an empty touched set is a no-op
     assert refresh_time_rollup(cat, "events_src", "hourly", "ts", "hour",
                                ["k"], aggs, touched=[]) == 0
+
+
+def test_flatten_hierarchy_chain_forest_and_cycle(spark):
+    from data_rivers_spark.operators.relational import flatten_hierarchy
+
+    # one deep chain 1<-2<-...<-30 plus a small star rooted at 100
+    chain = [(i + 1, i) for i in range(1, 30)]
+    star = [(101, 100), (102, 100), (103, 101)]
+    edges = spark.createDataFrame(chain + star, ["child", "parent"])
+    out = {r.node: (r.root, r.depth) for r in
+           flatten_hierarchy(edges, "child", "parent").collect()}
+    assert len(out) == len(chain) + len(star)
+    assert out[30] == (1, 29)          # deepest chain node
+    assert out[2] == (1, 1)
+    assert out[103] == (100, 2)        # star grandchild
+    assert out[102] == (100, 1)
+    # a cycle has no root: must raise, not silently drop
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["child", "parent"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(cyc, "child", "parent", max_iterations=5)
