@@ -765,3 +765,84 @@ def remove_contaminated_spans(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style serving path)
+# ---------------------------------------------------------------------------
+
+
+def make_hashed_weights(
+    spark, num_buckets: int = 1024, seed: int | str = "w", scale: float = 1.0
+):
+    """Deterministic stand-in for a TRAINED hashed-feature weight vector:
+    (bucket, weight) with weight uniform in [-scale, scale] derived from the
+    bucket's content hash. In production this table is the classifier's
+    learned coefficients exported to parquet; everything downstream
+    (featurize → broadcast join → average → sigmoid) is the real serving
+    path and is exercised against the oracle with these weights."""
+    from data_rivers_spark.operators.sampling import hash_unit_int
+
+    return spark.range(num_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            (hash_unit_int(F.col("id"), seed).cast("double") / F.lit(float(16**8)))
+            * F.lit(2.0 * scale)
+            - F.lit(scale)
+        ).alias("weight"),
+    )
+
+
+def hashed_features(text: Column, num_buckets: int, seed: int | str = "w") -> Column:
+    """Word unigram + bigram features hashed into ``num_buckets`` via the
+    hashing trick (no vocabulary lookup — the feature space is fixed at
+    serving time regardless of corpus size). Returns an array of bucket ids;
+    md5-based so any engine can replay the bucketing."""
+    ws = words(text)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = F.concat(ws, bigrams)
+    return F.transform(
+        feats,
+        lambda s: F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(num_buckets),
+        ),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    num_buckets: int = 1024,
+    seed: int | str = "w",
+    bias: float = 0.0,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Serve a linear text classifier with the hashing trick: score =
+    sigmoid(bias + mean(weight[h(feature)])) over word unigrams+bigrams —
+    the fastText-style quality/toxicity classifier pass of corpus curation.
+
+    Scale design: the weight table is tiny (num_buckets rows) and BROADCAST;
+    the per-doc explode produces one row per feature, the join is map-side,
+    and the re-aggregation groups on the document id — one shuffle keyed by
+    id, combiner-friendly (partial sum/count per map task). No UDF anywhere:
+    tokenize/bigram/hash are all codegen expressions, so the hot path stays
+    JVM-side. Docs with zero features score sigmoid(bias)."""
+    feat = df.select(
+        F.col(id_col), F.explode_outer(hashed_features(F.col(text_col), num_buckets, seed)).alias("bucket")
+    )
+    joined = feat.join(F.broadcast(weights), "bucket", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.sum("weight").alias("__sw"), F.count("weight").alias("__nw")
+    )
+    margin = F.lit(bias) + F.when(F.col("__nw") > 0, F.col("__sw") / F.col("__nw")).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return agg.select(F.col(id_col), score.alias(out_col))

@@ -1995,3 +1995,50 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), "\n").getItem(0).alias("text")
     )
     return TX.remove_contaminated_spans(lined, bench, "text", "doc_id", shingle_n=5)
+
+
+@query(
+    "q_quality_classifier",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, ws[i] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i FROM w)
+      UNION ALL
+      SELECT doc_id, ws[i] || '_' || ws[i + 1] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i FROM w)
+    ), wt AS (
+      SELECT b AS bucket,
+             (CAST(CONCAT('0x', SUBSTR(MD5('w:' || CAST(b AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0) * 2.0 - 1.0 AS weight
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 1023)) AS b)
+    ), fb AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5('w:' || f), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM feats
+    ), agg AS (
+      SELECT fb.doc_id, SUM(wt.weight) / COUNT(*) AS m
+      FROM fb JOIN wt ON fb.bucket = wt.bucket GROUP BY fb.doc_id
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-m)), 4) AS clf_score FROM agg
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-classifier SERVING path (fastText-style): word
+    unigram+bigram features hashed into 1024 buckets (hashing trick — fixed
+    feature space, no vocabulary object), weights looked up via a BROADCAST
+    join against the (bucket, weight) coefficient table, averaged per doc,
+    squashed with a sigmoid. Everything is codegen expressions — no UDF in
+    the hot path; the only shuffle is the per-doc re-aggregation. The weight
+    table is a deterministic stand-in for exported trained coefficients
+    (textstats.make_hashed_weights), replayed bucket-for-bucket in the
+    oracle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    wts = TX.make_hashed_weights(spark, 1024, seed="w")
+    out = TX.hashed_linear_score(
+        t["documents"], "text", "doc_id", wts, num_buckets=1024, seed="w"
+    )
+    return out.select("doc_id", F.round("clf_score", 4).alias("clf_score"))

@@ -204,3 +204,25 @@ def test_weighted_topk_sample_fixed_size_and_weight_biased(spark):
                    SA.weighted_topk_sample(df.repartition(13), "k", "w",
                                            k=100, seed=9).collect())
     assert sorted(r.k for r in rows) == again
+
+
+def test_hashed_linear_score_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "good clean prose with varied words"),
+         (2, "good clean prose with varied words"),   # identical text
+         (3, "zz"), (4, "")],
+        ["doc_id", "text"],
+    )
+    wts = TX.make_hashed_weights(spark, 64, seed=3)
+    out = {r.doc_id: r.clf_score for r in
+           TX.hashed_linear_score(df, "text", "doc_id", wts,
+                                  num_buckets=64, seed=3).collect()}
+    assert len(out) == 4
+    assert out[1] == out[2]                 # pure function of text
+    assert out[4] == 0.5                    # zero features -> sigmoid(bias=0)
+    assert all(0.0 < v < 1.0 for v in out.values())
+    # bias shifts every score monotonically
+    up = {r.doc_id: r.clf_score for r in
+          TX.hashed_linear_score(df, "text", "doc_id", wts, num_buckets=64,
+                                 seed=3, bias=2.0).collect()}
+    assert all(up[k] > out[k] for k in out)
