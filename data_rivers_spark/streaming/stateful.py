@@ -72,3 +72,119 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("event_types", T.StringType()),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("types", T.StringType()),
+    ]
+)
+
+
+def _make_session_updater(gap_ms: int):
+    def update(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the session is FINAL — emit
+            # once and drop the state (this is the emission semantics
+            # session_window cannot give a custom payload)
+            start_ms, end_ms, n, total, types = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "event_types": [types],
+                }
+            )
+            return
+        start_ms, end_ms, n, total, types = (
+            state.get if state.exists else (None, None, 0, 0.0, "")
+        )
+        seen = set(types.split(",")) if types else set()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            lo, hi = min(ts_ms), max(ts_ms)
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            end_ms = hi if end_ms is None else max(end_ms, hi)
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            seen.update(pdf["event_type"].dropna().tolist())
+        state.update((start_ms, end_ms, n, total, ",".join(sorted(seen))))
+        # close when the event-time watermark passes session end + gap;
+        # clamp above the current watermark (Spark rejects a timeout already
+        # in the past — possible when the group's last event arrived near
+        # the lateness bound)
+        state.setTimeoutTimestamp(
+            max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover - makes this a generator
+
+    return update
+
+
+def closed_user_sessions(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions with CUSTOM per-session payloads, emitted exactly
+    once when the event-time watermark closes the session — the shape
+    ``session_window`` cannot produce (it yields only built-in aggregates in
+    append mode; here the session carries a distinct-event-type digest and
+    could carry any state machine).
+
+    applyInPandasWithState with EventTimeTimeout: per-user state accumulates
+    across micro-batches; ``setTimeoutTimestamp(last_event + gap)`` arms the
+    close, and the timed-out branch emits the final row and removes state —
+    so state size tracks CONCURRENT sessions, not event volume, and a user
+    idle past the gap costs nothing. Requires ``withWatermark`` upstream
+    (enforced here) because the timeout clock IS the watermark.
+
+    End-of-input caveat (batch-style runs with trigger availableNow):
+    sessions whose close timestamp lands beyond the final watermark are NOT
+    emitted — they are genuinely still open; the next run of the same
+    checkpointed query resumes their state. That is the correct streaming
+    answer; a report that must flush everything should union the state
+    store's survivors via a final foreachBatch pass instead."""
+    gap_ms = _duration_ms(gap)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_updater(gap_ms),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    qty, unit = s.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(qty) * mult

@@ -287,3 +287,62 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     ]
     # user 1's purchase attributes to its click; user 2's is out of window
     assert got == [(1, 1, 3)], got
+
+
+def test_closed_user_sessions_emit_on_watermark(spark, tmp_path):
+    """EventTimeTimeout sessions: a session row is emitted exactly once, only
+    after the watermark passes its end + gap, with the custom event-type
+    digest session_window cannot produce."""
+    from data_rivers_spark.streaming.events import read_events_stream
+    from data_rivers_spark.streaming.stateful import closed_user_sessions
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    # user 1: two events 5 min apart (one session); user 2: one event.
+    # batch 2 jumps event time far ahead so the watermark closes everything.
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:05:00.000Z", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:01:00.000Z", "user_id": 2, "event_type": "view", "value": 5.0, "props": "{}"},
+    ]
+    b2 = [
+        {"event_id": 9, "ts": "2024-01-02T12:00:00.000Z", "user_id": 3, "event_type": "view", "value": 0.5, "props": "{}"},
+    ]
+    b3 = [
+        {"event_id": 10, "ts": "2024-01-03T12:00:00.000Z", "user_id": 4, "event_type": "view", "value": 0.5, "props": "{}"},
+    ]
+    import os as _os
+    import time as _time
+
+    # FileStreamSource orders batches by file mtime: stagger them so b1's
+    # events are processed BEFORE b2/b3 advance the watermark past them —
+    # otherwise the session state is created when the watermark is already
+    # final and its (clamped) timer can never fire before end-of-input.
+    now = _time.time()
+    for i, (name, rows_) in enumerate([("b1", b1), ("b2", b2), ("b3", b3)]):
+        p = src / f"{name}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows_))
+        _os.utime(p, (now + i * 10, now + i * 10))
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    out = closed_user_sessions(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.user_id: r for r in spark.sql("SELECT * FROM closed_sessions").collect()}
+    # users 1 and 2 must have closed (watermark advanced a full day past them)
+    assert 1 in rows and 2 in rows
+    s1 = rows[1]
+    assert s1.n_events == 2 and s1.total_value == 3.0
+    assert s1.event_types == "click,view"
+    assert s1.session_start.minute == 0 and s1.session_end.minute == 5
+    assert rows[2].n_events == 1 and rows[2].event_types == "view"
+    # exactly one row per closed session (emit-once contract)
+    all_rows = spark.sql("SELECT user_id, COUNT(*) c FROM closed_sessions GROUP BY user_id").collect()
+    assert all(r.c == 1 for r in all_rows)
