@@ -38,8 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 KS = (1, 4, 16, 64, 256)
-# ops too slow to run at the top octave get capped (recorded as blank)
-MAX_K = {"simhash_pairs": 64}  # ~110s at 64x; the exponent is settled there
+# ops too slow to run at the top octave get capped (recorded as blank).
+# Empty since the Manku combination-blocking fix: a fresh-JVM re-measurement
+# put simhash_pairs at 2.8/7.9/15.3/19.9 s for 4x/16x/64x/256x (sub-linear
+# per octave) — the earlier 33 s / 7.53-ratio 64x cell was host contention
+# inside the long multi-op session, not operator behavior.
+MAX_K: dict[str, int] = {}
 
 
 def scaled(df, id_col: str, k: int, text_col: str | None = None, vec_col: str | None = None):
@@ -101,7 +105,7 @@ def _release_new_rdds(spark, keep: set) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
-def operator_scaling(spark, sf_dir: str) -> dict[str, dict[int, float]]:
+def operator_scaling(spark, sf_dir: str, ks=KS) -> dict[str, dict[int, float]]:
     from data_rivers_spark.operators import dedup as D
     from data_rivers_spark.operators import sampling as SA
     from data_rivers_spark.operators import similarity as S
@@ -144,7 +148,7 @@ def operator_scaling(spark, sf_dir: str) -> dict[str, dict[int, float]]:
     _release_new_rdds(spark, set())
 
     results: dict[str, dict[int, float]] = {}
-    for k in KS:
+    for k in ks:
         d = scaled(docs0, "doc_id", k, text_col="text").localCheckpoint(eager=True)
         e = scaled(emb0, "vec_id", k, vec_col="embedding").localCheckpoint(eager=True)
         keep = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
@@ -249,19 +253,57 @@ def revgeo_crossover(spark, sf_dir: str) -> list[tuple[int, float, float]]:
     return rows
 
 
+def _run_octave(sf_dir: str, k: int) -> None:
+    """Subprocess entry: measure ONE octave in a fresh JVM and print JSON."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    from data_rivers_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{k}x")
+    results = operator_scaling(spark, sf_dir, ks=(k,))
+    print("OCTAVE_JSON:" + json.dumps(results))
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:]]
+    if "--octave" in argv:
+        i = argv.index("--octave")
+        k = int(argv[i + 1])
+        sf_dir = argv[0] if i > 0 else "/root/testdata/sf0.1"
+        _run_octave(sf_dir, k)
+        return
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     # the 64x corpus plus operator-internal checkpointed frames (shingle
     # sets, signatures) needs a heap sized to the data, exactly as a real
     # cluster sizes executors to partitions — the engine default (8g) is
     # tuned for the sf0.1 bench, and at 64x it thrashes storage vs
     # execution (measured: minhash 64x swung 10s..51s run-to-run on 8g,
-    # stable on 32g)
+    # stable on 32g).
+    #
+    # Each octave runs in its OWN subprocess/JVM: the first 256x run shared
+    # one session across all octaves and accumulated heap pressure inflated
+    # random 64x cells up to 7.5x (simhash re-measured 15.3s fresh vs 33s
+    # contaminated) — per-octave isolation is what a real cluster gives each
+    # job anyway.
+    import subprocess
+
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    results: dict[str, dict[int, float]] = {}
+    for k in KS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, "--octave", str(k)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        payload = [ln for ln in proc.stdout.splitlines() if ln.startswith("OCTAVE_JSON:")]
+        if proc.returncode != 0 or not payload:
+            print(f"octave {k}x failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+            raise SystemExit(1)
+        part = json.loads(payload[0][len("OCTAVE_JSON:"):])
+        for name, cells in part.items():
+            results.setdefault(name, {}).update({int(kk): v for kk, v in cells.items()})
+        print(f"octave {k}x done: " + json.dumps(part))
     from data_rivers_spark.session import get_spark, load_tables
 
     spark = get_spark(app_name="scaling")
-    results = operator_scaling(spark, sf_dir)
     xrows = revgeo_crossover(spark, sf_dir)
 
     n0 = (
@@ -287,10 +329,10 @@ def main() -> None:
         " a naive k-fold copy would grow dup-cluster size with k and measure",
         " the fixture's quadratic pair count, not the operator. Constant",
         " factors are flattered by the warm local page cache; the exponent is",
-        " the signal. A cell where a LATER octave runs faster than an",
-        " earlier one (non-monotone row) is a host/GC spike that min-of-2",
-        " didn't absorb, not operator behavior — read the surrounding",
-        " octaves.\n",
+        " the signal. Every octave runs in its own fresh JVM (min-of-2 per",
+        " cell): an earlier single-session run accumulated heap pressure and",
+        " inflated random 64x cells up to 7.5x, which read as fake",
+        " super-linear growth.\n",
         f"\n| operator | {header_cells} | {ratio_cells} |\n",
         "|---|" + "---|" * (2 * len(KS) - 1) + "\n",
     ]
