@@ -66,6 +66,20 @@ HEADLINE = [
 ]
 
 
+def _release_new_rdds(spark, keep: set) -> None:
+    """Unpersist RDD blocks a query's operators localCheckpointed internally.
+
+    Without this, blocks from every dedup/LSH query accumulate across the
+    28-query x 3-iter session and the resulting heap pressure inflates later
+    queries (measured up to +85% on q_paragraph_dedup once the round-4 set
+    grew past 20 queries). A real pipeline run exits the JVM between jobs;
+    the bench must emulate that between timed queries."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keys()):
+        if rid not in keep:
+            jmap[rid].unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -78,6 +92,7 @@ def main() -> None:
     registry.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    keep = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
@@ -89,6 +104,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
+            _release_new_rdds(spark, keep)
         raw[name] = samples
         times[name] = sorted(samples)[len(samples) // 2]
 

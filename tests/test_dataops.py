@@ -646,7 +646,10 @@ def test_char_shingles_cjk_and_reflow(spark):
     # char-level: overlapping prefix 春眠不覚暁 shares shingles, suffixes differ
     inter = sets[1] & sets[2]
     assert inter and sets[1] != sets[2]
-    assert "春眠不" in sets[1] and "春眠不" in sets[2]
+    # sets store xxhash64(shingle) longs; the shared prefix shingle must be
+    # present in both under the same hashing
+    h = spark.sql("SELECT xxhash64('春眠不') AS h").first().h
+    assert h in sets[1] and h in sets[2]
     # reflow invariance: docs 3 and 4 have identical shingle sets
     assert sets[3] == sets[4]
 
