@@ -27,6 +27,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_rivers_spark.operators import relational as R
 
@@ -313,4 +314,70 @@ def write_range_clustered(
         .sortWithinPartitions(*cluster_cols)
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def table_diff(
+    catalog: "ManagedCatalog",
+    name: str,
+    key: str | list[str],
+    v_old: int | None = None,
+    v_new: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two retained versions of a managed table:
+    one row per changed key with ``change_type`` ∈ insert | delete | update and
+    the NEW row's columns (the OLD row's for deletes) — the version-diff a
+    downstream incremental consumer reads instead of re-scanning the table
+    (Delta CDF / BigQuery appends-diff shape; the reference approximates
+    this with build_sync_staging/ceridian_diff comparisons on live tables).
+
+    Defaults: v_old = previous retained version, v_new = current.
+
+    Scale: one full outer join on the key (the only shuffle) plus an
+    xxhash64 over the non-key columns' JSON on each side for the update
+    test — 8-byte row comparison instead of N column equality checks, and
+    column-order-stable because struct(*) fixes the field order from the
+    schema. Keys present in both versions with equal hashes produce no row."""
+    vs = catalog.versions(name)
+    if v_new is None:
+        v_new = catalog._current_version(name)
+    if v_old is None:
+        older = [v for v in vs if v < (v_new if v_new is not None else 0)]
+        if not older:
+            raise ValueError(f"no older retained version of {name} to diff against")
+        v_old = older[-1]
+    keys = [key] if isinstance(key, str) else list(key)
+    old, new = catalog.read(name, v_old), catalog.read(name, v_new)
+    val_cols = [c for c in new.columns if c not in keys]
+    # schema evolution: hash-compare only columns present in BOTH versions
+    # (a column added in v_new doesn't mark every old row 'update'); output
+    # columns follow v_new, with old rows null-filling new-only columns
+    shared = [c for c in val_cols if c in old.columns]
+    rowhash = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in shared])))
+    o = old.select(
+        *keys,
+        rowhash.alias("__ho"),
+        F.struct(
+            *[
+                (
+                    F.col(c)
+                    if c in old.columns
+                    else F.lit(None).cast(new.schema[c].dataType)
+                ).alias(c)
+                for c in val_cols
+            ]
+        ).alias("__vo"),
+    )
+    n = new.select(*keys, rowhash.alias("__hn"), F.struct(*val_cols).alias("__vn"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__ho").isNull(), F.lit("insert"))
+        .when(F.col("__hn").isNull(), F.lit("delete"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("update"))
+    )
+    picked = F.when(F.col("__hn").isNull(), F.col("__vo")).otherwise(F.col("__vn"))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("change_type", *keys, *[picked[c].alias(c) for c in val_cols])
     )

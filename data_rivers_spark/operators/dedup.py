@@ -58,7 +58,17 @@ def word_shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> 
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__pos")
-    exploded = df.select(
+    # repartition on id BEFORE exploding: the window needs id-clustering
+    # anyway, and hashing doc rows (one text each) moves far fewer bytes
+    # than hashing the exploded word rows — and the explode+lead compute
+    # then runs at full core parallelism instead of the scan's. Explicit
+    # partition count: AQE sizes shuffles by bytes, and short-text corpora
+    # are tiny on the wire but explode ~|text|x in compute — byte-based
+    # coalescing collapsed this stage to one partition (see
+    # char_shingle_rows for the measurement)
+    exploded = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos", "__w")
     )
     leads = [F.col("__w")] + [F.lead("__w", i).over(w) for i in range(1, n)]
@@ -1029,12 +1039,26 @@ def char_shingle_rows(
     The transform lambda is a CodegenFallback HOF (interpreted), but an A/B
     against the fully-codegen explode(sequence)→substring form measured
     within 6% at sf0.1 — per-shingle cost is dominated by string
-    allocation either way, so the simpler single-pipeline form stays."""
+    allocation either way, so the simpler single-pipeline form stays.
+
+    The id-hash shuffle happens BEFORE the explode (repartition on id), not
+    after: the downstream per-doc set aggregation needs id-clustering either
+    way, and moving it ahead of the explode shuffles one text row per doc
+    (~300 bytes) instead of ~|text| shingle rows (~16 bytes × hundreds), AND
+    lets the shingle/hash compute run at full core parallelism instead of
+    the scan's partitioning. The partition count is pinned to
+    defaultParallelism: AQE sizes shuffle partitions by BYTES, and a corpus
+    of short texts is tiny on the wire but explodes ~|text|× in compute —
+    byte-based coalescing collapsed this stage to ONE partition and
+    serialized the whole shingle pipeline (measured 2.3s → 0.4s at sf0.1
+    for the set build; the checkpointed sets frame inherits the layout, so
+    banding and verification parallelism were capped by it too)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     ln = F.length(norm)
     return (
         df.select(F.col(id_col), norm.alias("__t"), ln.alias("__l"))
         .filter(F.col("__l") > 0)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(

@@ -552,3 +552,54 @@ def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return R.flatten_hierarchy(edges, "child", "parent")
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 != 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0
+    )
+    SELECT COALESCE(o.kt, 'update') AS change_type, k AS o_orderkey,
+           o_orderstatus, o_totalprice
+    FROM (
+      SELECT COALESCE(n.o_orderkey, od.o_orderkey) AS k,
+             CASE WHEN od.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete' END AS kt,
+             COALESCE(n.o_orderstatus, od.o_orderstatus) AS o_orderstatus,
+             COALESCE(n.o_totalprice, od.o_totalprice) AS o_totalprice,
+             od.o_orderstatus AS so, n.o_orderstatus AS sn
+      FROM old od FULL OUTER JOIN new n ON od.o_orderkey = n.o_orderkey
+    ) o
+    WHERE o.kt IS NOT NULL OR o.so != o.sn
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two table snapshots (the version-diff the
+    managed catalog's table_diff serves; here on derived orders snapshots so
+    DuckDB can replay it): one full-outer join on the key, xxhash64 row
+    comparison over the value columns, change_type in insert/update/delete.
+    Unchanged keys emit nothing."""
+    from data_rivers_spark.catalog.tables import ManagedCatalog, table_diff
+    import tempfile
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 3 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    cat = ManagedCatalog(spark, tempfile.mkdtemp(prefix="snapdiff_"), keep_versions=3)
+    cat.create_or_replace(old, "snap")
+    cat.create_or_replace(new, "snap")
+    return table_diff(cat, "snap", "o_orderkey")

@@ -650,3 +650,34 @@ def test_write_range_clustered_files_disjoint(spark, tmp_path):
         .count()
     )
     assert pruned <= 2
+
+
+def test_table_diff_change_feed(spark, tmp_path):
+    """Version-diff CDC: insert/update/delete classification between two
+    retained versions, plus schema-evolution tolerance (new column must not
+    mark unchanged rows as updates)."""
+    from data_rivers_spark.catalog.tables import ManagedCatalog, table_diff
+
+    cat = ManagedCatalog(spark, str(tmp_path / "cat"), keep_versions=3)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    cat.create_or_replace(v1, "t")
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], "k long, s string, v long"
+    )
+    cat.create_or_replace(v2, "t")
+    d = {r.k: r for r in table_diff(cat, "t", "k").collect()}
+    assert d[2].change_type == "update" and d[2].s == "B"
+    assert d[3].change_type == "delete" and d[3].s == "c" and d[3].v == 30
+    assert d[4].change_type == "insert" and d[4].v == 40
+    assert 1 not in d  # unchanged row emits nothing
+    # schema evolution: v3 adds a column; rows unchanged on shared columns
+    # must NOT appear as updates, deletes null-fill the new column
+    v3 = spark.createDataFrame(
+        [(1, "a", 10, "x"), (2, "B", 20, "y")], "k long, s string, v long, extra string"
+    )
+    cat.create_or_replace(v3, "t")
+    d3 = {r.k: r for r in table_diff(cat, "t", "k").collect()}
+    assert set(d3) == {4}
+    assert d3[4].change_type == "delete" and d3[4].extra is None
