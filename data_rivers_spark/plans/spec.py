@@ -113,6 +113,10 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "quality_features": _simple(TX.quality_features),
     "deterministic_sample": _simple(SA.deterministic_sample),
     "train_test_split": _simple(SA.train_test_split),
+    "stratified_sample": _simple(SA.stratified_sample),
+    "weighted_sample": _simple(SA.weighted_sample),
+    "weighted_topk_sample": _simple(SA.weighted_topk_sample),
+    "token_budget_trim": _simple(SA.token_budget_trim),
 }
 
 

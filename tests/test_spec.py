@@ -207,3 +207,30 @@ def test_spec_curation_verbs(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_spec_weighted_sampling_verbs(spark):
+    """The round-4 sampling verbs are spec verbs: weighted Poisson draw then
+    a fixed-size A-ES cut, equal to the hand-written chain."""
+    from data_rivers_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, (i % 7 + 1) * 100) for i in range(200)], "doc_id long, w long"
+    )
+    spec = {
+        "steps": [
+            {"op": "weighted_sample", "key_col": "doc_id", "weight_col": "w",
+             "rate": 0.002, "seed": 3},
+            {"op": "weighted_topk_sample", "key_col": "doc_id",
+             "weight_col": "w", "k": 20, "seed": 4},
+        ],
+    }
+    got = sorted(r.doc_id for r in run_spec(spark, spec, source_df=df).collect())
+    want = sorted(
+        r.doc_id
+        for r in SA.weighted_topk_sample(
+            SA.weighted_sample(df, "doc_id", "w", rate=0.002, seed=3),
+            "doc_id", "w", k=20, seed=4,
+        ).collect()
+    )
+    assert got == want and len(got) == 20
