@@ -96,15 +96,22 @@ def revgeo_timebound_join(
         F.col(start_col).alias("__zstart"),
         F.col(end_col).alias("__zend"),
     )
-    px, py = F.col(x_col), F.col(y_col)
+    # frame-BOUND references, not F.col name lookups: with name-resolved
+    # refs Spark 4.1.2's join resolution flakily attributed a point column
+    # to the zones side in fresh sessions and pushed a points-predicate
+    # below the zone projections — failing task-time binding with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND ("Could not find py#N in [id#M]").
+    # Bound refs pin every attribute to its owning plan, which is the
+    # correct discipline for join conditions anyway.
+    px, py, pdate = points[x_col], points[y_col], points[point_date_col]
     cond: Column = (
-        (px >= F.col("__xmin"))
-        & (px <= F.col("__xmax"))
-        & (py >= F.col("__ymin"))
-        & (py <= F.col("__ymax"))
-        & (F.col("__zstart") <= F.col(point_date_col))
-        & (F.col(point_date_col) <= F.coalesce(F.col("__zend"), F.current_timestamp()))
-        & point_in_polygon(px, py, F.col("__verts"))
+        (px >= z["__xmin"])
+        & (px <= z["__xmax"])
+        & (py >= z["__ymin"])
+        & (py <= z["__ymax"])
+        & (z["__zstart"] <= pdate)
+        & (pdate <= F.coalesce(z["__zend"], F.current_timestamp()))
+        & point_in_polygon(px, py, z["__verts"])
     )
     stats = None
     if isinstance(grid, bool):

@@ -474,44 +474,74 @@ def asof_join(
     ts_col: str,
     by: str,
     value_cols: list[str],
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """AS-OF join: each left row gets the right row with the greatest
-    timestamp ≤ its own, per ``by`` key (DuckDB/kdb ASOF JOIN semantics;
-    Spark has no native operator).
+    timestamp ≤ its own (``direction='backward'``, DuckDB/kdb ASOF JOIN
+    semantics) or the smallest timestamp ≥ its own (``'forward'``), per
+    ``by`` key. Spark has no native operator.
+
+    ``tolerance`` (pandas merge_asof semantics): maximum allowed gap between
+    the left timestamp and its match, in seconds for timestamp columns
+    (plain units for numeric ordering columns); a match further away yields
+    NULL value columns, exactly like no match at all.
 
     Scale design: NOT a range join (which degrades to O(n·m) per key).
     Union both sides tagged, sort within key by (ts, side), and carry the
     last-seen right values forward with last_value(ignorenulls) over an
     unbounded-preceding window — one shuffle on ``by``, one sort, linear
-    scan. Ties (equal ts) resolve right-before-left, matching ASOF '<='."""
+    scan. ``forward`` is the same scan with the sort reversed. Ties (equal
+    ts) resolve right-before-left in scan order, matching ASOF '<=' / '>='."""
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     lcols = [c for c in left.columns]
+    carry = list(value_cols) + [ts_col]  # also carry the matched right ts
     l_tagged = left.select(
-        *lcols, F.lit(1).alias("__side"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols]
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carry],
     )
     r_tagged = right.select(
         F.col(by),
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (by, ts_col)],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-    ).select(*lcols, "__side", *[f"__r_{c}" for c in value_cols])
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
+    ).select(*lcols, "__side", *[f"__r_{c}" for c in carry])
     unioned = l_tagged.unionByName(r_tagged)
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *lcols,
         "__side",
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(
+                c if c != ts_col else "__rts"
+            )
+            for c in carry
         ],
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        gap = F.col(ts_col).cast("double") - F.col("__rts").cast("double")
+        if direction == "forward":
+            gap = -gap
+        within = F.col("__rts").isNotNull() & (gap <= F.lit(float(tolerance)))
+        out = out.select(
+            *[c for c in lcols],
+            *[
+                F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in value_cols
+            ],
+        )
+    return out.drop("__rts")
 
 
 def range_join_bucketed(

@@ -833,9 +833,12 @@ def hashed_linear_score(
     Scale design: the weight table is tiny (num_buckets rows) and BROADCAST;
     the per-doc explode produces one row per feature, the join is map-side,
     and the re-aggregation groups on the document id — one shuffle keyed by
-    id, combiner-friendly (partial sum/count per map task). No UDF anywhere:
-    tokenize/bigram/hash are all codegen expressions, so the hot path stays
-    JVM-side. Docs with zero features score sigmoid(bias)."""
+    id, combiner-friendly (partial sum/count per map task). No Python UDF
+    anywhere; the featurizer uses transform/zip_with, which are interpreted
+    (CodegenFallback) HOFs — acceptable here because the per-doc feature
+    array is O(words) with trivial per-element work, unlike the shingle hot
+    path (dedup.word_shingle_rows) which needed the codegen explode
+    pipeline. Docs with zero features score sigmoid(bias)."""
     feat = df.select(
         F.col(id_col), F.explode_outer(hashed_features(F.col(text_col), num_buckets, seed)).alias("bucket")
     )

@@ -499,3 +499,41 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n": ("count", "value"), "total": ("sum", "value")},
     )
     return out.select("bucket", "event_type", "n", F.round("total", 2).alias("total"))
+
+
+@query(
+    "q_asof_forward_tolerance",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, value AS quote FROM events
+      WHERE event_type IN ('view', 'click')
+    ), trades AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT t.event_id, t.user_id,
+           CASE WHEN q.ts IS NOT NULL
+                 AND EPOCH(q.ts) - EPOCH(t.ts) <= 3600
+                THEN ROUND(q.quote, 2) END AS quote
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts <= q.ts
+    """,
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward AS-OF with a 1-hour tolerance (pandas merge_asof semantics):
+    each purchase aligned to the NEXT view/click value per user, nulled when
+    the nearest following quote is more than an hour away. Same single
+    union+window scan as backward, sort reversed; the tolerance is a pure
+    post-filter on the carried match timestamp — no extra join or shuffle."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    quotes = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", F.col("value").alias("quote")
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = R.asof_join(
+        trades, quotes, "ts", "user_id", ["quote"],
+        direction="forward", tolerance=3600.0,
+    )
+    return out.select("event_id", "user_id", F.round("quote", 2).alias("quote"))

@@ -2031,8 +2031,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram+bigram features hashed into 1024 buckets (hashing trick — fixed
     feature space, no vocabulary object), weights looked up via a BROADCAST
     join against the (bucket, weight) coefficient table, averaged per doc,
-    squashed with a sigmoid. Everything is codegen expressions — no UDF in
-    the hot path; the only shuffle is the per-doc re-aggregation. The weight
+    squashed with a sigmoid. No Python UDF anywhere (the featurizer is
+    expression-only; see hashed_linear_score for the HOF-vs-codegen note);
+    the only shuffle is the per-doc re-aggregation. The weight
     table is a deterministic stand-in for exported trained coefficients
     (textstats.make_hashed_weights), replayed bucket-for-bucket in the
     oracle."""

@@ -603,3 +603,34 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_or_replace(old, "snap")
     cat.create_or_replace(new, "snap")
     return table_diff(cat, "snap", "o_orderkey")
+
+
+_Z_BITS = 10
+_Z_SQL = " | ".join(
+    f"((((o_orderkey % 1024) >> {i}) & 1) << {2 * i}) | "
+    f"((((o_custkey % 1024) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@query(
+    "q_zorder_code",
+    oracle=f"""
+    SELECT o_orderkey, ({_Z_SQL}) AS zkey FROM orders
+    """,
+)
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key: bit-interleave two dimensions so file/row-group
+    min-max stats stay tight on BOTH — the multi-dim data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER BY) behind catalog.write_zorder_clustered.
+    Pure codegen shift/mask/or tree, replayed bit-for-bit in the oracle."""
+    from data_rivers_spark.catalog.tables import morton_code
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        morton_code(
+            F.col("o_orderkey") % 1024, F.col("o_custkey") % 1024, bits=_Z_BITS
+        ).alias("zkey"),
+    )

@@ -50,7 +50,34 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    warm_hof_resolution(spark)
     return spark
+
+
+_HOF_WARMED: set[str] = set()
+
+
+def warm_hof_resolution(spark: SparkSession) -> None:
+    """Spark 4.1.2 analyzer workaround: the FIRST query in a fresh session
+    that resolves a higher-order-function lambda inside a join condition can
+    mis-assign lambda-variable ids, letting the optimizer believe a conjunct
+    references only one join side; it then pushes the predicate below the
+    other side's projections and every task dies with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND ("Could not find py#9 in [id#139L]").
+    Reproduced deterministically with revgeo_timebound_join as the session's
+    first analysis; ANY prior lambda resolution inoculates the session, so
+    resolve one trivially (collect of a single literal row, sub-100ms, once
+    per application — also called from load_tables so externally-built
+    sessions, e.g. the verification driver's, are covered)."""
+    key = spark.sparkContext.applicationId
+    if key in _HOF_WARMED:
+        return
+    from pyspark.sql import functions as F
+
+    spark.range(1).select(
+        F.filter(F.array(F.lit(1)), lambda x: x > 0).alias("__hof_warmup")
+    ).collect()
+    _HOF_WARMED.add(key)
 
 
 def fan_out(df, min_frac: float = 0.5):
@@ -110,6 +137,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 - conf may be locked; reads then fail loudly
         pass
+    warm_hof_resolution(spark)
 
     out = {}
     for name in names:

@@ -681,3 +681,47 @@ def test_table_diff_change_feed(spark, tmp_path):
     d3 = {r.k: r for r in table_diff(cat, "t", "k").collect()}
     assert set(d3) == {4}
     assert d3[4].change_type == "delete" and d3[4].extra is None
+
+
+def test_zorder_clustering_tightens_both_dims(spark, tmp_path):
+    """Z-order files must cover compact regions of BOTH dimensions: the
+    mean per-file spread of x AND y must beat a single-column range
+    clustering's spread on its NON-clustered dimension by a wide margin."""
+    from data_rivers_spark.catalog.tables import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+    from pyspark.sql import functions as F
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        F.floor(F.col("id") / 128).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_clustered(df, zdir, "x", "y", num_files=16, bits=7)
+    write_range_clustered(df, rdir, ["x"], num_files=16)
+
+    def mean_spread(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("spread"))
+        )
+        return per_file.agg(F.avg("spread")).first()[0]
+
+    zx, zy = mean_spread(zdir, "x"), mean_spread(zdir, "y")
+    ry = mean_spread(rdir, "y")  # x-clustered files span all of y
+    # each z file covers ~a quadrant-ish tile; range-clustered-on-x files
+    # span essentially the whole y domain (127)
+    assert zx < 70 and zy < 70, (zx, zy)
+    assert ry > 100, ry
+    # and the z key itself is disjoint across files (true clustering)
+    from data_rivers_spark.catalog.tables import morton_code
+    zread = spark.read.parquet(zdir).select(
+        F.input_file_name().alias("f"), morton_code("x", "y", 7).alias("z")
+    )
+    ranges = zread.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))

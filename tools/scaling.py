@@ -105,18 +105,25 @@ def _release_new_rdds(spark, keep: set) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
-def operator_scaling(spark, sf_dir: str, ks=KS) -> dict[str, dict[int, float]]:
+OPS_DOC = (
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_pairs",
+    "paragraph_dedup",
+    "gopher_filter",
+    "unigram_logprob",
+    "deterministic_sample",
+)
+OPS_EMB = ("signlsh_topk",)
+
+
+def _op_fn(name: str):
     from data_rivers_spark.operators import dedup as D
     from data_rivers_spark.operators import sampling as SA
     from data_rivers_spark.operators import similarity as S
     from data_rivers_spark.operators import textstats as TX
-    from data_rivers_spark.session import load_tables
 
-    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
-    docs0 = t["documents"].select("doc_id", "text").filter(F.trim("text") != "")
-    emb0 = t["embeddings"]
-
-    ops = {
+    return {
         "exact_dedup": lambda d: D.exact_dedup(d, "text", "doc_id"),
         "minhash_lsh_dedup": lambda d: D.minhash_lsh_dedup(
             d, "text", "doc_id", threshold=0.7
@@ -128,52 +135,87 @@ def operator_scaling(spark, sf_dir: str, ks=KS) -> dict[str, dict[int, float]]:
         "gopher_filter": lambda d: TX.gopher_repetition_filter(d, "text", "doc_id"),
         "unigram_logprob": lambda d: TX.unigram_logprob_score(d, "text", "doc_id"),
         "deterministic_sample": lambda d: SA.deterministic_sample(d, "doc_id", 0.3),
-    }
-    emb_ops = {
         "signlsh_topk": lambda e: S.signlsh_topk(
             e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
         ),
-    }
+    }[name]
 
-    # JIT/codegen warmup: run every op once untimed on the base corpus so
-    # the 1x column measures the operator, not first-touch compilation
-    d0 = docs0.localCheckpoint(eager=True)
-    e0 = emb0.localCheckpoint(eager=True)
-    for fn in ops.values():
-        fn(d0).write.format("noop").mode("overwrite").save()
-    for fn in emb_ops.values():
-        fn(e0).write.format("noop").mode("overwrite").save()
-    d0.unpersist()
-    e0.unpersist()
-    _release_new_rdds(spark, set())
 
+def _fixture_dir(k: int) -> str:
+    return os.path.join("/tmp", f"scaling_fixture_{os.getuid()}_{k}x")
+
+
+def materialize_fixture(spark, sf_dir: str, k: int) -> str:
+    """Write the k-times-scaled docs + embeddings fixture to parquet ONCE per
+    octave so each operator's subprocess JVM reads the identical bytes
+    instead of re-deriving the union-of-regexp fixture plan."""
+    from data_rivers_spark.session import load_tables
+
+    out = _fixture_dir(k)
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    docs0 = t["documents"].select("doc_id", "text").filter(F.trim("text") != "")
+    scaled(docs0, "doc_id", k, text_col="text").write.mode("overwrite").parquet(
+        os.path.join(out, "documents")
+    )
+    scaled(t["embeddings"], "vec_id", k, vec_col="embedding").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "embeddings"))
+    return out
+
+
+def run_one_op(spark, fixture: str, name: str) -> float:
+    """Measure ONE operator on a materialized fixture in THIS JVM: warm the
+    op on a 5k-row sample (JIT/codegen), then min-of-2 timed full runs."""
+    fn = _op_fn(name)
+    src = "embeddings" if name in OPS_EMB else "documents"
+    frame = spark.read.parquet(os.path.join(fixture, src)).localCheckpoint(eager=True)
+    warm = frame.limit(5000).localCheckpoint(eager=True)
+    fn(warm).write.format("noop").mode("overwrite").save()
+    warm.unpersist()
+    keep = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    best = None
+    for _ in range(2):
+        t = _time(lambda: fn(frame).write.format("noop").mode("overwrite").save())
+        _release_new_rdds(spark, keep)
+        best = t if best is None else min(best, t)
+    return best
+
+
+def operator_scaling_octave(sf_dir: str, k: int) -> dict[str, dict[int, float]]:
+    """One octave: materialize the fixture, then run EVERY operator in its
+    own subprocess JVM.
+
+    Isolation rationale, learned the expensive way: (1) one shared session
+    across octaves accumulated heap pressure that inflated random 64x cells
+    up to 7.5x; (2) per-octave JVMs still left cross-OPERATOR interference
+    inside the big octaves (minhash measured 58s after exact_dedup in the
+    256x session vs 20s alone). Per-(op, octave) JVMs reading one shared
+    parquet fixture make every cell a cold, independent job — which is also
+    exactly how a real cluster runs these."""
+    import subprocess
+
+    from data_rivers_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-fixture-{k}x")
+    fixture = materialize_fixture(spark, sf_dir, k)
+    spark.stop()
     results: dict[str, dict[int, float]] = {}
-    for k in ks:
-        d = scaled(docs0, "doc_id", k, text_col="text").localCheckpoint(eager=True)
-        e = scaled(emb0, "vec_id", k, vec_col="embedding").localCheckpoint(eager=True)
-        keep = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    for name in OPS_DOC + OPS_EMB:
+        if k > MAX_K.get(name, KS[-1]):
+            continue
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, "--op", name,
+             "--fixture", fixture],
+            capture_output=True, text=True, timeout=1800,
+        )
+        payload = [ln for ln in proc.stdout.splitlines() if ln.startswith("OP_SECONDS:")]
+        if proc.returncode != 0 or not payload:
+            print(f"op {name} @ {k}x failed:\n{proc.stdout[-1500:]}\n{proc.stderr[-1500:]}")
+            raise SystemExit(1)
+        results[name] = {k: float(payload[0].split(":", 1)[1])}
+    import shutil
 
-        def timed_min2(fn, frame) -> float:
-            # min of 2: sporadic 5x GC/host spikes land on random cells and
-            # would masquerade as super-linear growth; the min is the
-            # operator's actual cost at this scale
-            best = None
-            for _ in range(2):
-                t = _time(
-                    lambda: fn(frame).write.format("noop").mode("overwrite").save()
-                )
-                _release_new_rdds(spark, keep)
-                best = t if best is None else min(best, t)
-            return best
-
-        for name, fn in ops.items():
-            if k > MAX_K.get(name, KS[-1]):
-                continue
-            results.setdefault(name, {})[k] = timed_min2(fn, d)
-        for name, fn in emb_ops.items():
-            results.setdefault(name, {})[k] = timed_min2(fn, e)
-        d.unpersist()
-        e.unpersist()
+    shutil.rmtree(fixture, ignore_errors=True)
     return results
 
 
@@ -189,7 +231,13 @@ def revgeo_crossover(spark, sf_dir: str) -> list[tuple[int, float, float]]:
         ((F.col("o_orderkey") % 50) + 0.5).alias("px"),
         ((F.col("o_custkey") % 9) + 0.25).alias("py"),
         F.col("o_orderdate").cast("timestamp").alias("create_date"),
-    ).localCheckpoint(eager=True)
+    ).cache()
+    # cache(), NOT localCheckpoint: Spark 4.1.2's BNLJ flakily fails binding
+    # with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when a join side is a
+    # checkpointed-RDD scan created early in a fresh session (exprId reuse in
+    # DeduplicateRelations); caching keeps the logical plan so the optimizer
+    # never sees a LogicalRDD, with the same don't-rescan timing effect.
+    pts.count()
 
     warmed = False
     rows = []
@@ -222,7 +270,12 @@ def revgeo_crossover(spark, sf_dir: str) -> list[tuple[int, float, float]]:
                 F.lit("1900-01-01").cast("timestamp").alias("start_date"),
                 F.lit(None).cast("timestamp").alias("end_date"),
             )
-            .localCheckpoint(eager=True)
+            # NOT localCheckpointed: Spark 4.1.2 hits
+            # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND binding the BNLJ when BOTH
+            # join sides are checkpointed-RDD scans (reproduced minimally:
+            # pts ckpt + zones ckpt fails, either alone is fine). Zones are
+            # ≤1024 synthetic rows — re-deriving them per run costs nothing,
+            # and the measured join time is unaffected (warmup covers JIT).
         )
 
         def run_once(grid: bool) -> float:
@@ -249,22 +302,33 @@ def revgeo_crossover(spark, sf_dir: str) -> list[tuple[int, float, float]]:
                 min(run_once(True) for _ in range(3)),
             )
         )
-        zones.unpersist()
     return rows
 
 
 def _run_octave(sf_dir: str, k: int) -> None:
-    """Subprocess entry: measure ONE octave in a fresh JVM and print JSON."""
+    """Subprocess entry: measure ONE octave (fixture + per-op JVMs), print JSON."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    results = operator_scaling_octave(sf_dir, k)
+    print("OCTAVE_JSON:" + json.dumps(results))
+
+
+def _run_op(sf_dir: str, name: str, fixture: str) -> None:
+    """Subprocess entry: measure ONE operator on a materialized fixture."""
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     from data_rivers_spark.session import get_spark
 
-    spark = get_spark(app_name=f"scaling-{k}x")
-    results = operator_scaling(spark, sf_dir, ks=(k,))
-    print("OCTAVE_JSON:" + json.dumps(results))
+    spark = get_spark(app_name=f"scaling-{name}")
+    print("OP_SECONDS:" + str(run_one_op(spark, fixture, name)))
 
 
 def main() -> None:
     argv = [a for a in sys.argv[1:]]
+    if "--op" in argv:
+        i = argv.index("--op")
+        j = argv.index("--fixture")
+        sf_dir = argv[0] if i > 0 else "/root/testdata/sf0.1"
+        _run_op(sf_dir, argv[i + 1], argv[j + 1])
+        return
     if "--octave" in argv:
         i = argv.index("--octave")
         k = int(argv[i + 1])
@@ -301,6 +365,12 @@ def main() -> None:
         for name, cells in part.items():
             results.setdefault(name, {}).update({int(kk): v for kk, v in cells.items()})
         print(f"octave {k}x done: " + json.dumps(part))
+    write_report(results, sf_dir)
+
+
+def write_report(results: dict[str, dict[int, float]], sf_dir: str) -> None:
+    """Run the revgeo crossover and write SCALING.md from octave results
+    (callable standalone to re-assemble the report from logged octaves)."""
     from data_rivers_spark.session import get_spark, load_tables
 
     spark = get_spark(app_name="scaling")
@@ -329,10 +399,11 @@ def main() -> None:
         " a naive k-fold copy would grow dup-cluster size with k and measure",
         " the fixture's quadratic pair count, not the operator. Constant",
         " factors are flattered by the warm local page cache; the exponent is",
-        " the signal. Every octave runs in its own fresh JVM (min-of-2 per",
-        " cell): an earlier single-session run accumulated heap pressure and",
-        " inflated random 64x cells up to 7.5x, which read as fake",
-        " super-linear growth.\n",
+        " the signal. Every CELL is an independent cold JVM (min-of-2) over a",
+        " parquet-materialized fixture: shared-session runs accumulated heap",
+        " pressure that inflated random large-octave cells 2-8x (minhash",
+        " measured 58s after exact_dedup in a shared 256x session vs 20s",
+        " alone), which read as fake super-linear growth.\n",
         f"\n| operator | {header_cells} | {ratio_cells} |\n",
         "|---|" + "---|" * (2 * len(KS) - 1) + "\n",
     ]
