@@ -210,12 +210,14 @@ def read_open_sessions(spark, checkpoint_dir: str) -> "DataFrame":
         spark.read.format("statestore")
         .load(checkpoint_dir)
     )
-    # statestore rows: key struct (grouping key), value struct (state tuple)
+    # statestore rows: key struct = grouping key; for applyInPandasWithState
+    # the value struct nests the user state under `groupState` next to the
+    # armed `timeoutTimestamp`
     return state.select(
         F.col("key.user_id").alias("user_id"),
-        F.timestamp_millis(F.col("value.start_ms")).alias("session_start"),
-        F.timestamp_millis(F.col("value.end_ms")).alias("session_end"),
-        F.col("value.n").alias("n_events"),
-        F.round(F.col("value.total"), 2).alias("total_value"),
-        F.col("value.types").alias("event_types"),
+        F.timestamp_millis(F.col("value.groupState.start_ms")).alias("session_start"),
+        F.timestamp_millis(F.col("value.groupState.end_ms")).alias("session_end"),
+        F.col("value.groupState.n").alias("n_events"),
+        F.round(F.col("value.groupState.total"), 2).alias("total_value"),
+        F.col("value.groupState.types").alias("event_types"),
     )
