@@ -634,3 +634,23 @@ def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 1024, F.col("o_custkey") % 1024, bits=_Z_BITS
         ).alias("zkey"),
     )
+
+
+@query(
+    "q_salted_count",
+    oracle="""
+    SELECT o_orderstatus AS k, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation under the oracle gate: o_orderstatus has
+    three values with one ('O') holding ~half the table — the hot-key shape
+    where a plain groupBy puts half the rows on one reducer. salted_count
+    pre-aggregates on (key, salt) so the hot key collapses across
+    salt_buckets tasks, then sums the tiny partials; the oracle is the
+    plain GROUP BY it must equal exactly."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return R.salted_count(
+        t["orders"].select(F.col("o_orderstatus").alias("k")), "k", salt_buckets=16
+    )
