@@ -1754,9 +1754,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, split, n_tok, chunk_idx) per surviving document."""
     from data_rivers_spark.operators import sampling as SA
+    from data_rivers_spark.session import fan_out
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    # the fixture + C4 chain below is ~3s of interpreted HOFs per scan
+    # split — spread a narrow parquet scan across cores first (fan_out is a
+    # no-op once the input has natural splits)
+    docs = fan_out(docs)
     lined = _synth_lines(docs)
     arr = F.split(F.col("text"), "\n")
     dotted = F.array_join(
