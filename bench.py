@@ -1,14 +1,25 @@
 """Engine benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line — ALWAYS the last stdout line (the driver parses the last line;
+round 4's record was lost because a plan-regeneration notice printed after
+the JSON):
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., ...}
+
+Measurement discipline (round-5, mirroring tools/scaling.py): the parent
+process launches $SPARK_GRAFT_BENCH_RUNS (default 3) INDEPENDENT child
+bench processes, each a cold JVM that runs every query
+$SPARK_GRAFT_BENCH_ITERS (default 3) times after a warmup query. The
+reported per-query number is the MIN over runs of each run's per-query
+MEDIAN: the within-run median absorbs JIT/GC noise, and the across-run min
+absorbs shared-host contention spikes (observed up to 3x for tens of
+seconds — exactly what made the r4 single-process numbers +31% across the
+board and unfalsifiable). Per-run medians are kept under "runs" and the
+single-process medians under "iters" for variance inspection.
 
 Each query executes fully via a noop-format write (drains every partition
-through the whole plan, no driver-side collect overhead). Every query runs
-$SPARK_GRAFT_BENCH_ITERS times (default 3); the reported per-query second
-count is the MEDIAN so single-run JIT/GC noise (±15% round-over-round on
-sub-2s queries) doesn't masquerade as a regression. Per-iteration raw
-timings are included under "iters" for min/variance inspection.
+through the whole plan, no driver-side collect overhead).
 """
 
 from __future__ import annotations
@@ -16,13 +27,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from data_rivers_spark.plans import registry  # noqa: E402
-from data_rivers_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     # TPC-H-shaped scan/join/agg core
@@ -80,10 +89,20 @@ def _release_new_rdds(spark, keep: set) -> None:
             jmap[rid].unpersist()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _sf_of(sf_dir: str) -> float | None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+    return float(m.group(1)) if m else None
+
+
+def run_child(sf_dir: str, gen_plans_after: bool) -> None:
+    """One cold-JVM measurement cell: warmup + iters x every headline query.
+
+    Prints a child JSON line (parent aggregates): {"queries": medians,
+    "iters": raw}. When ``gen_plans_after`` is set, also regenerates
+    PLANS.md from this session before printing (notice goes to stderr so the
+    JSON stays the last stdout line)."""
+    from data_rivers_spark.plans import registry
+    from data_rivers_spark.session import get_spark
 
     registry.load_all()
     spark = get_spark(app_name="bench")
@@ -108,27 +127,61 @@ def main() -> None:
         raw[name] = samples
         times[name] = sorted(samples)[len(samples) // 2]
 
+    if gen_plans_after and not os.environ.get("SPARK_GRAFT_SKIP_PLANS"):
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import gen_plans
+
+        gen_plans.generate(spark, sf_dir, HEADLINE)
+        print("PLANS.md regenerated", file=sys.stderr)
+
+    print(json.dumps({"queries": times, "iters": raw}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--child" in sys.argv:
+        run_child(sf_dir, gen_plans_after="--plans" in sys.argv)
+        return
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    per_run: list[dict[str, float]] = []
+    all_iters: dict[str, list[float]] = {q: [] for q in HEADLINE}
+    for i in range(runs):
+        argv = [sys.executable, os.path.abspath(__file__), "--child"]
+        if i == runs - 1:
+            argv.append("--plans")  # last (already-measured) session pays it
+        proc = subprocess.run(argv, capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"bench child run {i} failed rc={proc.returncode}")
+        child = json.loads(proc.stdout.strip().splitlines()[-1])
+        per_run.append(child["queries"])
+        for q, samples in child["iters"].items():
+            all_iters[q].extend(samples)
+        sys.stderr.write(
+            f"run {i + 1}/{runs}: total {round(sum(child['queries'].values()), 3)}s\n"
+        )
+
+    merged = {q: min(r[q] for r in per_run) for q in HEADLINE}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(times.values()), 3),
+                "value": round(sum(merged.values()), 3),
                 "unit": "sec",
-                "queries": times,
-                "iters": raw,
-                "sf": sf,
+                # min over cold-JVM runs of each run's per-query median —
+                # the host-contention-robust number (see module docstring)
+                "queries": merged,
+                "runs": per_run,
+                "iters": all_iters,
+                "min": {q: min(all_iters[q]) for q in HEADLINE},
+                "bench_runs": runs,
+                "sf": _sf_of(sf_dir),
             }
         )
     )
-
-    # regenerate PLANS.md for the exact set just benched, so the plan
-    # evidence can never lag the bench set (set SPARK_GRAFT_SKIP_PLANS=1
-    # to skip, e.g. when timing the bench itself)
-    if not os.environ.get("SPARK_GRAFT_SKIP_PLANS"):
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-        import gen_plans
-
-        gen_plans.generate(spark, sf_dir, HEADLINE)
 
 
 if __name__ == "__main__":

@@ -49,7 +49,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(k <= n, F.array(F.concat_ws(" ", ws))).otherwise(F.transform(idx, make))
 
 
-def word_shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def _shingle_partition_count(df: DataFrame, num_partitions: int | None) -> int:
+    """Partition count for the pre-explode id repartition.
+
+    Never BELOW defaultParallelism (AQE byte-sizing collapses short-text
+    corpora to one partition — see char_shingle_rows), and never below the
+    input's own partition count either: a genuinely wide input (thousands
+    of splits on a real corpus) must not collapse to core count, or the
+    post-explode partitions blow up ~|text|x in size. Callers that know
+    better pass ``num_partitions`` explicitly."""
+    if num_partitions is not None:
+        return num_partitions
+    return max(
+        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
+
+
+def word_shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """One row per n-gram word shingle: (id, shingle) — same semantics as
     word_shingles but built with posexplode + window lead, which stays in
     whole-stage codegen (the HOF form interpreted ~5s of a 6s pipeline at
@@ -67,7 +89,7 @@ def word_shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> 
     # coalescing collapsed this stage to one partition (see
     # char_shingle_rows for the measurement)
     exploded = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        _shingle_partition_count(df, num_partitions), F.col(id_col)
     ).select(
         F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos", "__w")
     )
@@ -851,16 +873,26 @@ def simhash_near_pairs(
             F.lit((1 << widths[i]) - 1)
         )
 
-    # pack each clean-block combo into one long via fixed-width bit slots:
-    # block width ≤ 64//t_blocks + 1 ≤ 17 for t_blocks ≥ 4, so slots of 17
-    # bits never overlap for up to 3 blocks in the top 51 bits plus a 4th in
-    # the low bits (4 × 17 = 68 > 64 would overflow, so widths are capped by
-    # construction: t_blocks ≥ 7 when picking 4 → width ≤ 10, 4 × 10 = 40)
+    # pack each clean-block combo into one long via fixed-width bit slots
+    # (validated below to fit 63 bits, so the packing is injective per
+    # combo_idx; chunk_idx disambiguates across combos)
     n_pick = extra_clean_blocks
-    # fixed-width slot packing is always injective AND overflow-free:
-    # n_pick * max_width = n_pick * ceil(64 / (max_hamming + n_pick)) <= 64
-    # for every max_hamming >= 0
+    # fixed-width slot packing is injective only while every slot fits in
+    # the 63 value bits of a signed long: n_pick * slot can exceed that
+    # (e.g. max_hamming=1, extra_clean_blocks=11 → slot=6, 11*6=66 — silent
+    # long wrap aliasing distinct combos), and extra_clean_blocks >= 22
+    # would even build F.lit(1 << 63) which overflows LongType at plan
+    # time. Reject such configs up front — every useful operating point
+    # (defaults, and the measured 4-clean alternative) packs well inside
+    # 63 bits.
     slot = max(widths)
+    if n_pick * slot > 63:
+        raise ValueError(
+            f"combo key needs n_pick*slot = {n_pick}*{slot} = {n_pick * slot} bits"
+            " > 63 available in a signed long: lower extra_clean_blocks (or"
+            " raise max_hamming) so extra_clean_blocks *"
+            " ceil(64/(max_hamming+extra_clean_blocks)) <= 63"
+        )
     keys = F.array(
         *[
             sum(
@@ -1068,7 +1100,11 @@ def simhash_dedup(
 
 
 def char_shingle_rows(
-    df: DataFrame, text_col: str, id_col: str, n: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """One row per character n-gram: (id, shingle) — the tokenizer-free
     twin of ``word_shingle_rows`` for scripts without whitespace word
@@ -1092,9 +1128,10 @@ def char_shingle_rows(
     way, and moving it ahead of the explode shuffles one text row per doc
     (~300 bytes) instead of ~|text| shingle rows (~16 bytes × hundreds), AND
     lets the shingle/hash compute run at full core parallelism instead of
-    the scan's partitioning. The partition count is pinned to
-    defaultParallelism: AQE sizes shuffle partitions by BYTES, and a corpus
-    of short texts is tiny on the wire but explodes ~|text|× in compute —
+    the scan's partitioning. The partition count floor is
+    defaultParallelism (without capping a wider input — see
+    _shingle_partition_count): AQE sizes shuffle partitions by BYTES, and a
+    corpus of short texts is tiny on the wire but explodes ~|text|× in compute —
     byte-based coalescing collapsed this stage to ONE partition and
     serialized the whole shingle pipeline (measured 2.3s → 0.4s at sf0.1
     for the set build; the checkpointed sets frame inherits the layout, so
@@ -1104,7 +1141,7 @@ def char_shingle_rows(
     return (
         df.select(F.col(id_col), norm.alias("__t"), ln.alias("__l"))
         .filter(F.col("__l") > 0)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .repartition(_shingle_partition_count(df, num_partitions), F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(

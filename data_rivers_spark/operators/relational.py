@@ -497,6 +497,17 @@ def asof_join(
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    # ts_col/by in value_cols would mint duplicate __r_<c> aliases below and
+    # fail at analysis with an ambiguous-reference error — reject up front
+    # (the matched right timestamp is carried automatically; the key is
+    # equal on both sides by construction)
+    clash = [c for c in value_cols if c in (ts_col, by)]
+    if clash:
+        raise ValueError(
+            f"value_cols may not contain the ordering/key columns {clash}:"
+            " the matched right timestamp is already carried, and the by-key"
+            " is identical on both sides"
+        )
     lcols = [c for c in left.columns]
     carry = list(value_cols) + [ts_col]  # also carry the matched right ts
     l_tagged = left.select(

@@ -2006,8 +2006,11 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_classifier",
     oracle="""
     WITH w AS (
+      -- blank texts are excluded here and coalesced to sigmoid(0)=0.5 at
+      -- the end, matching the engine's words('') = [] semantics (DuckDB's
+      -- STRING_SPLIT_REGEX('', '\s+') would otherwise mint one ''-feature)
       SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM documents
+      FROM documents WHERE TRIM(text) != ''
     ), feats AS (
       SELECT doc_id, ws[i] AS f
       FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i FROM w)
@@ -2028,7 +2031,9 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT fb.doc_id, SUM(wt.weight) / COUNT(*) AS m
       FROM fb JOIN wt ON fb.bucket = wt.bucket GROUP BY fb.doc_id
     )
-    SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-m)), 4) AS clf_score FROM agg
+    SELECT d.doc_id,
+           COALESCE(ROUND(1.0 / (1.0 + EXP(-agg.m)), 4), 0.5) AS clf_score
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """,
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

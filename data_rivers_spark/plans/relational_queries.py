@@ -588,7 +588,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison over the value columns, change_type in insert/update/delete.
     Unchanged keys emit nothing."""
     from data_rivers_spark.catalog.tables import ManagedCatalog, table_diff
-    import tempfile
+    import os
 
     t = load_tables(spark, sf_dir, ["orders"])
     o = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -599,9 +599,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus")
         ),
     )
-    cat = ManagedCatalog(spark, tempfile.mkdtemp(prefix="snapdiff_"), keep_versions=3)
-    cat.create_or_replace(old, "snap")
-    cat.create_or_replace(new, "snap")
+    # deterministic per-(process, sf) catalog root, written once per process:
+    # mkdtemp() here leaked a full orders snapshot pair into /tmp on EVERY
+    # invocation (the bench calls each builder 3+ times per session)
+    root = os.path.join(
+        "/tmp", f"snapdiff_{os.getuid()}_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    cat = ManagedCatalog(spark, root, keep_versions=3)
+    if len(cat.versions("snap")) < 2:
+        cat.create_or_replace(old, "snap")
+        cat.create_or_replace(new, "snap")
     return table_diff(cat, "snap", "o_orderkey")
 
 

@@ -50,3 +50,10 @@ def test_asof_join_directions_and_tolerance(spark):
     r2 = spark.createDataFrame([(3, 200.0, 7.0)], "k long, ts double, v double")
     assert R.asof_join(eq, r2, "ts", "k", ["v"]).first().v == 7.0
     assert R.asof_join(eq, r2, "ts", "k", ["v"], direction="forward").first().v == 7.0
+    # ts_col/by in value_cols would mint duplicate __r_ aliases -> clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="value_cols"):
+        R.asof_join(left, right, "ts", "k", ["v", "ts"])
+    with pytest.raises(ValueError, match="value_cols"):
+        R.asof_join(left, right, "ts", "k", ["k"])

@@ -85,6 +85,45 @@ def test_simhash_close_and_far(spark):
     assert (1, 2) in got
 
 
+def test_simhash_blocking_rejects_overflowing_combo_keys(spark):
+    import pytest
+
+    sigs = spark.createDataFrame([(1, 7), (2, 5)], "doc_id long, simhash long")
+    # max_hamming=1, extra_clean_blocks=11 -> slot=6, 11*6=66 bits > 63
+    with pytest.raises(ValueError, match="63"):
+        D.simhash_near_pairs(
+            sigs, "doc_id", max_hamming=1, extra_clean_blocks=11, materialize=False
+        )
+    # extra_clean_blocks=22 would overflow LongType at plan build; same guard
+    with pytest.raises(ValueError, match="63"):
+        D.simhash_near_pairs(
+            sigs, "doc_id", max_hamming=1, extra_clean_blocks=22, materialize=False
+        )
+    # the measured 4-clean operating point stays legal (t=7, slot=10, 40 bits)
+    D.simhash_near_pairs(
+        sigs, "doc_id", max_hamming=3, extra_clean_blocks=4, materialize=False
+    ).collect()
+
+
+def test_shingle_rows_partitioning_floor_and_override(spark):
+    """The pre-explode repartition never collapses a wide input to core
+    count, and callers can pin the count explicitly (ADVICE r4)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(40)], "doc_id long, text string"
+    )
+    wide = docs.repartition(64)
+    dp = spark.sparkContext.defaultParallelism
+    assert (
+        D.word_shingle_rows(wide, "text", "doc_id").rdd.getNumPartitions()
+        == max(dp, 64)
+    )
+    assert (
+        D.char_shingle_rows(wide, "text", "doc_id", num_partitions=7)
+        .rdd.getNumPartitions()
+        == 7
+    )
+
+
 def test_signlsh_recall_vs_exact(spark, sf_dir):
     from data_rivers_spark.session import load_tables
 

@@ -121,7 +121,10 @@ def generate(spark, sf_dir: str, names: list[str]) -> None:
     )
     with open(plans_path, "w") as f:
         f.write("".join(out))
-    print(f"PLANS.md regenerated ({len(names)} plans)")
+    # stderr: bench.py's contract is that its JSON line is the LAST stdout
+    # line (the driver parses the last line — round 4's bench record was
+    # lost to this notice printing after the JSON)
+    print(f"PLANS.md regenerated ({len(names)} plans)", file=sys.stderr)
 
 
 def main() -> None:
