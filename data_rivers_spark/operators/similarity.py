@@ -160,9 +160,20 @@ def embedding_near_dup_pairs(
     id_col: str,
     threshold: float,
     block_col: str | None = None,
+    exact_all_pairs: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold, optionally
-    blocked on a category column (all-pairs within block)."""
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale-safe dispatch (round-5): with a ``block_col`` the join is exact
+    all-pairs WITHIN blocks (caller asserts bounded block sizes — category /
+    shard / date keys). WITHOUT one, the default is now the bucket-first
+    sign-LSH candidate join + exact cosine verify
+    (``embedding_near_dup_pairs_lsh``) — an unblocked all-pairs self-join is
+    O(n²) and was previously one call away on a 1B-row corpus. The exact
+    unblocked form remains available as ``exact_all_pairs=True`` (it is the
+    oracle-checkable verifier at test scale)."""
+    if block_col is None and not exact_all_pairs:
+        return embedding_near_dup_pairs_lsh(df, vec_col, id_col, threshold)
     a = df.select(
         F.col(id_col).alias("id_a"),
         _as_double(F.col(vec_col)).alias("__va"),
@@ -178,6 +189,81 @@ def embedding_near_dup_pairs(
         cond = cond & (F.col("__blk") == F.col("__blk2"))
     return (
         a.join(b, cond)
+        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    planes_per_table: int = 6,
+    num_tables: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Bucket-first near-dup pairs: candidates are generated by an equi
+    self-join on (table_idx, sign-LSH bucket) over ``num_tables``
+    independent hash tables of ``planes_per_table`` hyperplanes each, then
+    every candidate is verified with the EXACT cosine — the embedding-space
+    mirror of dedup.minhash_lsh_verified_pairs. Output (id_a, id_b, sim)
+    with sim rounded to 4 — precision is exact (false bucket collisions die
+    in the verify), recall is probabilistic:
+
+        P(pair found) = 1 - (1 - p^b)^L,  p = 1 - acos(sim)/pi
+
+    With the defaults (b=6, L=16): sim 0.92 → p=.869, miss 7.6e-5;
+    sim 0.80 → p=.795, miss 2.7e-2. This is the semantic-dedup regime
+    (SemDeDup-style thresholds ≥ 0.8); below ~0.7 the sign-LSH gap between
+    near-dups and random pairs collapses (rho = ln p1/ln p2 → 1) and no
+    (b, L) both prunes and recalls — callers there should block on a
+    category column or opt into the exact verifier. Raising L buys recall
+    linearly in cost; raising b sharpens pruning quadratically against
+    random collisions (buckets per table = 2^b).
+
+    Scale: the corpus shuffles once on the ~(1+4)-byte (table, bucket) key
+    with xL fan-out; buckets are data-independent so skew is bounded by
+    cluster mass, and the expensive L·b plane dots are computed once per
+    row and localCheckpointed BEFORE the self-join (both join sides read
+    the materialized buckets instead of recomputing the plane fold through
+    the explode)."""
+    rng = random.Random(seed)
+    v = _as_double(F.col(vec_col))
+    table_buckets = []
+    for _t in range(num_tables):
+        bucket = F.lit(0)
+        for i in range(planes_per_table):
+            plane = F.array(*[F.lit(rng.gauss(0.0, 1.0)) for _ in range(dim)])
+            bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        table_buckets.append(bucket)
+    blk = [F.col(block_col).alias("__blk")] if block_col else []
+    bucketed = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.array(*table_buckets).alias("__bkts"),
+        *blk,
+    ).localCheckpoint(eager=True)
+    keys = ["__tbl", "__bkt"] + (["__blk"] if block_col else [])
+    side = bucketed.select(
+        "__id", "__v", *(["__blk"] if block_col else []),
+        F.posexplode("__bkts").alias("__tbl", "__bkt"),
+    )
+    a = side.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), *keys
+    )
+    b = side.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), *keys
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

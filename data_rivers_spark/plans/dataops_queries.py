@@ -239,6 +239,96 @@ def q_embedding_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def _twin_corpus(emb):
+    """Deterministic high-sim near-dup fixture: every vector gets a twin
+    (id+100000) shifted by +0.05 per coordinate. Measured on the embeddings
+    fixture: planted pair sims all >= 0.9166, every natural pair <= 0.6031 —
+    a wide two-sided margin around the 0.75 threshold, so the sign-LSH
+    candidate stage (whose recall is probabilistic near the threshold) is
+    exercised in its design regime. The natural fixture pairs hug 0.30
+    (min-above 0.3012 / max-below 0.2998), which is exactly where sign-LSH
+    cannot both prune and recall — that regime stays on the exact
+    label-blocked verifier (q_embedding_neardup/q_embedding_cc_dedup)."""
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(twins)
+
+
+_TWIN_SQL = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tw AS (SELECT vec_id + 100000 AS vec_id, LIST_TRANSFORM(v, x -> x + 0.05) AS v
+           FROM e),
+    allv AS (SELECT * FROM e UNION ALL SELECT * FROM tw)
+"""
+
+
+@query(
+    "q_embedding_lsh_neardup",
+    oracle=f"""
+    WITH {_TWIN_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS sim
+    FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) >= 0.75
+    """,
+)
+def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for unblocked embedding near-dup (round-5): sign-LSH
+    bucket candidates (16 tables x 6 planes, equi self-join on the
+    (table, bucket) key — never a cartesian) verified with the exact
+    cosine, against the exact all-pairs oracle on the planted-twin corpus.
+    Recall at the planted sims (>= 0.9166) is 1 - (1-p^6)^16 with p ~ .869
+    (miss ~ 7.6e-5 per pair) and the planes are seeded, so the match is
+    deterministic; verified missed=0 at all three SFs."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return S.embedding_near_dup_pairs_lsh(
+        _twin_corpus(t["embeddings"]), "embedding", "vec_id", 0.75
+    )
+
+
+@query(
+    "q_embedding_lsh_cc_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_TWIN_SQL},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) >= 0.75
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src
+    ), comp AS (
+      SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id
+    )
+    SELECT vec_id FROM allv
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
+    """,
+)
+def q_embedding_lsh_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end on the BUCKETED pair path: LSH-verified
+    near-dup pairs (see q_embedding_lsh_neardup) → pointer-doubling
+    connected components → keep min-id survivor per cluster. This is the
+    shape an unblocked 1B-row semantic dedup runs: no stage is all-pairs
+    (candidates are (table, bucket) equi-joins; CC shuffles on component
+    labels), oracled by the same recursive-CTE closure as
+    q_embedding_cc_dedup."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    corpus = _twin_corpus(t["embeddings"])
+    pairs = S.embedding_near_dup_pairs_lsh(corpus, "embedding", "vec_id", 0.75)
+    return D.dedup_by_components(
+        corpus, pairs.select("id_a", "id_b"), "vec_id"
+    ).select("vec_id")
+
+
 # --- non-SQL-expressible sketch operators: rows-only driver check + unit tests
 
 

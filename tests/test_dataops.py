@@ -139,6 +139,35 @@ def test_signlsh_recall_vs_exact(spark, sf_dir):
     assert recall > 0.2, recall
 
 
+def test_embedding_neardup_default_is_bucketed(spark, sf_dir):
+    """Unblocked embedding_near_dup_pairs must dispatch to the LSH bucket
+    path (equi join on the (table, bucket) key — no cartesian in the plan);
+    exact_all_pairs=True opts back into the all-pairs verifier. Both must
+    agree on the planted-twin corpus (wide sim margins — see
+    q_embedding_lsh_neardup)."""
+    from data_rivers_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].filter(
+        F.col("vec_id") < 100
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    default = S.embedding_near_dup_pairs(corpus, "embedding", "vec_id", 0.75)
+    plan = default._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:2000]
+    exact = S.embedding_near_dup_pairs(
+        corpus, "embedding", "vec_id", 0.75, exact_all_pairs=True
+    )
+    d = {(r.id_a, r.id_b, r.sim) for r in default.collect()}
+    e = {(r.id_a, r.id_b, r.sim) for r in exact.collect()}
+    assert d == e and len(d) == 100
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
