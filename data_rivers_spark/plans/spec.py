@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_rivers_spark.operators import dedup as D
+from data_rivers_spark.operators import geo as G
 from data_rivers_spark.operators import relational as R
 from data_rivers_spark.operators import sampling as SA
 from data_rivers_spark.operators import textstats as TX
@@ -117,6 +118,39 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "weighted_sample": _simple(SA.weighted_sample),
     "weighted_topk_sample": _simple(SA.weighted_topk_sample),
     "token_budget_trim": _simple(SA.token_budget_trim),
+    # geo verbs (single-frame; the two-frame revgeo join is a CTX op below)
+    "city_limits_classify": _simple(G.city_limits_classify),
+}
+
+
+def _revgeo_timebound(df: DataFrame, params: dict, subframe) -> DataFrame:
+    """Spec verb for the QAlert DAG's centerpiece (qalert_airflow.py:134-146):
+    ``zones`` is a nested input — a bare source ({'table': ...}/{'path': ...})
+    or a full sub-spec with its own steps — and the remaining params pass
+    through to operators.geo.revgeo_timebound_join (grid/BNLJ auto-choice
+    included)."""
+    zones = subframe(params["zones"])
+    return G.revgeo_timebound_join(
+        df, zones, **{k: v for k, v in params.items() if k != "zones"}
+    )
+
+
+def _join(df: DataFrame, params: dict, subframe) -> DataFrame:
+    right = subframe(params["right"])
+    if params.get("broadcast"):
+        right = F.broadcast(right)
+    return df.join(right, params["on"], params.get("how", "inner"))
+
+
+# two-input verbs: (df, params, subframe) -> df, where ``subframe`` resolves
+# a nested input node into a DataFrame (recursively via run_spec, so the
+# second input can itself be a declarative pipeline)
+CTX_OPS: dict[str, Callable] = {
+    "join": _join,
+    "union": lambda df, p, subframe: df.unionByName(
+        subframe(p["right"]), allowMissingColumns=bool(p.get("allow_missing"))
+    ),
+    "revgeo_timebound": _revgeo_timebound,
 }
 
 
@@ -134,26 +168,39 @@ def run_spec(
     the interpreter. Unknown ops fail fast with the full valid-name list —
     a config typo should die at plan-build time, not mid-run."""
     ops = {**OPS, **(extra_ops or {})}
-    if source_df is not None:
-        df = source_df
-    else:
-        src = spec["source"]
+
+    def resolve_source(src: dict) -> DataFrame:
         if "table" in src:
             if sf_dir is None:
                 raise ValueError("sf_dir required for a {'table': ...} source")
-            df = load_tables(spark, sf_dir, [src["table"]])[src["table"]]
-        elif "path" in src:
-            df = spark.read.format(src.get("format", "parquet")).load(src["path"])
-        else:
-            raise ValueError(f"source needs 'table' or 'path', got {sorted(src)}")
+            return load_tables(spark, sf_dir, [src["table"]])[src["table"]]
+        if "path" in src:
+            return spark.read.format(src.get("format", "parquet")).load(src["path"])
+        raise ValueError(f"source needs 'table' or 'path', got {sorted(src)}")
+
+    def subframe(node: dict) -> DataFrame:
+        # nested input of a two-frame verb: either a bare source or a full
+        # sub-spec (recursion — the joined side is a reviewable pipeline too)
+        if "source" in node or "steps" in node:
+            return run_spec(spark, node, sf_dir, extra_ops=extra_ops)
+        return resolve_source(node)
+
+    if source_df is not None:
+        df = source_df
+    else:
+        df = resolve_source(spec["source"])
     for i, step in enumerate(spec.get("steps", [])):
         op = step.get("op")
-        if op not in ops:
-            raise ValueError(
-                f"step {i}: unknown op {op!r}; valid ops: {sorted(ops)}"
-            )
         params = {k: v for k, v in step.items() if k != "op"}
-        df = ops[op](df, params)
+        if op in CTX_OPS and op not in ops:
+            df = CTX_OPS[op](df, params, subframe)
+        elif op in ops:
+            df = ops[op](df, params)
+        else:
+            raise ValueError(
+                f"step {i}: unknown op {op!r}; valid ops: "
+                f"{sorted(set(ops) | set(CTX_OPS))}"
+            )
     if "select" in spec:
         df = df.select(*spec["select"])
     return df

@@ -234,3 +234,88 @@ def test_spec_weighted_sampling_verbs(spark):
         ).collect()
     )
     assert got == want and len(got) == 20
+
+
+def test_spec_ctx_verbs_join_union_subspec(spark):
+    """Two-frame verbs: join/union resolve a nested input, which may itself
+    be a full sub-spec with steps (recursive interpretation)."""
+    import os
+    import tempfile
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    right = spark.createDataFrame([(1, 10), (3, 30)], "k long, w long")
+    d = os.path.join(tempfile.gettempdir(), f"spec_right_{os.getpid()}")
+    right.write.mode("overwrite").parquet(d)
+    spec = {
+        "steps": [
+            {
+                "op": "join",
+                "right": {
+                    "source": {"path": d},
+                    "steps": [{"op": "filter", "where": "k != 3"}],
+                },
+                "on": ["k"],
+                "how": "left",
+            },
+        ],
+    }
+    got = {(r.k, r.v, r.w) for r in run_spec(spark, spec, source_df=left).collect()}
+    assert got == {(1, "a", 10), (2, "b", None), (3, "c", None)}
+
+    uspec = {"steps": [{"op": "union", "right": {"source": {"path": d}},
+                        "allow_missing": True}]}
+    n = run_spec(spark, uspec, source_df=left).count()
+    assert n == 5
+
+
+def test_spec_geo_verbs_match_handwritten(spark):
+    """revgeo_timebound + city_limits_classify as spec verbs equal the
+    direct operator calls."""
+    from data_rivers_spark.operators.geo import (
+        city_limits_classify,
+        revgeo_timebound_join,
+    )
+    import os
+    import tempfile
+
+    pts = spark.createDataFrame(
+        [(1, 1.5, 1.5, "2024-01-05"), (2, 11.0, 3.0, "2024-01-05"),
+         (3, 90.0, 1.0, "2024-01-05")],
+        "id long, px double, py double, d string",
+    ).withColumn("create_date", F.col("d").cast("timestamp")).withColumn(
+        "address_type", F.lit("Precise")
+    )
+    zones = spark.createDataFrame(
+        [("Z1", "POLYGON((0 0, 20 0, 20 8, 0 8, 0 0))", "2020-01-01", None)],
+        "zone string, geometry string, sd string, ed string",
+    ).select(
+        "zone", "geometry",
+        F.col("sd").cast("timestamp").alias("start_date"),
+        F.col("ed").cast("timestamp").alias("end_date"),
+    )
+    zdir = os.path.join(tempfile.gettempdir(), f"spec_zones_{os.getpid()}")
+    zones.write.mode("overwrite").parquet(zdir)
+
+    want = city_limits_classify(
+        revgeo_timebound_join(pts, zones, "px", "py", "create_date"),
+        "POLYGON((0 0, 40 0, 40 8, 0 8, 0 0))",
+        "POLYGON((10 2, 12 2, 12 4, 10 4, 10 2))",
+        "px", "py",
+    ).select("id", "zone", "address_type")
+    spec = {
+        "steps": [
+            {"op": "revgeo_timebound", "zones": {"source": {"path": zdir}},
+             "x_col": "px", "y_col": "py", "point_date_col": "create_date"},
+            {"op": "city_limits_classify",
+             "city_wkt": "POLYGON((0 0, 40 0, 40 8, 0 8, 0 0))",
+             "exclusion_wkt": "POLYGON((10 2, 12 2, 12 4, 10 4, 10 2))",
+             "x_col": "px", "y_col": "py"},
+        ],
+        "select": ["id", "zone", "address_type"],
+    }
+    got = run_spec(spark, spec, source_df=pts)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert {tuple(r) for r in got.collect()} == {
+        (1, "Z1", "Precise"), (2, "Z1", "Outside of City"),
+        (3, None, "Outside of City"),
+    }
