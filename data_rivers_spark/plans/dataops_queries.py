@@ -1815,15 +1815,30 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END AS n_tok
       FROM pdocs WHERE n_kept > 0
     )
-    -- PRECONDITION NOTE (see q_char_lsh_dedup): exact-Jaccard oracle vs
-    -- banded MinHash-LSH (16 bands of 2 rows). This fixture has natural
-    -- pairs as low as J=0.8 — at the 8×4 default banding those carried a
-    -- ~1e-3 per-pair miss (agreement by deterministic luck); at 16×2 the
-    -- miss is (1-J^2)^16 <= 2.1e-5 for any J >= 0.7, a designed bound.
+    -- PRECONDITION (guarded, see q_char_lsh_dedup): exact-Jaccard oracle vs
+    -- banded MinHash-LSH (16 bands of 2 rows). The 16×2 banding was CHOSEN
+    -- so the per-pair miss (1-J^2)^16 stays <= 2.1e-5 for every J >= 0.7 —
+    -- there is no per-pair weak band above threshold (sf0.001 legitimately
+    -- has a pair at J~0.72; banning a sliver would false-alarm on it). The
+    -- real hazard is AGGREGATE: many pairs hugging the threshold. The
+    -- guard errors LOUDLY when the summed expected miss over all
+    -- above-threshold pairs exceeds 1e-3 — a new sf_dir then fails with a
+    -- diagnosis instead of silently flaking the hash compare. (The guard
+    -- predicate is TRUE or raises — it never filters rows, so the packing
+    -- window below is unaffected.)
     SELECT doc_id, split, n_tok,
            CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id)
                        - n_tok) / 512.0) AS BIGINT) AS chunk_idx
     FROM toked
+    WHERE 1 = (SELECT CASE
+                 WHEN COALESCE(SUM(POWER(1 - j * j, 16)), 0) < 0.001 THEN 1
+                 ELSE error(
+                 'aggregate LSH miss budget exceeded: sum of (1-J^2)^16 '
+                 || 'over above-threshold pairs >= 1e-3, so the exact '
+                 || 'Jaccard oracle is no longer safe against 16x2 banded '
+                 || 'recall; this sf_dir violates q_curation_pipeline''s '
+                 || 'precondition')
+               END FROM pj1 WHERE j >= 0.7)
     """,
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -792,3 +792,32 @@ def test_perceptual_hash_and_media_dedup(spark):
 
     assert M.media_near_dup_pairs(df, decoder=boom).collect() == []
     assert sorted(r.media_id for r in M.media_dedup(df, decoder=boom).collect()) == [1, 2, 3, 4]
+
+
+def test_lsh_oracle_miss_budget_guard():
+    """The q_curation_pipeline oracle carries a loud precondition guard: if
+    the summed expected banded-recall miss over above-threshold pairs
+    exceeds 1e-3, DuckDB must ERROR with a diagnosis instead of letting the
+    hash compare silently flake. Pin (a) the guard mechanism fires/passes at
+    the budget boundary and (b) both LSH oracles still ship their guards."""
+    import duckdb
+    import pytest
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    guard = (
+        "SELECT CASE WHEN COALESCE(SUM(POWER(1 - j * j, 16)), 0) < 0.001 "
+        "THEN 1 ELSE error('budget exceeded') END FROM pj WHERE j >= 0.7"
+    )
+    # a single mid-band pair (the sf0.001 reality): miss ~8e-6, passes
+    con.execute("CREATE TABLE pj AS SELECT 0.72 AS j")
+    assert con.execute(guard).fetchone()[0] == 1
+    # 200 pairs hugging the threshold: sum ~4e-3, must fire
+    con.execute("INSERT INTO pj SELECT 0.705 FROM range(200)")
+    with pytest.raises(duckdb.Error, match="budget exceeded"):
+        con.execute(guard)
+
+    oracles = entry.oracle_sql()
+    assert "aggregate LSH miss budget exceeded" in oracles["q_curation_pipeline"]
+    assert "LSH-weak band" in oracles["q_char_lsh_dedup"]
