@@ -484,6 +484,208 @@ def dup_ngram_char_fraction(
     )
 
 
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_ngram_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """ALL of Gopher's published n-gram repetition features in ONE pass
+    (Rae et al. 2021 table A1): ``top_{n}gram_char_frac`` for n in
+    ``top_ns`` and ``dup_{n}gram_char_frac`` for n in ``dup_ns`` — same
+    per-feature semantics as top_ngram_char_fraction /
+    dup_ngram_char_fraction, which remain the single-n building blocks.
+
+    Why one pass matters at corpus scale: the naive composition runs nine
+    independent explode→window pipelines, i.e. nine scans and nine
+    doc-row shuffles of the same corpus with nine separate lead-window
+    sorts. Here ONE window pass computes char offsets plus the max(n)-1
+    lead words, and every n-gram for every n derives from that frame via
+    a 9-struct posexplode. All later stages — per-(id,n,gram) counts and
+    occurrence ranks, per-(id,n) argmax / interval-union sweeps, and the
+    final pivots — key on id-prefixed columns, and HashPartitioning(id)
+    satisfies each of their clustering requirements (id is a subset), so
+    no word-row or gram-row exchange exists anywhere in the plan. The
+    audited plan holds exactly two exchanges, both DOC-row repartitions
+    (the top and dup branches each re-derive the shared word frame from
+    the pruned parquet scan — lineage reuse, not computation reuse;
+    checkpointing the 9x-exploded token frame instead would cost
+    corpus × tokens × 9 of executor storage, the documented anti-trade).
+
+    Short-doc semantics match the building blocks: top-n grams degrade to
+    one truncated gram per doc (concat_ws skips missing leads); dup-n
+    grams require the full n words."""
+    from pyspark.sql import Window
+
+    from data_rivers_spark.operators.dedup import _shingle_partition_count, words
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    max_n = max(all_ns)
+    totals = df.select(
+        F.col(id_col), _doc_norm_chars(F.col(text_col)).alias("__norm_chars")
+    )
+    ex = df.repartition(_shingle_partition_count(df, None), F.col(id_col)).select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos", "__w")
+    )
+    wseq = Window.partitionBy(id_col).orderBy("__pos")
+    start = F.coalesce(
+        F.sum(F.length("__w") + 1).over(
+            wseq.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    # leads materialize as plain columns FIRST: Spark rejects window
+    # expressions inside a generator, so the struct array must reference
+    # already-projected lead columns
+    led = ex.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.col("__w"),
+        start.alias("__st"),
+        cnt.alias("__cnt"),
+        *[F.lead("__w", k).over(wseq).alias(f"__l{k}") for k in range(1, max_n)],
+    )
+    gram_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", F.col("__w"), *[F.col(f"__l{k}") for k in range(1, n)]
+                ).alias("gram"),
+                F.col(f"__l{n - 1}").isNotNull().alias("full"),
+            )
+            for n in all_ns
+        ]
+    )
+    tall = (
+        led.select(
+            F.col(id_col),
+            F.col("__pos"),
+            "__st",
+            "__cnt",
+            F.explode(gram_structs).alias("__g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__g.n").alias("__n"),
+            F.col("__g.gram").alias("__gram"),
+            "__st",
+            "__pos",
+            "__cnt",
+            F.col("__g.full").alias("__full"),
+        )
+        .filter(
+            F.col("__full")
+            | ((F.col("__cnt") <= F.col("__n")) & (F.col("__pos") == 0))
+        )
+    )
+    # top-n: per-(id, n, gram) count -> per-(id, n) argmax (cnt, gram)
+    top = (
+        tall.filter(F.col("__n").isin(list(top_ns)))
+        .groupBy(id_col, "__n", "__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col, "__n")
+        .agg(F.max(F.struct(F.col("__c"), F.col("__gram"))).alias("__best"))
+        .select(
+            F.col(id_col),
+            "__n",
+            (F.col("__best.__c") * F.length(F.col("__best.__gram"))).alias(
+                "__top_chars"
+            ),
+        )
+    )
+    top_piv = (
+        top.groupBy(id_col)
+        .pivot("__n", list(top_ns))
+        .agg(F.first("__top_chars"))
+    )
+    # dup-n: repeat occurrences mark [st, st+len) spans; per-(id, n)
+    # interval-union sweep
+    occ = Window.partitionBy(id_col, "__n", "__gram").orderBy("__st")
+    marked = (
+        tall.filter(F.col("__n").isin(list(dup_ns)) & F.col("__full"))
+        .select(
+            F.col(id_col),
+            "__n",
+            "__st",
+            (F.col("__st") + F.length("__gram")).alias("__en"),
+            F.row_number().over(occ).alias("__occ"),
+        )
+        .filter(F.col("__occ") >= 2)
+    )
+    wcov = Window.partitionBy(id_col, "__n").orderBy("__st", "__en")
+    prev_end = F.max("__en").over(wcov.rowsBetween(Window.unboundedPreceding, -1))
+    covered = F.greatest(
+        F.col("__en")
+        - F.greatest(F.col("__st"), F.coalesce(prev_end, F.col("__st"))),
+        F.lit(0),
+    )
+    dup = (
+        marked.select(F.col(id_col), "__n", covered.alias("__c"))
+        .groupBy(id_col, "__n")
+        .agg(F.sum("__c").alias("__dup_chars"))
+    )
+    dup_piv = (
+        dup.groupBy(id_col).pivot("__n", list(dup_ns)).agg(F.first("__dup_chars"))
+    )
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("__norm_chars") == 0, F.lit(0.0)
+    ).otherwise(F.coalesce(c, F.lit(0)).cast("double") / F.col("__norm_chars"))
+    return (
+        totals.join(top_piv, id_col, "left")
+        .join(dup_piv, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[
+                frac(F.col(str(n))).alias(f"top_{n}gram_char_frac")
+                for n in top_ns
+            ],
+            *[
+                frac(F.col(str(n))).alias(f"dup_{n}gram_char_frac")
+                for n in dup_ns
+            ],
+        )
+    )
+
+
+def gopher_repetition_filter_full(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    top_thresholds: dict = GOPHER_TOP_NGRAM_THRESHOLDS,
+    dup_thresholds: dict = GOPHER_DUP_NGRAM_THRESHOLDS,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The COMPLETE Gopher repetition rule table (2 line rules + 3 top-n
+    + 6 dup-n, published thresholds) composed into one audit frame with a
+    ``keep`` verdict — gopher_repetition_filter remains the cheap 4-rule
+    variant. Two shuffles total: the line stats' explode-agg and the
+    one-pass n-gram family."""
+    feats = line_repetition_stats(df, text_col, id_col, sep=line_sep).join(
+        gopher_ngram_features(
+            df, text_col, id_col,
+            tuple(sorted(top_thresholds)), tuple(sorted(dup_thresholds)),
+        ),
+        id_col,
+    )
+    keep = (F.col("dup_line_frac") <= max_dup_line_frac) & (
+        F.col("dup_line_char_frac") <= max_dup_line_char_frac
+    )
+    for n, thr in sorted(top_thresholds.items()):
+        keep = keep & (F.col(f"top_{n}gram_char_frac") <= thr)
+    for n, thr in sorted(dup_thresholds.items()):
+        keep = keep & (F.col(f"dup_{n}gram_char_frac") <= thr)
+    return feats.withColumn("keep", keep)
+
+
 def gopher_repetition_filter(
     df: DataFrame,
     text_col: str,

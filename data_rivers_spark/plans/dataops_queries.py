@@ -1361,6 +1361,106 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_n_cte(n: int) -> str:
+    return f"""
+    , c{n} AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+{n - 1}], ' ') AS gram
+        FROM (SELECT doc_id, ws,
+                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - {n - 1}, 1))) AS i
+              FROM toks)
+      ) GROUP BY doc_id, gram
+    ), top{n} AS (
+      SELECT doc_id, cnt * LEN(gram) AS top_chars
+      FROM (SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram DESC) AS rn
+            FROM c{n})
+      WHERE rn = 1
+    )"""
+
+
+def _dup_n_cte(n: int) -> str:
+    return f"""
+    , p{n} AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(ws[i:i+{n - 1}], ' ') AS gram,
+             COALESCE(SUM(LEN(ws[i]) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - {n - 1}, 0))) AS i
+            FROM toks)
+    ), m{n} AS (
+      SELECT doc_id, st, st + LEN(gram) AS en,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY st) AS occ
+      FROM p{n}
+    ), cov{n} AS (
+      SELECT doc_id,
+             GREATEST(en - GREATEST(st, COALESCE(MAX(en) OVER (
+               PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), st)), 0) AS c
+      FROM m{n} WHERE occ >= 2
+    ), d{n} AS (
+      SELECT doc_id, SUM(c) AS dup_chars FROM cov{n} GROUP BY doc_id
+    )"""
+
+
+_GOPHER_FULL_ORACLE = (
+    """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
+      FROM documents WHERE TRIM(text) != ''
+    ), norm AS (
+      SELECT doc_id, LEN(ARRAY_TO_STRING(ws, ' ')) AS norm_chars FROM toks
+    )"""
+    + "".join(_top_n_cte(n) for n in (2, 3, 4))
+    + "".join(_dup_n_cte(n) for n in (5, 6, 7, 8, 9, 10))
+    + """
+    SELECT n.doc_id,
+    """
+    + ",\n    ".join(
+        f"ROUND(t{n}.top_chars * 1.0 / n.norm_chars, 6) AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    + ",\n    "
+    + ",\n    ".join(
+        f"ROUND(COALESCE(dd{n}.dup_chars, 0) * 1.0 / n.norm_chars, 6)"
+        f" AS dup_{n}gram_char_frac"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    + """
+    FROM norm n
+    """
+    + "\n    ".join(f"JOIN top{n} t{n} ON n.doc_id = t{n}.doc_id" for n in (2, 3, 4))
+    + "\n    "
+    + "\n    ".join(
+        f"LEFT JOIN d{n} dd{n} ON n.doc_id = dd{n}.doc_id" for n in (5, 6, 7, 8, 9, 10)
+    )
+)
+
+
+@query("q_gopher_full_features", oracle=_GOPHER_FULL_ORACLE)
+def q_gopher_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL NINE of Gopher's n-gram repetition features (top 2/3/4-gram +
+    dup 5..10-gram char fractions) from the round-5 ONE-PASS operator
+    (textstats.gopher_ngram_features): the corpus is shuffled once and
+    every feature derives from a single word-level window frame — vs nine
+    independent explode pipelines for the naive composition. Oracle
+    restates each feature with the per-n exact CTEs."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    out = TX.gopher_ngram_features(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        *[
+            F.round(c, 6).alias(c)
+            for c in out.columns
+            if c != "doc_id"
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 / CCNet corpus-curation layer (round 3)
 # ---------------------------------------------------------------------------

@@ -821,3 +821,47 @@ def test_lsh_oracle_miss_budget_guard():
     oracles = entry.oracle_sql()
     assert "aggregate LSH miss budget exceeded" in oracles["q_curation_pipeline"]
     assert "LSH-weak band" in oracles["q_char_lsh_dedup"]
+
+
+def test_gopher_full_features_match_building_blocks(spark, sf_dir):
+    """The one-pass gopher_ngram_features must equal the single-n building
+    blocks feature-for-feature, and the full filter's keep verdict must
+    apply every published threshold."""
+    from data_rivers_spark.session import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id", "text")
+        .filter((F.trim(F.col("text")) != "") & (F.col("doc_id") < 200))
+    )
+    full = TX.gopher_ngram_features(docs, "text", "doc_id").collect()
+    got = {r.doc_id: r.asDict() for r in full}
+    for n in (2, 3, 4):
+        want = {
+            r.doc_id: r[f"top_{n}gram_char_frac"]
+            for r in TX.top_ngram_char_fraction(docs, "text", "doc_id", n).collect()
+        }
+        for d, v in want.items():
+            assert abs(got[d][f"top_{n}gram_char_frac"] - v) < 1e-12, (n, d)
+    for n in (5, 7, 10):
+        want = {
+            r.doc_id: r[f"dup_{n}gram_char_frac"]
+            for r in TX.dup_ngram_char_fraction(docs, "text", "doc_id", n).collect()
+        }
+        for d, v in want.items():
+            assert abs(got[d][f"dup_{n}gram_char_frac"] - v) < 1e-12, (n, d)
+
+    filt = TX.gopher_repetition_filter_full(docs, "text", "doc_id")
+    cols = set(filt.columns)
+    assert {"dup_line_frac", "dup_line_char_frac", "keep"} <= cols
+    assert {f"top_{n}gram_char_frac" for n in (2, 3, 4)} <= cols
+    assert {f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)} <= cols
+    row = filt.filter(F.col("doc_id") == docs.first().doc_id).first()
+    expect = (
+        row.dup_line_frac <= 0.30 and row.dup_line_char_frac <= 0.20
+        and all(row[f"top_{n}gram_char_frac"] <= t
+                for n, t in TX.GOPHER_TOP_NGRAM_THRESHOLDS.items())
+        and all(row[f"dup_{n}gram_char_frac"] <= t
+                for n, t in TX.GOPHER_DUP_NGRAM_THRESHOLDS.items())
+    )
+    assert row.keep == expect

@@ -39,11 +39,18 @@ from pyspark.sql import functions as F  # noqa: E402
 
 KS = (1, 4, 16, 64, 256)
 # ops too slow to run at the top octave get capped (recorded as blank).
-# Empty since the Manku combination-blocking fix: a fresh-JVM re-measurement
-# put simhash_pairs at 2.8/7.9/15.3/19.9 s for 4x/16x/64x/256x (sub-linear
-# per octave) — the earlier 33 s / 7.53-ratio 64x cell was host contention
-# inside the long multi-op session, not operator behavior.
-MAX_K: dict[str, int] = {}
+# Empty for the single operators since the Manku combination-blocking fix: a
+# fresh-JVM re-measurement put simhash_pairs at 2.8/7.9/15.3/19.9 s for
+# 4x/16x/64x/256x (sub-linear per octave) — the earlier 33 s / 7.53-ratio
+# 64x cell was host contention inside the long multi-op session, not
+# operator behavior. The checkpoint-heavy COMPOSITES are measured 1x-64x
+# (VERDICT r4 #5): each 64x cell is minutes, and the exponent is readable
+# from four octaves.
+MAX_K: dict[str, int] = {
+    "curation_pipeline": 64,
+    "media_dedup": 64,
+    "incremental_lsh_dedup": 64,
+}
 
 
 def scaled(df, id_col: str, k: int, text_col: str | None = None, vec_col: str | None = None):
@@ -113,15 +120,73 @@ OPS_DOC = (
     "gopher_filter",
     "unigram_logprob",
     "deterministic_sample",
+    # checkpoint-heavy composites (prep/run split: store builds and fixture
+    # shaping are untimed — the cell measures the pipeline, and the prep's
+    # checkpointed frames stay resident so peak storage reflects the real
+    # localCheckpoint posture)
+    "curation_pipeline",
+    "media_dedup",
+    "incremental_lsh_dedup",
 )
 OPS_EMB = ("signlsh_topk",)
 
 
-def _op_fn(name: str):
+def _prep_lined(frame):
+    """Untimed composite prep: reflow each doc into 8-word '.'-terminated
+    lines (the multi-line shape C4 line rules operate on — raw fixture docs
+    are single-line and would be wholly rejected at stage 1)."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(ws, i * F.lit(8) + 1, F.lit(8))), F.lit(".")
+        ),
+    )
+    docs = (
+        frame.filter(F.size(ws) > 0)
+        .select("doc_id", F.array_join(lines, "\n").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    return {"docs": docs}
+
+
+def _prep_media(frame):
+    media = frame.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("image").alias("media_type"),
+    ).localCheckpoint(eager=True)
+    return {"media": media}
+
+
+def _prep_incremental(frame):
+    """Untimed: split the corpus at the id midpoint into an already-deduped
+    master (text + persisted banded signature store, as a previous run left
+    them) and the new batch. The timed run is the daily shape: batch vs
+    store, master text touched only via the bucket-hit semi-join."""
     from data_rivers_spark.operators import dedup as D
+
+    mx = frame.agg(F.max("doc_id")).first()[0]
+    mid = int(mx) // 2
+    master = frame.filter(F.col("doc_id") <= mid).localCheckpoint(eager=True)
+    batch = frame.filter(F.col("doc_id") > mid).localCheckpoint(eager=True)
+    mbanded = D._banded_from_sets(
+        D.shingle_sets(master, "text", "doc_id"), "doc_id", 32, 16
+    ).localCheckpoint(eager=True)
+    return {"batch": batch, "master": master, "mbanded": mbanded, "mid": mid}
+
+
+def _op_fn(name: str):
+    """An op is either ``lambda frame: df`` (timed end to end) or a
+    ``(prep, run)`` pair: ``prep(frame) -> ctx`` runs untimed (checkpointing
+    its outputs), ``run(ctx) -> df`` is the timed pipeline."""
+    from data_rivers_spark.operators import dedup as D
+    from data_rivers_spark.operators import multimodal as M
     from data_rivers_spark.operators import sampling as SA
     from data_rivers_spark.operators import similarity as S
     from data_rivers_spark.operators import textstats as TX
+    from data_rivers_spark.plans import pipelines as P
 
     return {
         "exact_dedup": lambda d: D.exact_dedup(d, "text", "doc_id"),
@@ -137,6 +202,24 @@ def _op_fn(name: str):
         "deterministic_sample": lambda d: SA.deterministic_sample(d, "doc_id", 0.3),
         "signlsh_topk": lambda e: S.signlsh_topk(
             e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
+        ),
+        "curation_pipeline": (
+            _prep_lined,
+            lambda ctx: P.corpus_curation_pipeline(
+                ctx["docs"], dedup_threshold=0.7
+            ),
+        ),
+        "media_dedup": (
+            _prep_media,
+            lambda ctx: M.media_dedup(ctx["media"]),
+        ),
+        "incremental_lsh_dedup": (
+            _prep_incremental,
+            lambda ctx: D.incremental_lsh_dedup(
+                ctx["batch"], ctx["master"], ctx["mbanded"], "text", "doc_id",
+                threshold=0.7, num_hashes=32, bands=16,
+                batch_min_id=ctx["mid"] + 1,
+            )[0],
         ),
     }[name]
 
@@ -163,10 +246,51 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
     return out
 
 
-def run_one_op(spark, fixture: str, name: str) -> float:
+class _PeakStorageSampler:
+    """Background poll of the JVM's persisted-RDD storage total — the
+    localCheckpoint posture number. Composites checkpoint intermediates
+    (shingle sets, banded rows, dupe ids) and a 100x run dies first where
+    that storage outgrows the executors, so every cell records the peak MB
+    alongside wall time."""
+
+    def __init__(self, spark):
+        import threading
+
+        self._jsc_sc = spark.sparkContext._jsc.sc()
+        self.peak_bytes = 0
+        self._stop = False
+        self._t = threading.Thread(target=self._poll, daemon=True)
+
+    def _poll(self):
+        while not self._stop:
+            try:
+                total = sum(i.memSize() for i in self._jsc_sc.getRDDStorageInfo())
+                if total > self.peak_bytes:
+                    self.peak_bytes = total
+            except Exception:
+                pass
+            time.sleep(0.15)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop = True
+        self._t.join(timeout=2)
+
+    @property
+    def peak_mb(self) -> float:
+        return round(self.peak_bytes / (1024 * 1024), 1)
+
+
+def run_one_op(spark, fixture: str, name: str) -> tuple[float, float]:
     """Measure ONE operator on a materialized fixture in THIS JVM: warm the
-    op on a 5k-row sample (JIT/codegen), then min-of-2 timed full runs."""
-    fn = _op_fn(name)
+    op on a 5k-row sample (JIT/codegen), then min-of-2 timed full runs.
+    Returns (seconds, peak_storage_mb) — the peak is sampled across the
+    timed runs with prep-stage checkpoints still resident (the real
+    in-flight posture)."""
+    spec = _op_fn(name)
     src = "embeddings" if name in OPS_EMB else "documents"
     # repartition to cluster width BEFORE the (untimed) checkpoint: parquet
     # read-side coalescing packs the whole fixture into 1-2 splits, which
@@ -178,16 +302,28 @@ def run_one_op(spark, fixture: str, name: str) -> float:
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    warm = frame.limit(5000).localCheckpoint(eager=True)
-    fn(warm).write.format("noop").mode("overwrite").save()
-    warm.unpersist()
+    keep0 = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    if isinstance(spec, tuple):
+        prep, run = spec
+        # warm on a small sample (own prep ctx), then drop the warm blocks
+        warm_ctx = prep(frame.limit(5000).localCheckpoint(eager=True))
+        run(warm_ctx).write.format("noop").mode("overwrite").save()
+        _release_new_rdds(spark, keep0)
+        ctx = prep(frame)  # untimed; its checkpoints stay resident
+        fn = lambda: run(ctx)  # noqa: E731
+    else:
+        warm = frame.limit(5000).localCheckpoint(eager=True)
+        spec(warm).write.format("noop").mode("overwrite").save()
+        warm.unpersist()
+        fn = lambda: spec(frame)  # noqa: E731
     keep = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     best = None
-    for _ in range(2):
-        t = _time(lambda: fn(frame).write.format("noop").mode("overwrite").save())
-        _release_new_rdds(spark, keep)
-        best = t if best is None else min(best, t)
-    return best
+    with _PeakStorageSampler(spark) as sampler:
+        for _ in range(2):
+            t = _time(lambda: fn().write.format("noop").mode("overwrite").save())
+            _release_new_rdds(spark, keep)
+            best = t if best is None else min(best, t)
+    return best, sampler.peak_mb
 
 
 def operator_scaling_octave(sf_dir: str, k: int) -> dict[str, dict[int, float]]:
@@ -209,6 +345,7 @@ def operator_scaling_octave(sf_dir: str, k: int) -> dict[str, dict[int, float]]:
     fixture = materialize_fixture(spark, sf_dir, k)
     spark.stop()
     results: dict[str, dict[int, float]] = {}
+    peaks: dict[str, dict[int, float]] = {}
     for name in OPS_DOC + OPS_EMB:
         if k > MAX_K.get(name, KS[-1]):
             continue
@@ -222,10 +359,13 @@ def operator_scaling_octave(sf_dir: str, k: int) -> dict[str, dict[int, float]]:
             print(f"op {name} @ {k}x failed:\n{proc.stdout[-1500:]}\n{proc.stderr[-1500:]}")
             raise SystemExit(1)
         results[name] = {k: float(payload[0].split(":", 1)[1])}
+        peak = [ln for ln in proc.stdout.splitlines() if ln.startswith("OP_PEAK_MB:")]
+        if peak:
+            peaks[name] = {k: float(peak[0].split(":", 1)[1])}
     import shutil
 
     shutil.rmtree(fixture, ignore_errors=True)
-    return results
+    return {"times": results, "peaks": peaks}
 
 
 def revgeo_crossover(spark, sf_dir: str) -> list[tuple[int, float, float]]:
@@ -327,7 +467,9 @@ def _run_op(sf_dir: str, name: str, fixture: str) -> None:
     from data_rivers_spark.session import get_spark
 
     spark = get_spark(app_name=f"scaling-{name}")
-    print("OP_SECONDS:" + str(run_one_op(spark, fixture, name)))
+    sec, peak_mb = run_one_op(spark, fixture, name)
+    print("OP_SECONDS:" + str(sec))
+    print("OP_PEAK_MB:" + str(peak_mb))
 
 
 def main() -> None:
@@ -346,6 +488,7 @@ def main() -> None:
 
         os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
         fresh: dict[str, dict[int, float]] = {}
+        fresh_peaks: dict[str, dict[int, float]] = {}
         by_k: dict[int, list[str]] = {}
         for cell in cells:
             name, k = cell.split(":")
@@ -367,10 +510,16 @@ def main() -> None:
                     print(f"remeasured {name}@{k}x: {fresh[name][k]}")
                 else:
                     print(f"remeasure {name}@{k}x FAILED:\n{proc.stderr[-800:]}")
+                peak = [ln for ln in proc.stdout.splitlines()
+                        if ln.startswith("OP_PEAK_MB:")]
+                if peak:
+                    fresh_peaks.setdefault(name, {})[k] = float(
+                        peak[0].split(":", 1)[1]
+                    )
             import shutil
 
             shutil.rmtree(fixture, ignore_errors=True)
-        write_report(fresh, sf_dir)
+        write_report(fresh, sf_dir, fresh_peaks)
         return
     if "--op" in argv:
         i = argv.index("--op")
@@ -401,6 +550,7 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     results: dict[str, dict[int, float]] = {}
+    peaks: dict[str, dict[int, float]] = {}
     for k in KS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), sf_dir, "--octave", str(k)],
@@ -411,10 +561,12 @@ def main() -> None:
             print(f"octave {k}x failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
             raise SystemExit(1)
         part = json.loads(payload[0][len("OCTAVE_JSON:"):])
-        for name, cells in part.items():
+        for name, cells in part.get("times", {}).items():
             results.setdefault(name, {}).update({int(kk): v for kk, v in cells.items()})
+        for name, cells in part.get("peaks", {}).items():
+            peaks.setdefault(name, {}).update({int(kk): v for kk, v in cells.items()})
         print(f"octave {k}x done: " + json.dumps(part))
-    write_report(results, sf_dir)
+    write_report(results, sf_dir, peaks)
 
 
 RESULTS_JSON = os.path.join(
@@ -449,12 +601,40 @@ def _merge_min(
     return out
 
 
-def write_report(results: dict[str, dict[int, float]], sf_dir: str) -> None:
+PEAKS_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools",
+    "scaling_peaks.json",
+)
+
+
+def _load_peaks() -> dict[str, dict[int, float]]:
+    try:
+        with open(PEAKS_JSON) as f:
+            raw = json.load(f)
+        return {n: {int(k): v for k, v in c.items()} for n, c in raw.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def write_report(
+    results: dict[str, dict[int, float]],
+    sf_dir: str,
+    peaks: dict[str, dict[int, float]] | None = None,
+) -> None:
     """Run the revgeo crossover and write SCALING.md from octave results
     (callable standalone to re-assemble the report from logged octaves)."""
     results = _merge_min(_load_results(), results)
     with open(RESULTS_JSON, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
+    # peaks max-merge: the memory requirement is the upper envelope (the
+    # opposite convention from wall time, where contention only adds)
+    all_peaks = _load_peaks()
+    for n, cells in (peaks or {}).items():
+        for k, v in cells.items():
+            cur = all_peaks.setdefault(n, {}).get(k)
+            all_peaks[n][k] = v if cur is None else max(cur, v)
+    with open(PEAKS_JSON, "w") as f:
+        json.dump(all_peaks, f, indent=1, sort_keys=True)
     from data_rivers_spark.session import get_spark, load_tables
 
     spark = get_spark(app_name="scaling")
@@ -503,6 +683,27 @@ def write_report(results: dict[str, dict[int, float]], sf_dir: str) -> None:
             for a, b in zip(KS, KS[1:])
         )
         lines.append(f"| {name} | {vals} | {ratios} |\n")
+    if all_peaks:
+        lines += [
+            "\n## Peak checkpoint storage (MB)\n",
+            "\nPeak of the JVM's persisted-RDD storage sampled across each"
+            " timed run, with the prep stage's checkpointed frames resident"
+            " — the localCheckpoint posture a 100x run must budget executor"
+            " storage memory for. Growth should track corpus size (~4x per"
+            " octave) because every checkpointed intermediate is corpus-"
+            "proportional (shingle sets, banded rows, dupe ids, batch"
+            " splits); a super-linear column here would flag an intermediate"
+            " that accumulates ACROSS stages. Spill posture: these blocks"
+            " are MEMORY_AND_DISK — outgrowing the storage pool degrades to"
+            " disk reads, not OOM, and on a real cluster the same pipelines"
+            " would checkpoint to the distributed store instead.\n",
+            f"\n| pipeline | {header_cells.replace('(s)', '(MB)')} |\n",
+            "|---|" + "---|" * len(KS) + "\n",
+        ]
+        for name in sorted(all_peaks):
+            r = all_peaks[name]
+            vals = " | ".join(str(r.get(k, "—")) for k in KS)
+            lines.append(f"| {name} | {vals} |\n")
     lines += [
         "\n## Revgeo join strategy: BroadcastNestedLoopJoin vs grid-cell "
         "BroadcastHashJoin by zone count\n",
