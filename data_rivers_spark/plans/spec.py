@@ -41,6 +41,7 @@ from data_rivers_spark.operators import dedup as D
 from data_rivers_spark.operators import geo as G
 from data_rivers_spark.operators import relational as R
 from data_rivers_spark.operators import sampling as SA
+from data_rivers_spark.operators import similarity as SIM
 from data_rivers_spark.operators import textstats as TX
 from data_rivers_spark.operators import transforms as T
 from data_rivers_spark.session import load_tables
@@ -110,6 +111,8 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "simhash_dedup": _simple(D.simhash_dedup),
     "c4_quality_filter": _simple(TX.c4_quality_filter),
     "gopher_repetition_filter": _simple(TX.gopher_repetition_filter),
+    "gopher_repetition_filter_full": _simple(TX.gopher_repetition_filter_full),
+    "gopher_ngram_features": _simple(TX.gopher_ngram_features),
     "detect_language": _simple(TX.detect_language),
     "quality_features": _simple(TX.quality_features),
     "deterministic_sample": _simple(SA.deterministic_sample),
@@ -120,6 +123,12 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "token_budget_trim": _simple(SA.token_budget_trim),
     # geo verbs (single-frame; the two-frame revgeo join is a CTX op below)
     "city_limits_classify": _simple(G.city_limits_classify),
+    # embedding verbs (bucket-first near-dup dispatch, see similarity.py)
+    "embedding_near_dup_pairs": _simple(SIM.embedding_near_dup_pairs),
+    "embedding_near_dup_pairs_lsh": _simple(SIM.embedding_near_dup_pairs_lsh),
+    "cosine_topk_self": lambda df, p: SIM.cosine_topk(
+        df, df.filter(p["query_where"]), p["vec_col"], p["id_col"], int(p["k"])
+    ),
 }
 
 

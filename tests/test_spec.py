@@ -319,3 +319,32 @@ def test_spec_geo_verbs_match_handwritten(spark):
         (1, "Z1", "Precise"), (2, "Z1", "Outside of City"),
         (3, None, "Outside of City"),
     }
+
+
+def test_spec_curation_and_embedding_verbs(spark, sf_dir):
+    """Round-5 verbs: the full Gopher filter and the embedding near-dup
+    family are spec-dispatchable and equal the direct calls."""
+    from data_rivers_spark.operators import similarity as SIM
+    from data_rivers_spark.operators import textstats as TX
+    from data_rivers_spark.session import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id", "text")
+        .filter((F.trim(F.col("text")) != "") & (F.col("doc_id") < 100))
+    )
+    spec = {"steps": [{"op": "gopher_repetition_filter_full",
+                       "text_col": "text", "id_col": "doc_id"}]}
+    got = run_spec(spark, spec, source_df=docs)
+    want = TX.gopher_repetition_filter_full(docs, "text", "doc_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].filter(
+        F.col("vec_id") < 60
+    )
+    espec = {"steps": [{"op": "embedding_near_dup_pairs", "vec_col": "embedding",
+                        "id_col": "vec_id", "threshold": 0.3,
+                        "block_col": "label"}]}
+    egot = run_spec(spark, espec, source_df=emb)
+    ewant = SIM.embedding_near_dup_pairs(emb, "embedding", "vec_id", 0.3, "label")
+    assert sorted(map(tuple, egot.collect())) == sorted(map(tuple, ewant.collect()))
