@@ -865,3 +865,26 @@ def test_gopher_full_features_match_building_blocks(spark, sf_dir):
                 for n, t in TX.GOPHER_DUP_NGRAM_THRESHOLDS.items())
     )
     assert row.keep == expect
+
+
+def test_embedding_lsh_vectorized_matches_expression(spark, sf_dir):
+    """The BLAS bucket builder and the Catalyst expression form share the
+    seeded plane list and must produce the same verified pair set."""
+    from data_rivers_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].filter(
+        F.col("vec_id") < 80
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    kw = dict(threshold=0.75)
+    vec = {(r.id_a, r.id_b, r.sim) for r in S.embedding_near_dup_pairs_lsh(
+        corpus, "embedding", "vec_id", vectorized=True, **kw).collect()}
+    expr = {(r.id_a, r.id_b, r.sim) for r in S.embedding_near_dup_pairs_lsh(
+        corpus, "embedding", "vec_id", vectorized=False, **kw).collect()}
+    assert vec == expr and len(vec) == 80
