@@ -1175,3 +1175,109 @@ def char_shingle_sets(
         .groupBy(id_col)
         .agg(F.collect_set(F.xxhash64(F.col("shingle"))).alias("__set"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring (span) dedup — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499) §3.1 ExactSubstr, re-expressed as k-token grams
+# ---------------------------------------------------------------------------
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-document statistics of text spans duplicated VERBATIM in other
+    documents: every k-token gram that also occurs in ≥1 other document
+    marks its token interval [pos, pos+k) as duplicated; overlapping
+    intervals merge into maximal spans (so a 50-token verbatim copy counts
+    as ONE span covering 50 tokens, not 46 overlapping grams).
+
+    This is the document-internal counterpart of span decontamination
+    (textstats.decontaminate_span_stats): same positioned-gram machinery,
+    but the "contaminating" set is the corpus itself — Lee et al.'s
+    ExactSubstr dedup, with the suffix array replaced by the
+    k-gram-inverted-index equivalent (a gram is duplicated iff some length-k
+    substring repeats; spans below k tokens are invisible, exactly the
+    suffix-array threshold semantics).
+
+    Output: (id, n_tokens, dup_gram_count, dup_span_count, dup_token_count)
+    for every input row — audit posture; filter on
+    ``dup_token_count / n_tokens`` to enforce a policy.
+
+    Scale: one positioned-gram explode (codegen posexplode + lead, the
+    word_shingle_rows pattern), one hash aggregate on the 8-byte gram hash
+    to find cross-doc grams (map-side combined), a semi-join back, and the
+    interval merge as two id-partitioned windows — every shuffle is on
+    either the gram hash or the doc id, nothing is all-pairs. Memory is
+    bounded by tokens-per-partition, not corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    exploded = df.repartition(
+        _shingle_partition_count(df, num_partitions), F.col(id_col)
+    ).select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("__pos", "__w")
+    )
+    leads = [F.col("__w")] + [F.lead("__w", i).over(w) for i in range(1, k)]
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    grams = (
+        exploded.withColumn("__gram", F.concat_ws(" ", *leads))
+        .withColumn("__n_tok", cnt)
+        .filter(F.col("__pos") + k <= F.col("__n_tok"))
+        .select(
+            id_col,
+            "__pos",
+            "__n_tok",
+            F.xxhash64(F.col("__gram")).alias("__gh"),
+        )
+    )
+    # grams seen in >= 2 distinct docs; the count_distinct is capped at 2
+    # by the early filter semantics of the downstream semi join (the agg
+    # itself is exact but tiny: one row per distinct gram hash)
+    dup_hashes = (
+        grams.groupBy("__gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("__gh")
+    )
+    dup_positions = grams.join(dup_hashes, "__gh", "left_semi")
+    # merge overlapping [pos, pos+k) intervals per doc: gaps-and-islands —
+    # a new island starts when this gram begins at/after every prior end
+    prev_end = F.max(F.col("__pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup_positions.withColumn(
+        "__new", F.when(F.col("__pos") >= F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy(id_col, "__island").agg(
+        F.min("__n_tok").alias("__n_tok"),
+        F.count(F.lit(1)).alias("__grams"),
+        (F.max(F.col("__pos") + k) - F.min("__pos")).alias("__covered"),
+    )
+    per_doc = per_island.groupBy(id_col).agg(
+        F.min("__n_tok").alias("__n_tok"),
+        F.sum("__grams").alias("dup_gram_count"),
+        F.count(F.lit(1)).alias("dup_span_count"),
+        F.sum("__covered").alias("dup_token_count"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(words(F.col(text_col))).alias("n_tokens")
+    )
+    return (
+        base.join(per_doc.drop("__n_tok"), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_gram_count", F.lit(0)).alias("dup_gram_count"),
+            F.coalesce("dup_span_count", F.lit(0)).alias("dup_span_count"),
+            F.coalesce("dup_token_count", F.lit(0)).alias("dup_token_count"),
+        )
+    )

@@ -194,3 +194,64 @@ def token_budget_trim(
     return df.withColumn("__cum", cum).filter(F.col("__cum") <= F.lit(budget)).drop(
         "__cum"
     )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    temperature: float = 0.5,
+    budget_frac: float = 0.5,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Temperature-based domain rebalancing: derive per-domain keep rates
+    FROM the corpus's own domain counts (unlike stratified_sample, whose
+    rates are caller-specified) and hash-filter to them.
+
+    Target mixture p_d ∝ n_d^temperature (the multilingual-sampling rule of
+    Conneau & Lample 2019 §3.1 / mT5: temperature 1 preserves the natural
+    mixture, 0 equalizes domains, 0.5 is the usual compromise), scaled to a
+    total budget of ``budget_frac`` × corpus size:
+
+        rate_d = min(1, budget_frac · N · p_d / n_d),  rounded to 6 dp.
+
+    Over-asked domains saturate at 1 (this operator only downsamples — the
+    deterministic-decision contract cannot mint duplicate rows; pair with
+    an explicit repeat-epochs step for true upsampling).
+
+    Scale: the count aggregate is domain-cardinality-sized (map-side
+    combined), rates ride back on a broadcast join, and the decision is the
+    same per-row hash filter as every other sampler here — reproducible
+    across runs, engines, and partitioning. The rate is rounded to 6
+    decimals BEFORE the floor-to-integer threshold so both engines compare
+    identical integers (a last-ulp pow()/sum-order difference cannot
+    survive the rounding except within 5e-13 of a rounding boundary)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    # empty-frame windows are single-partition by construction — harmless
+    # here because `counts` is domain-cardinality-sized, never corpus-sized
+    tot = F.sum("__n").over(Window.partitionBy())
+    totp = F.sum(F.pow(F.col("__n").cast("double"), F.lit(temperature))).over(
+        Window.partitionBy()
+    )
+    rates = counts.select(
+        domain_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * tot.cast("double")
+                * F.pow(F.col("__n").cast("double"), F.lit(temperature))
+                / (totp * F.col("__n").cast("double")),
+            ),
+            6,
+        ).alias("__rate"),
+    )
+    u = hash_unit_int(F.col(key_col), seed)
+    thr = F.floor(F.col("__rate") * F.lit(float(_HEX_SPACE))).cast("bigint")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(u < thr)
+        .drop("__rate")
+    )

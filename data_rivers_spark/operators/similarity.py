@@ -536,3 +536,64 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def assign_kmeans_clusters(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 8,
+    iterations: int = 0,
+) -> DataFrame:
+    """Corpus with a ``cluster_id`` column: nearest centroid by squared L2
+    after ``iterations`` Lloyd rounds of the deterministic mini k-means
+    (train_ivf_centroids). ``iterations=0`` assigns to the raw seed
+    vectors (the n_clusters lowest-id corpus vectors) — a fully
+    deterministic, closed-form blocking that an external system can
+    replicate exactly; more iterations tighten the clusters at the cost of
+    one broadcast-argmin + groupBy pass each.
+
+    Scale: assignment is a per-row expression against the plan-embedded
+    centroid matrix (n_clusters × dim literals) — no shuffle, no UDF."""
+    import numpy as np
+
+    cents = train_ivf_centroids(corpus, vec_col, id_col, n_clusters, iterations)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+    assigned = _assign_to_centroids(
+        corpus.withColumn("__v", _as_double(F.col(vec_col))), "__v", cmat
+    )
+    return assigned.drop("__v").withColumnRenamed("centroid_id", "cluster_id")
+
+
+def kmeans_semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_clusters: int = 8,
+    iterations: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    cosine-≥-threshold pairs WITHIN each cluster, collapse connected
+    near-dup groups to their min-id representative. Returns the surviving
+    rows of ``corpus`` (all columns, plus ``cluster_id``).
+
+    This is the third blocking strategy for embedding dedup alongside
+    caller-supplied blocks (embedding_near_dup_pairs + block_col) and
+    sign-LSH buckets (embedding_near_dup_pairs_lsh): k-means blocks adapt
+    to the data's density rather than to random hyperplanes, which is what
+    lets SemDeDup prune 100 TB-scale image/text corpora with tiny
+    within-cluster candidate sets. Like SemDeDup itself, pairs that
+    straddle a cluster boundary are deliberately missed — that is the
+    approximation being bought; raise n_clusters with corpus size
+    (~sqrt(n)) to keep blocks bounded, not to improve recall.
+
+    Scale: cluster assignment is per-row expression work (no shuffle); the
+    pair join shuffles once on the 4-byte cluster id; component collapse is
+    pointer-doubling on the pair set only."""
+    from .dedup import dedup_by_components
+
+    assigned = assign_kmeans_clusters(corpus, vec_col, id_col, n_clusters, iterations)
+    pairs = embedding_near_dup_pairs(assigned, vec_col, id_col, threshold, "cluster_id")
+    return dedup_by_components(assigned, pairs.select("id_a", "id_b"), id_col)

@@ -2258,3 +2258,161 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], "text", "doc_id", wts, num_buckets=1024, seed="w"
     )
     return out.select("doc_id", F.round("clf_score", 4).alias("clf_score"))
+
+
+@query(
+    "q_semantic_dedup_kmeans",
+    oracle="""
+    WITH RECURSIVE seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), dist AS (
+      SELECT e.vec_id, s.cid,
+             LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                i -> (e.embedding[i]::DOUBLE - s.cv[i])
+                   * (e.embedding[i]::DOUBLE - s.cv[i]))) AS d
+      FROM embeddings e CROSS JOIN seeds s
+    ), asg AS (
+      SELECT vec_id, cid AS cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+      FROM dist
+    ), clustered AS (
+      SELECT a.vec_id, a.cluster_id, e.embedding::DOUBLE[] AS v
+      FROM asg a JOIN embeddings e USING (vec_id) WHERE a.rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM clustered a JOIN clustered b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) >= 0.3
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src
+    ), comp AS (
+      SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id
+    )
+    SELECT vec_id, cluster_id FROM clustered
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
+    """,
+)
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-blocked semantic dedup — the
+    density-adaptive third blocking strategy next to caller-blocks
+    (q_embedding_neardup) and sign-LSH buckets (q_embedding_lsh_cc_dedup).
+    Registered with iterations=0 (assignment to the 8 lowest-id seed
+    vectors) so the oracle replays the exact argmin in closed form —
+    verified bit-exact against DuckDB's identical-order fold (the
+    LIST_TRANSFORM/GENERATE_SERIES sum matches Spark's zip_with/aggregate
+    left fold); Lloyd-refined clustering (iterations>0) is pinned by
+    tests/test_dataops.py instead, since replaying float mean updates
+    across engines has no exactness story. Within-cluster pairs at cosine
+    >= 0.3 collapse by connected components to the min-id survivor."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    out = S.kmeans_semantic_dedup(
+        t["embeddings"], "embedding", "vec_id", 0.3, n_clusters=8, iterations=0
+    )
+    return out.select("vec_id", "cluster_id")
+
+
+@query(
+    "q_domain_mixture_sample",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS nn, SUM(POWER(n, 0.5)) AS s FROM c
+    ), r AS (
+      SELECT source,
+             ROUND(LEAST(1.0, 0.5 * nn * POWER(n, 0.5) / (s * n)), 6) AS rate
+      FROM c, tot
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5('13:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+        < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain remixing (Conneau & Lample 2019 §3.1 /
+    mT5): per-source keep rates DERIVED from the corpus's own counts —
+    p_d ∝ n_d^0.5 scaled to a 50% total budget — then the standard
+    content-hash filter. Unlike q_stratified_sample the rates are data-
+    dependent, so the oracle recomputes the same count → power → round(6)
+    → floor-to-integer-threshold ladder; rounding the rate before the
+    floor is what makes pow()/sum-order ulp noise unobservable."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SA.domain_mixture_sample(
+        t["documents"], "doc_id", "source", temperature=0.5, budget_frac=0.5, seed=13
+    ).select("doc_id", "source")
+
+
+@query(
+    "q_duplicate_spans",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, SUBSTRING(text, 1, 120)
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS w
+      FROM aug
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos, LEN(w) AS n_tok,
+             ARRAY_TO_STRING(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 0))) AS t(i)
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dpos AS (
+      SELECT doc_id, pos, n_tok,
+             MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos, n_tok,
+             SUM(CASE WHEN pos >= COALESCE(prev_end, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM dpos
+    ), per_island AS (
+      SELECT doc_id, island, COUNT(*) AS grams,
+             MAX(pos + 5) - MIN(pos) AS covered
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, SUM(grams) AS dup_gram_count,
+             COUNT(*) AS dup_span_count, SUM(covered) AS dup_token_count
+      FROM per_island GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CASE WHEN TRIM(a.text) = '' THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(a.text)), '\\s+')) END AS n_tokens,
+           COALESCE(dup_gram_count, 0) AS dup_gram_count,
+           COALESCE(dup_span_count, 0) AS dup_span_count,
+           COALESCE(dup_token_count, 0) AS dup_token_count
+    FROM aug a LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup stats (Lee et al. 2022
+    ExactSubstr, as 5-token grams): planted prefix copies (doc_id+100000,
+    first 120 chars) share long verbatim spans with their originals;
+    overlapping duplicated gram intervals merge into maximal spans. All
+    outputs are integers, so the oracle replay is hash-exact; the oracle
+    mirrors the gram/window/island pipeline in SQL."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.substring("text", 1, 120).alias("text"),
+        )
+    )
+    return D.duplicate_span_stats(aug, "text", "doc_id", k=5)

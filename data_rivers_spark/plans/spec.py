@@ -121,6 +121,9 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "weighted_sample": _simple(SA.weighted_sample),
     "weighted_topk_sample": _simple(SA.weighted_topk_sample),
     "token_budget_trim": _simple(SA.token_budget_trim),
+    "domain_mixture_sample": _simple(SA.domain_mixture_sample),
+    "duplicate_span_stats": _simple(D.duplicate_span_stats),
+    "kmeans_semantic_dedup": _simple(SIM.kmeans_semantic_dedup),
     # geo verbs (single-frame; the two-frame revgeo join is a CTX op below)
     "city_limits_classify": _simple(G.city_limits_classify),
     # embedding verbs (bucket-first near-dup dispatch, see similarity.py)

@@ -888,3 +888,67 @@ def test_embedding_lsh_vectorized_matches_expression(spark, sf_dir):
     expr = {(r.id_a, r.id_b, r.sim) for r in S.embedding_near_dup_pairs_lsh(
         corpus, "embedding", "vec_id", vectorized=False, **kw).collect()}
     assert vec == expr and len(vec) == 80
+
+
+def test_kmeans_semantic_dedup_lloyd_iterations(spark, sf_dir):
+    from data_rivers_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # iterations tighten clusters but the operator contract holds at any
+    # iteration count: survivors form a subset containing one min-id rep
+    # per near-dup group, and every input row appears at most once
+    for iters in (0, 2):
+        out = S.kmeans_semantic_dedup(
+            emb, "embedding", "vec_id", 0.3, n_clusters=4, iterations=iters
+        )
+        rows = out.select("vec_id", "cluster_id").collect()
+        ids = [r.vec_id for r in rows]
+        assert len(ids) == len(set(ids))
+        assert 0 < len(ids) <= emb.count()
+        assert set(r.cluster_id for r in rows) <= set(range(4))
+    # determinism: same inputs, same survivors (no RNG anywhere)
+    a = sorted(r.vec_id for r in S.kmeans_semantic_dedup(
+        emb, "embedding", "vec_id", 0.3, 4, 2).select("vec_id").collect())
+    b = sorted(r.vec_id for r in S.kmeans_semantic_dedup(
+        emb.repartition(5), "embedding", "vec_id", 0.3, 4, 2
+    ).select("vec_id").collect())
+    assert a == b
+
+
+def test_duplicate_span_stats_merges_overlaps(spark):
+    # doc 1 and 2 share a verbatim 8-token run -> ONE merged span of 8
+    # tokens (4 overlapping 5-grams), docs 3/4 are clean
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"intro words here {shared} trailing one"),
+        (2, f"{shared} completely different ending text now"),
+        (3, "no duplication in this document at all kept"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.duplicate_span_stats(df, "text", "doc_id", k=5).collect()}
+    assert len(out) == 4
+    # doc 1: shared run occupies positions 3..10 -> grams at 3,4,5,6
+    assert out[1].dup_span_count == 1
+    assert out[1].dup_gram_count == 4
+    assert out[1].dup_token_count == 8
+    assert out[2].dup_span_count == 1
+    assert out[2].dup_token_count == 8
+    assert out[3].dup_span_count == 0 and out[3].dup_token_count == 0
+    assert out[4].n_tokens == 0 and out[4].dup_span_count == 0
+
+
+def test_duplicate_span_stats_distinct_spans_not_merged(spark):
+    # two separate shared runs inside one doc, separated by unique filler
+    # wide enough that no bridging 5-gram is duplicated -> two islands
+    run1 = "one two three four five"
+    run2 = "six seven eight nine ten"
+    rows = [
+        (1, f"{run1} u1 u2 u3 u4 u5 u6 {run2}"),
+        (2, f"{run1} completely other middle words {run2}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in D.duplicate_span_stats(df, "text", "doc_id", k=5).collect()}
+    assert out[1].dup_span_count == 2
+    assert out[1].dup_token_count == 10
+    assert out[2].dup_span_count == 2

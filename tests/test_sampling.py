@@ -226,3 +226,48 @@ def test_hashed_linear_score_properties(spark):
           TX.hashed_linear_score(df, "text", "doc_id", wts, num_buckets=64,
                                  seed=3, bias=2.0).collect()}
     assert all(up[k] > out[k] for k in out)
+
+
+def test_domain_mixture_sample_rates_and_reproducibility(spark):
+    # 400 'web' rows, 80 'books', 20 'wiki' — temperature 0.5 upweights the
+    # scarce domains relative to their natural share
+    rows = (
+        [(i, "web") for i in range(400)]
+        + [(1000 + i, "books") for i in range(80)]
+        + [(2000 + i, "wiki") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = SA.domain_mixture_sample(df, "doc_id", "source",
+                                   temperature=0.5, budget_frac=0.5, seed=5)
+    got = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    import math
+    n = {"web": 400, "books": 80, "wiki": 20}
+    s = sum(math.sqrt(v) for v in n.values())
+    rates = {d: min(1.0, 0.5 * 500 * math.sqrt(v) / (s * v)) for d, v in n.items()}
+    # every kept count is within binomial noise of rate_d * n_d
+    for d in n:
+        exp = rates[d] * n[d]
+        assert abs(by.get(d, 0) - exp) < 4 * (exp ** 0.5) + 3, (d, by.get(d), exp)
+    # scarce domains keep a larger FRACTION than dominant ones
+    assert by["wiki"] / 20 > by["web"] / 400
+    # decision is layout-independent
+    again = sorted(r.doc_id for r in
+                   SA.domain_mixture_sample(df.repartition(7), "doc_id", "source",
+                                            temperature=0.5, budget_frac=0.5,
+                                            seed=5).collect())
+    assert sorted(r.doc_id for r in out.collect()) == again
+
+
+def test_domain_mixture_temperature_extremes(spark):
+    rows = [(i, "big") for i in range(300)] + [(1000 + i, "small") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # temperature 1 preserves the natural mixture: every domain keeps ~budget_frac
+    t1 = SA.domain_mixture_sample(df, "doc_id", "source", 1.0, 0.5, seed=1)
+    by1 = {r.source: r["count"] for r in t1.groupBy("source").count().collect()}
+    assert abs(by1["big"] / 300 - 0.5) < 0.15
+    assert abs(by1.get("small", 0) / 30 - 0.5) < 0.3
+    # temperature 0 equalizes: target share 50/50 -> small saturates at rate 1
+    t0 = SA.domain_mixture_sample(df, "doc_id", "source", 0.0, 0.5, seed=1)
+    by0 = {r.source: r["count"] for r in t0.groupBy("source").count().collect()}
+    assert by0["small"] == 30  # rate 1: every scarce row kept
