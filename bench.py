@@ -113,6 +113,24 @@ def run_child(sf_dir: str, gen_plans_after: bool) -> None:
     ).save()
     keep = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
 
+    # host-speed calibration: a fixed, data-free, whole-stage-codegen
+    # CPU-bound job (xxhash64 over a 1B range, ~1s). Its wall time measures
+    # the host's Spark compute throughput AT MEASUREMENT TIME, so
+    # cross-round query deltas can be attributed: if calib moved by the
+    # same factor as the queries, the host changed, not the plans (the
+    # r3->r4 +31%-on-everything episode was unfalsifiable precisely for
+    # lack of this number). Median of 3.
+    from pyspark.sql import functions as _F
+
+    calib_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr(
+            "bit_xor(xxhash64(id)) AS x"
+        ).collect()
+        calib_samples.append(round(time.time() - t0, 3))
+    calib = sorted(calib_samples)[1]
+
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -136,7 +154,7 @@ def run_child(sf_dir: str, gen_plans_after: bool) -> None:
         gen_plans.generate(spark, sf_dir, HEADLINE)
         print("PLANS.md regenerated", file=sys.stderr)
 
-    print(json.dumps({"queries": times, "iters": raw}))
+    print(json.dumps({"queries": times, "iters": raw, "calib_sec": calib}))
 
 
 def main() -> None:
@@ -147,6 +165,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_run: list[dict[str, float]] = []
+    calibs: list[float] = []
     all_iters: dict[str, list[float]] = {q: [] for q in HEADLINE}
     for i in range(runs):
         argv = [sys.executable, os.path.abspath(__file__), "--child"]
@@ -158,6 +177,7 @@ def main() -> None:
             raise SystemExit(f"bench child run {i} failed rc={proc.returncode}")
         child = json.loads(proc.stdout.strip().splitlines()[-1])
         per_run.append(child["queries"])
+        calibs.append(child.get("calib_sec"))
         for q, samples in child["iters"].items():
             all_iters[q].extend(samples)
         sys.stderr.write(
@@ -178,6 +198,9 @@ def main() -> None:
                 "iters": all_iters,
                 "min": {q: min(all_iters[q]) for q in HEADLINE},
                 "bench_runs": runs,
+                # min over runs of the in-child median — compare across
+                # rounds to separate host-speed shifts from plan changes
+                "calib_sec": min([c for c in calibs if c is not None], default=None),
                 "sf": _sf_of(sf_dir),
             }
         )

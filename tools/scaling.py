@@ -50,6 +50,10 @@ MAX_K: dict[str, int] = {
     "curation_pipeline": 64,
     "media_dedup": 64,
     "incremental_lsh_dedup": 64,
+    # round-5 ops measured 1x-64x: four octaves read the exponent
+    "duplicate_spans": 64,
+    "bpe_round": 64,
+    "kmeans_semantic_dedup": 64,
 }
 
 
@@ -127,8 +131,12 @@ OPS_DOC = (
     "curation_pipeline",
     "media_dedup",
     "incremental_lsh_dedup",
+    # round-5: positioned-gram span dedup, BPE pair-count round (the
+    # temperature remixers are count-agg + broadcast-filter — no cell needed)
+    "duplicate_spans",
+    "bpe_round",
 )
-OPS_EMB = ("signlsh_topk",)
+OPS_EMB = ("signlsh_topk", "kmeans_semantic_dedup")
 
 
 def _prep_lined(frame):
@@ -200,6 +208,17 @@ def _op_fn(name: str):
         "gopher_filter": lambda d: TX.gopher_repetition_filter(d, "text", "doc_id"),
         "unigram_logprob": lambda d: TX.unigram_logprob_score(d, "text", "doc_id"),
         "deterministic_sample": lambda d: SA.deterministic_sample(d, "doc_id", 0.3),
+        "duplicate_spans": lambda d: D.duplicate_span_stats(d, "text", "doc_id", k=5),
+        # one full BPE round: corpus -> word-freq table -> pair stats
+        "bpe_round": lambda d: TX.bpe_pair_counts(
+            TX.word_frequency_table(d, "text"), top_k=30
+        ),
+        # n_clusters grows ~sqrt(n) so within-cluster pair work stays
+        # near-linear (SemDeDup's own scaling rule); one Lloyd pass
+        "kmeans_semantic_dedup": lambda e: S.kmeans_semantic_dedup(
+            e, "embedding", "vec_id", 0.3,
+            n_clusters=max(8, int(e.count() ** 0.5) // 4), iterations=1
+        ),
         "signlsh_topk": lambda e: S.signlsh_topk(
             e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
         ),
