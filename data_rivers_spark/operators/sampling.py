@@ -255,3 +255,60 @@ def domain_mixture_sample(
         .filter(u < thr)
         .drop("__rate")
     )
+
+
+def domain_mixture_upsample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    temperature: float = 0.5,
+    budget_frac: float = 1.0,
+    seed: int | str = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-based domain remixing WITH repeat epochs — the
+    upsampling counterpart of domain_mixture_sample for targets that
+    overshoot a domain's natural size (rate_d > 1): every row is emitted
+    floor(rate_d) times and one extra time with probability frac(rate_d),
+    decided by the same content hash as every sampler here. rate_d < 1
+    degenerates to plain downsampling (0 or 1 copies). Output rows carry
+    ``epoch_col`` (0-based copy index), so downstream shuffles/splits can
+    keep copies distinguishable.
+
+    The expected copy count per domain is exactly rate_d — the scarce-
+    domain oversampling rule multilingual training mixes use (Conneau & Lample
+    2019 §3.1) without an RNG: reruns, repartitions, and engine ports
+    reproduce the identical multiset.
+
+    Scale: identical posture to domain_mixture_sample (domain-sized count
+    agg + broadcast rates), plus a per-row explode of at most
+    ceil(max rate) sequence elements — output-proportional, no shuffle."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = F.sum("__n").over(Window.partitionBy())
+    totp = F.sum(F.pow(F.col("__n").cast("double"), F.lit(temperature))).over(
+        Window.partitionBy()
+    )
+    rates = counts.select(
+        domain_col,
+        F.round(
+            F.lit(budget_frac)
+            * tot.cast("double")
+            * F.pow(F.col("__n").cast("double"), F.lit(temperature))
+            / (totp * F.col("__n").cast("double")),
+            6,
+        ).alias("__rate"),
+    )
+    u = hash_unit_int(F.col(key_col), seed)
+    frac_thr = F.floor(
+        (F.col("__rate") - F.floor(F.col("__rate"))) * F.lit(float(_HEX_SPACE))
+    ).cast("bigint")
+    n_copies = (F.floor(F.col("__rate")).cast("int") + F.when(u < frac_thr, 1).otherwise(0))
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .withColumn("__nc", n_copies)
+        .filter(F.col("__nc") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .drop("__rate", "__nc")
+    )

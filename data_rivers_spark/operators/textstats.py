@@ -1071,3 +1071,108 @@ def hashed_linear_score(
     margin = F.lit(bias) + F.when(F.col("__nw") > 0, F.col("__sw") / F.col("__nw")).otherwise(F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return agg.select(F.col(id_col), score.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training primitives (Sennrich et al. 2016, arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+
+
+def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) — the compressed corpus representation BPE training
+    iterates over: pair statistics are identical whether computed over the
+    raw token stream or over the word table weighted by frequency, and the
+    word table is vocabulary-sized (~10⁶ rows regardless of corpus size),
+    which is what makes distributed BPE rounds cheap after this one
+    corpus-wide aggregation."""
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_pair_counts(
+    word_freq: DataFrame,
+    top_k: int | None = None,
+    symbols_col: str | None = None,
+) -> DataFrame:
+    """Adjacent-symbol-pair frequencies — the argmax of one BPE merge round
+    (Sennrich et al. 2016 §3.2: "count all symbol pairs and replace each
+    occurrence of the most frequent pair").
+
+    Input is the (word, freq) table (or one carrying an explicit
+    ``symbols_col`` array from previous merge rounds); symbols start as the
+    word's characters. Pair occurrences within a word count once per
+    position (so 'aaa' contributes ('a','a') twice), weighted by the word's
+    corpus frequency. Output: (left, right, pair_count) ranked by
+    (pair_count desc, left asc, right asc).
+
+    Scale: the explode runs over the VOCABULARY (not the corpus) and the
+    aggregate is map-side combined on the pair key; the rank window sorts
+    pair-vocab rows only. A full training loop alternates this with
+    bpe_apply_merge, re-using the same word table — the corpus is touched
+    exactly once, by word_frequency_table."""
+    from pyspark.sql import Window
+
+    syms = (
+        F.col(symbols_col)
+        if symbols_col
+        else F.split(F.col("word"), "")
+    )
+    pairs = F.when(
+        F.size(syms) < 2, F.array().cast("array<struct<l:string,r:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.struct(
+                F.element_at(syms, i + 1).alias("l"),
+                F.element_at(syms, i + 2).alias("r"),
+            ),
+        )
+    )
+    counted = (
+        word_freq.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        ),
+    )
+    if top_k is not None:
+        ranked = ranked.filter(F.col("rank") <= top_k)
+    return ranked
+
+
+def bpe_apply_merge(
+    word_freq: DataFrame,
+    left: str,
+    right: str,
+    symbols_col: str = "symbols",
+) -> DataFrame:
+    """Apply one BPE merge (left, right) → left+right to every word's
+    symbol sequence — the other half of a training round. Words carry their
+    symbols in ``symbols_col`` (created from characters on first call).
+    Greedy left-to-right replacement, matching the reference BPE algorithm:
+    'aaa' under merge (a,a) becomes ['aa','a'].
+
+    Implemented as an aggregate fold over the symbol array (per-VOCAB-row
+    HOF — interpreted, but the frame is vocabulary-sized; the corpus-scale
+    cost lives entirely in word_frequency_table's one aggregation)."""
+    has = symbols_col in word_freq.columns
+    syms = F.col(symbols_col) if has else F.split(F.col("word"), "")
+    merged = F.lit(left + right)
+    folded = F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return word_freq.withColumn(symbols_col, folded)

@@ -2416,3 +2416,79 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.duplicate_span_stats(aug, "text", "doc_id", k=5)
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq
+      FROM w, UNNEST(ws) AS t(word) GROUP BY word
+    ), pairs AS (
+      SELECT SUBSTRING(word, i, 1) AS l, SUBSTRING(word, i + 1, 1) AS r, freq
+      FROM wf, UNNEST(GENERATE_SERIES(1, LEN(word) - 1)) AS t(i)
+      WHERE LEN(word) >= 2
+    ), pc AS (
+      SELECT l, r, SUM(freq) AS pair_count FROM pairs GROUP BY l, r
+    )
+    SELECT l AS left, r AS right, pair_count, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, l, r) AS rank
+      FROM pc
+    ) WHERE rank <= 30
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round's pair statistics (Sennrich et al. 2016): the
+    corpus compresses to a (word, freq) table in ONE aggregation, then
+    adjacent character-pair counts weighted by word frequency rank the
+    merge candidates. Top-30 pairs with a total-order tiebreak. The merge
+    APPLICATION half (bpe_apply_merge) is pinned by unit test — its greedy
+    left-to-right fold has no DuckDB twin."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    wf = TX.word_frequency_table(t["documents"], "text")
+    return TX.bpe_pair_counts(wf, top_k=30)
+
+
+@query(
+    "q_domain_mixture_upsample",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS nn, SUM(POWER(n, 0.5)) AS s FROM c
+    ), r AS (
+      SELECT source,
+             ROUND(1.0 * nn * POWER(n, 0.5) / (s * n), 6) AS rate
+      FROM c, tot
+    ), d AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(rate) AS BIGINT)
+             + CASE WHEN CAST(CONCAT('0x',
+                      SUBSTR(MD5('17:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    < CAST(FLOOR((rate - FLOOR(rate)) * 4294967296.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS nc
+      FROM documents JOIN r USING (source)
+    )
+    SELECT doc_id, source, i AS epoch
+    FROM d, UNNEST(GENERATE_SERIES(0, nc - 1)) AS t(i)
+    WHERE nc > 0
+    """,
+)
+def q_domain_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature remixing WITH repeat epochs: at temperature 0.5 and a
+    100% budget, dominant sources downsample below 1 copy/row while scarce
+    sources oversample above it (floor(rate) copies + one more by hash) —
+    expected copies per row is exactly rate_d. Epoch indices keep copies
+    distinguishable downstream. The operator filters zero-copy rows BEFORE
+    the sequence explode (Spark's sequence(0,-1) would descend, not
+    empty)."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SA.domain_mixture_upsample(
+        t["documents"], "doc_id", "source", temperature=0.5, budget_frac=1.0, seed=17
+    ).select("doc_id", "source", "epoch")

@@ -122,6 +122,7 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "weighted_topk_sample": _simple(SA.weighted_topk_sample),
     "token_budget_trim": _simple(SA.token_budget_trim),
     "domain_mixture_sample": _simple(SA.domain_mixture_sample),
+    "domain_mixture_upsample": _simple(SA.domain_mixture_upsample),
     "duplicate_span_stats": _simple(D.duplicate_span_stats),
     "kmeans_semantic_dedup": _simple(SIM.kmeans_semantic_dedup),
     # geo verbs (single-frame; the two-frame revgeo join is a CTX op below)

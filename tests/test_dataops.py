@@ -952,3 +952,75 @@ def test_duplicate_span_stats_distinct_spans_not_merged(spark):
     assert out[1].dup_span_count == 2
     assert out[1].dup_token_count == 10
     assert out[2].dup_span_count == 2
+
+
+def test_bpe_round_pair_counts_and_merge(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low newer")], ["doc_id", "text"]
+    )
+    wf = TX.word_frequency_table(df, "text")
+    freqs = {r.word: r.freq for r in wf.collect()}
+    assert freqs == {"low": 3, "lower": 1, "lowest": 1, "newer": 1}
+    pc = {(r.left, r.right): r.pair_count for r in TX.bpe_pair_counts(wf).collect()}
+    # 'lo' appears once per 'low'(3) + 'lower' + 'lowest' = 5
+    assert pc[("l", "o")] == 5
+    assert pc[("o", "w")] == 5
+    assert pc[("e", "r")] == 2  # lower, newer
+    # top-1 pair is deterministic under the (count desc, l, r) tiebreak
+    top = TX.bpe_pair_counts(wf, top_k=1).collect()[0]
+    assert top.pair_count == 5 and (top.left, top.right) == ("l", "o")
+    # apply the merge: every 'l','o' adjacency fuses into 'lo'
+    merged = TX.bpe_apply_merge(wf, "l", "o")
+    syms = {r.word: r.symbols for r in merged.collect()}
+    assert syms["low"] == ["lo", "w"]
+    assert syms["lowest"] == ["lo", "w", "e", "s", "t"]
+    # second round consumes the symbols column
+    pc2 = {(r.left, r.right): r.pair_count
+           for r in TX.bpe_pair_counts(merged, symbols_col="symbols").collect()}
+    assert pc2[("lo", "w")] == 5
+    assert ("l", "o") not in pc2
+
+
+def test_bpe_apply_merge_greedy_nonoverlapping(spark):
+    wf = spark.createDataFrame([("aaa", 1), ("aaaa", 2)], ["word", "freq"])
+    syms = {r.word: r.symbols for r in TX.bpe_apply_merge(wf, "a", "a").collect()}
+    assert syms["aaa"] == ["aa", "a"]
+    assert syms["aaaa"] == ["aa", "aa"]
+
+
+def test_domain_mixture_upsample_epochs(spark):
+    from data_rivers_spark.operators import sampling as SA
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(16)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = SA.domain_mixture_upsample(df, "doc_id", "source",
+                                     temperature=0.5, budget_frac=1.0, seed=3)
+    rows_out = out.collect()
+    by = {}
+    for r in rows_out:
+        by.setdefault(r.source, []).append(r)
+    import math
+    n = {"big": 400, "small": 16}
+    s = sum(math.sqrt(v) for v in n.values())
+    rate = {d: 416 * math.sqrt(v) / (s * v) for d, v in n.items()}
+    assert rate["small"] > 1 > rate["big"]
+    # scarce domain: every row appears floor(rate) or floor(rate)+1 times
+    from collections import Counter
+    copies = Counter(r.doc_id for r in by["small"])
+    assert set(copies.keys()) == {1000 + i for i in range(16)}
+    lo, hi = int(rate["small"]), int(rate["small"]) + 1
+    assert all(c in (lo, hi) for c in copies.values())
+    # expected total ~ rate * n
+    assert abs(len(by["small"]) - rate["small"] * 16) <= 16
+    # epochs are 0..copies-1 per doc
+    eps = sorted(r.epoch for r in by["small"] if r.doc_id == 1000)
+    assert eps == list(range(len(eps)))
+    # dominant domain downsampled: no duplicates, subset of input
+    big_ids = [r.doc_id for r in by["big"]]
+    assert len(big_ids) == len(set(big_ids))
+    assert all(r.epoch == 0 for r in by["big"])
+    # reproducible under repartitioning
+    again = sorted((r.doc_id, r.epoch) for r in
+                   SA.domain_mixture_upsample(df.repartition(9), "doc_id", "source",
+                                              0.5, 1.0, seed=3).collect())
+    assert sorted((r.doc_id, r.epoch) for r in rows_out) == again
