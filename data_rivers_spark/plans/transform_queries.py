@@ -394,3 +394,220 @@ def q_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select": ["o_custkey", "o_orderkey", "total", "order_day"],
     }
     return run_spec(spark, spec, sf_dir)
+
+
+@query(
+    "q_string_shaping",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN LEN(CAST(c_custkey % 100000 AS VARCHAR)) < 4
+                THEN LPAD(CAST(c_custkey % 100000 AS VARCHAR), 4, '0')
+                ELSE CAST(c_custkey % 100000 AS VARCHAR) END AS padded,
+           CASE WHEN REGEXP_MATCHES(
+                  CASE WHEN c_custkey % 4 = 0 THEN 'abc12'
+                       ELSE CAST(c_custkey % 1000 AS VARCHAR) END,
+                  '^[0-9]+$')
+                THEN LPAD(CASE WHEN c_custkey % 4 = 0 THEN 'abc12'
+                               ELSE CAST(c_custkey % 1000 AS VARCHAR) END, 8, '0')
+                END AS zfilled,
+           TRIM('  ' || c_mktsegment || ' ') AS trimmed,
+           CASE WHEN LEN(STRING_SPLIT(c_name, '#')) > 1
+                THEN STRING_SPLIT(c_name, '#')[2] END AS after_hash,
+           CASE WHEN LEN(STRING_SPLIT(c_mktsegment, '#')) > 1
+                THEN STRING_SPLIT(c_mktsegment, '#')[2] END AS miss_split,
+           REGEXP_REPLACE(c_name, 'Customer', 'Cust', 'g') AS replaced,
+           CASE WHEN c_acctbal BETWEEN 0 AND 5000 THEN c_acctbal END AS bal_guard
+    FROM customer
+    """,
+)
+def q_string_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-shaping DoFn family under the hash gate in one pass:
+    PrependCharacters (numeric-guarded left-pad, dataflow_utils.py:525-545),
+    fill_leading_zeroes (null-on-non-numeric, pandas_utils.py:109-112),
+    StripStrings (:688-701), StripBeforeDelim incl. the missing-delimiter →
+    NULL branch (:663-685), ReplaceChar global substitution
+    (intime_assignments_dataflow.py:23-40), and FilterOutliers'
+    out-of-range → NULL (:364-381)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    df = t["customer"].select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal",
+        (F.col("c_custkey") % 100000).cast("string").alias("padded"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("abc12"))
+        .otherwise((F.col("c_custkey") % 1000).cast("string"))
+        .alias("zfilled"),
+        F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" ")).alias("trimmed"),
+        F.col("c_name").alias("after_hash"),
+        F.col("c_mktsegment").alias("miss_split"),
+        F.col("c_name").alias("replaced"),
+        F.col("c_acctbal").alias("bal_guard"),
+    )
+    df = X.prepend_characters(df, "padded", 4, "0", check_numeric=True)
+    df = X.fill_leading_zeroes(df, "zfilled", 8)
+    df = X.strip_strings(df, ["trimmed"])
+    df = X.strip_before_delim(df, ["after_hash", "miss_split"], ["#", "#"], [1, 1])
+    df = X.replace_chars(df, [("replaced", "Customer", "Cust")])
+    df = X.filter_outliers(df, [("bal_guard", 0.0, 5000.0)])
+    return df.select(
+        "c_custkey", "padded", "zfilled", "trimmed",
+        "after_hash", "miss_split", "replaced", "bal_guard",
+    )
+
+
+@query(
+    "q_name_shaping",
+    oracle="""
+    SELECT c_custkey AS cust_key,
+           c_mktsegment AS mkt_segment,
+           c_nationkey AS nation_key,
+           CAST(NULL AS VARCHAR) AS ghost_col,
+           NULLIF(REGEXP_EXTRACT(
+             'Doe, ' || c_mktsegment ||
+             CASE c_custkey % 3 WHEN 0 THEN ' A' WHEN 1 THEN ' B.' ELSE '' END,
+             ',\\s*\\S+\\s+([A-Za-z])\\.?\\s*$', 1), '') AS middle_initial,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 'y' ELSE 'n' END AS flag
+    FROM customer
+    """,
+)
+def q_name_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name/rename DoFn family: extract_middle_initial's 'Last, First M'
+    parse incl. no-middle → NULL (ceridian_new_hires_etl.py:29-47),
+    set_col_b_based_on_col_a_val (pandas_utils.py:183-190), SwapFieldNames'
+    missing-source → NULL column (dataflow_utils.py:704-722), and
+    ColumnsCamelToSnakeCase over camelCase projections
+    (dataflow_utils.py:208-217)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    df = t["customer"].select(
+        F.col("c_custkey").alias("custKey"),
+        F.col("c_mktsegment").alias("mktSegment"),
+        F.concat(
+            F.lit("Doe, "),
+            F.col("c_mktsegment"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit(" A"))
+            .when(F.col("c_custkey") % 3 == 1, F.lit(" B."))
+            .otherwise(F.lit("")),
+        ).alias("fullName"),
+        F.col("c_nationkey").alias("nationKey"),
+        F.lit("n").alias("flag"),
+    )
+    df = X.extract_middle_initial(df, "fullName", "middleInitial")
+    df = X.set_col_b_based_on_col_a_val(df, "mktSegment", "flag", "BUILDING", "y")
+    df = X.swap_field_names(df, [("nationKey", "nation_key"), ("ghost", "ghost_col")])
+    df = X.columns_camel_to_snake_case(df)
+    return df.select(
+        "cust_key", "mkt_segment", "nation_key", "ghost_col",
+        "middle_initial", "flag",
+    )
+
+
+@query(
+    "q_ticket_lifecycle",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS status_name,
+             CAST(o_orderkey * 1000 + 5 AS BIGINT) AS last_action_unix,
+             'est_' || CAST(o_orderkey AS VARCHAR) AS last_action_est,
+             'utc_' || CAST(o_orderkey AS VARCHAR) AS last_action_utc,
+             CAST(o_orderkey % 7 AS VARCHAR) AS parent_ticket_id,
+             CASE o_orderkey % 3 WHEN 0 THEN 'Asian (not Hispanic)'
+                                 WHEN 1 THEN 'White ' END AS ethnicity,
+             CASE o_orderkey % 4 WHEN 0 THEN '512' WHEN 1 THEN '514'
+                                 WHEN 2 THEN '99' ELSE '262656' END AS uac
+      FROM orders
+    )
+    SELECT o_orderkey, status_name,
+           CASE WHEN status_name = 'closed' THEN last_action_est END AS closed_date_est,
+           CASE WHEN status_name = 'closed' THEN last_action_utc END AS closed_date_utc,
+           CASE WHEN status_name = 'closed' THEN last_action_unix END AS closed_date_unix,
+           parent_ticket_id <> '0' AS child_ticket,
+           COALESCE(TRIM(STRING_SPLIT(ethnicity, ' (')[1]), 'Decline to Answer') AS ethnicity,
+           CASE WHEN CAST(uac AS BIGINT) IN (512, 544, 66048, 262656) THEN TRUE
+                WHEN CAST(uac AS BIGINT) IN (514, 546, 66050, 66082, 262658) THEN FALSE
+                END AS enabled
+    FROM base
+    """,
+)
+def q_ticket_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 311-ticket lifecycle DoFn family under the hash gate:
+    GetClosedDate's closed-only triplet copy (qalert_requests_dataflow.py:
+    46-54), DetectChildTicketStatus (:57-63), StandardizeEthnicityNames'
+    suffix-trim + NULL → 'Decline to Answer' (ceridian_employees_dataflow.py:
+    23-29), and AD account-code conversion incl. unknown-code → NULL
+    (active_directory_users_dataflow.py:23-40)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    key = F.col("o_orderkey")
+    df = t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("closed"))
+        .otherwise(F.lit("open"))
+        .alias("status_name"),
+        (key * 1000 + 5).cast("long").alias("last_action_unix"),
+        F.concat(F.lit("est_"), key.cast("string")).alias("last_action_est"),
+        F.concat(F.lit("utc_"), key.cast("string")).alias("last_action_utc"),
+        (key % 7).cast("string").alias("parent_ticket_id"),
+        F.when(key % 3 == 0, F.lit("Asian (not Hispanic)"))
+        .when(key % 3 == 1, F.lit("White "))
+        .alias("ethnicity"),
+        F.when(key % 4 == 0, F.lit("512"))
+        .when(key % 4 == 1, F.lit("514"))
+        .when(key % 4 == 2, F.lit("99"))
+        .otherwise(F.lit("262656"))
+        .alias("uac"),
+    )
+    df = X.get_closed_date(df)
+    df = X.detect_child_ticket(df)
+    df = X.standardize_ethnicity_names(df, "ethnicity")
+    df = X.account_code_conversion(df, "uac")
+    return df.select(
+        "o_orderkey", "status_name", "closed_date_est", "closed_date_utc",
+        "closed_date_unix", "child_ticket", "ethnicity", "enabled",
+    )
+
+
+@query(
+    "q_anonymize_latlong",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 9 THEN '0'
+                  WHEN c_custkey % 10 = 8 THEN NULL
+                  ELSE CAST(40.0 + (c_custkey % 1000) / 1000.0 AS VARCHAR) END AS pii_lat,
+             CASE WHEN c_custkey % 10 = 8 THEN NULL
+                  ELSE CAST(-80.0 - (c_custkey % 1000) / 1000.0 AS VARCHAR) END AS pii_long
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN pii_lat IS NULL OR TRY_CAST(pii_lat AS DOUBLE) = 0.0 OR pii_lat = ''
+                THEN NULL ELSE pii_lat END AS pii_lat,
+           CASE WHEN pii_lat IS NULL OR TRY_CAST(pii_lat AS DOUBLE) = 0.0 OR pii_lat = ''
+                THEN NULL
+                ELSE PRINTF('%.3f', ROUND(TRY_CAST(pii_lat AS DOUBLE), 3)) END AS anon_lat,
+           CASE WHEN pii_long IS NULL OR TRY_CAST(pii_long AS DOUBLE) = 0.0 OR pii_long = ''
+                THEN NULL ELSE pii_long END AS pii_long,
+           CASE WHEN pii_long IS NULL OR TRY_CAST(pii_long AS DOUBLE) = 0.0 OR pii_long = ''
+                THEN NULL
+                ELSE PRINTF('%.3f', ROUND(TRY_CAST(pii_long AS DOUBLE), 3)) END AS anon_long
+    FROM base
+    """,
+)
+def q_anonymize_latlong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnonymizeLatLong under the hash gate (dataflow_utils.py:118-155):
+    block-accuracy rounding (accuracy 100 m → 3 decimals) with the
+    reference's missing-value semantics — NULL, empty, and 0.0 coordinates
+    null BOTH the original and the anon_* column. Fixture coordinates are
+    exact 3-decimal values so HALF_UP-vs-banker's rounding can never
+    diverge between engines; the formatted string is what both emit."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    key = F.col("c_custkey")
+    df = t["customer"].select(
+        "c_custkey",
+        F.when(key % 10 == 9, F.lit("0"))
+        .when(key % 10 == 8, F.lit(None).cast("string"))
+        .otherwise((F.lit(40.0) + (key % 1000) / 1000.0).cast("string"))
+        .alias("pii_lat"),
+        F.when(key % 10 == 8, F.lit(None).cast("string"))
+        .otherwise((F.lit(-80.0) - (key % 1000) / 1000.0).cast("string"))
+        .alias("pii_long"),
+    )
+    df = X.anonymize_lat_long(df, [("pii_lat", "pii_long", 100)])
+    return df.select("c_custkey", "pii_lat", "anon_lat", "pii_long", "anon_long")
