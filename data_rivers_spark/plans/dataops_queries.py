@@ -2492,3 +2492,101 @@ def q_domain_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.domain_mixture_upsample(
         t["documents"], "doc_id", "source", temperature=0.5, budget_frac=1.0, seed=17
     ).select("doc_id", "source", "epoch")
+
+
+@query(
+    "q_curation_mix",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, SUBSTRING(text, 1, 120), source
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS w
+      FROM aug
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos, ARRAY_TO_STRING(w[i:i+4], ' ') AS g
+      FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 4, 0))) AS t(i)
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dpos AS (
+      SELECT doc_id, pos,
+             MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN pos >= COALESCE(prev_end, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM dpos
+    ), per_island AS (
+      SELECT doc_id, island, MAX(pos + 5) - MIN(pos) AS covered
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id, SUM(covered) AS dup_tok FROM per_island GROUP BY doc_id
+    ), survivors AS (
+      SELECT a.doc_id, a.source,
+             CASE WHEN TRIM(a.text) = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(a.text)), '\\s+')) END AS n_tok,
+             COALESCE(p.dup_tok, 0) AS dup_tok
+      FROM aug a LEFT JOIN per_doc p USING (doc_id)
+    ), clean AS (
+      -- keep docs whose duplicated-token share is <= 50%
+      SELECT doc_id, source FROM survivors
+      WHERE n_tok > 0 AND dup_tok * 2 <= n_tok
+    ), c AS (
+      SELECT source, COUNT(*)::DOUBLE AS n FROM clean GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS nn, SUM(POWER(n, 0.5)) AS s FROM c
+    ), r AS (
+      SELECT source,
+             ROUND(LEAST(1.0, 0.6 * nn * POWER(n, 0.5) / (s * n)), 6) AS rate
+      FROM c, tot
+    ), mixed AS (
+      SELECT d.doc_id, d.source FROM clean d JOIN r USING (source)
+      WHERE CAST(CONCAT('0x', SUBSTR(MD5('23:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT)
+          < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)
+    )
+    SELECT doc_id, source,
+           CASE WHEN SUBSTR(MD5('29:' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                THEN 'test' ELSE 'train' END AS split
+    FROM mixed
+    """,
+)
+def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composed curation path: cross-doc exact-substring span stats
+    gate out heavily-duplicated docs (planted prefix copies push their
+    originals over the 50% duplicated-token share), the SURVIVORS' domain
+    counts drive temperature-0.5 mixture rates (downstream of dedup, as a
+    real mix is computed), and the kept set gets a leakage-safe hash
+    split. Every stage reuses an independently-oracled operator; the
+    composed oracle chains their CTEs so stage-boundary drift (e.g. the
+    mixture seeing pre-dedup counts) is caught, not assumed away."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text", "source")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.substring("text", 1, 120).alias("text"),
+            F.col("source"),
+        )
+    )
+    stats = D.duplicate_span_stats(aug, "text", "doc_id", k=5)
+    clean = (
+        aug.join(stats, "doc_id")
+        .filter((F.col("n_tokens") > 0) & (F.col("dup_token_count") * 2 <= F.col("n_tokens")))
+        .select("doc_id", "source")
+    )
+    mixed = SA.domain_mixture_sample(
+        clean, "doc_id", "source", temperature=0.5, budget_frac=0.6, seed=23
+    )
+    return SA.train_test_split(mixed, "doc_id", 0.1, seed=29).select(
+        "doc_id", "source", "split"
+    )
