@@ -439,6 +439,11 @@ def train_ivf_centroids(
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
     cents = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    if iterations == 0:
+        # seed-only mode (SemDeDup oracle path): no Lloyd passes means the
+        # corpus is never re-read here — materializing it would be a full
+        # corpus-sized cache bought for nothing at 100 TB
+        return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v")).localCheckpoint()
     for _ in range(iterations):
         assigned = _assign_to_centroids(vecs, "__v", cents).localCheckpoint()
