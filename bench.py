@@ -72,6 +72,12 @@ HEADLINE = [
     "q_media_phash_dedup",
     # the widest fact-side join: lineitem x derived-partsupp on a 2-col key
     "q09_product_profit",
+    # round 5: positioned-gram span dedup, k-means semantic dedup, one BPE
+    # round, and the composed span-gate -> mixture -> split pipeline
+    "q_duplicate_spans",
+    "q_semantic_dedup_kmeans",
+    "q_bpe_pair_counts",
+    "q_curation_mix",
 ]
 
 

@@ -446,7 +446,10 @@ def train_ivf_centroids(
         return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v")).localCheckpoint()
     for _ in range(iterations):
-        assigned = _assign_to_centroids(vecs, "__v", cents).localCheckpoint()
+        assign = (
+            _assign_to_centroids_vectorized if n_centroids > 64 else _assign_to_centroids
+        )
+        assigned = assign(vecs, "__v", cents).localCheckpoint()
         means = (
             assigned.groupBy("centroid_id")
             .agg(
@@ -559,14 +562,22 @@ def assign_kmeans_clusters(
     one broadcast-argmin + groupBy pass each.
 
     Scale: assignment is a per-row expression against the plan-embedded
-    centroid matrix (n_clusters × dim literals) — no shuffle, no UDF."""
+    centroid matrix (n_clusters × dim literals) — no shuffle, no UDF — up
+    to 64 centroids; past that the expression tree stops being a plan and
+    starts being a liability (64 structs × dim literals each), so the
+    dispatch flips to the Arrow-vectorized BLAS argmin
+    (_assign_to_centroids_vectorized), whose centroid matrix ships once
+    per task. Production SemDeDup wants n_clusters ∝ corpus size (bounded
+    cluster SIZE, see kmeans_semantic_dedup) — i.e. the vectorized branch."""
     import numpy as np
 
     cents = train_ivf_centroids(corpus, vec_col, id_col, n_clusters, iterations)
     cmat = np.array([c for _, c in cents], dtype=np.float64)
-    assigned = _assign_to_centroids(
-        corpus.withColumn("__v", _as_double(F.col(vec_col))), "__v", cmat
-    )
+    prepped = corpus.withColumn("__v", _as_double(F.col(vec_col)))
+    if n_clusters > 64:
+        assigned = _assign_to_centroids_vectorized(prepped, "__v", cmat)
+    else:
+        assigned = _assign_to_centroids(prepped, "__v", cmat)
     return assigned.drop("__v").withColumnRenamed("centroid_id", "cluster_id")
 
 
@@ -591,14 +602,118 @@ def kmeans_semantic_dedup(
     lets SemDeDup prune 100 TB-scale image/text corpora with tiny
     within-cluster candidate sets. Like SemDeDup itself, pairs that
     straddle a cluster boundary are deliberately missed — that is the
-    approximation being bought; raise n_clusters with corpus size
-    (~sqrt(n)) to keep blocks bounded, not to improve recall.
+    approximation being bought.
 
-    Scale: cluster assignment is per-row expression work (no shuffle); the
-    pair join shuffles once on the 4-byte cluster id; component collapse is
-    pointer-doubling on the pair set only."""
+    Scale: n_clusters must grow ∝ corpus size (target a FIXED cluster size
+    s ≈ n/k): pair work is Σ s²/2 per cluster = n·s/2 — linear in n only
+    while s is bounded. The first harness run used k ~ sqrt(n) and paid
+    n^1.5 pair growth (measured 6.3× time at 4× data); k = n/300 restored
+    the linear profile. Past 64 clusters both the assignment and the pair
+    stage auto-switch to Arrow-vectorized BLAS kernels
+    (_assign_to_centroids_vectorized /
+    embedding_near_dup_pairs_blocked_vectorized — one gram matrix per
+    cluster instead of s²/2 interpreted HOF cosines); below that the
+    expression forms keep the whole plan JVM-side and oracle-replayable.
+    Component collapse is pointer-doubling on the pair set only."""
     from .dedup import dedup_by_components
 
     assigned = assign_kmeans_clusters(corpus, vec_col, id_col, n_clusters, iterations)
-    pairs = embedding_near_dup_pairs(assigned, vec_col, id_col, threshold, "cluster_id")
+    if n_clusters > 64:
+        pairs = embedding_near_dup_pairs_blocked_vectorized(
+            assigned, vec_col, id_col, threshold, "cluster_id"
+        )
+    else:
+        pairs = embedding_near_dup_pairs(
+            assigned, vec_col, id_col, threshold, "cluster_id"
+        )
     return dedup_by_components(assigned, pairs.select("id_a", "id_b"), id_col)
+
+
+def _assign_to_centroids_vectorized(df: DataFrame, vec_col: str, cents) -> DataFrame:
+    """Vectorized twin of _assign_to_centroids for large centroid counts:
+    the expression form embeds n_centroids × dim literals in ONE projection,
+    which is the right plan below ~64 centroids (no Python in the path,
+    oracle-replayable) but explodes the expression tree past it. Here the
+    centroid matrix ships once per task and each Arrow batch is a single
+    BLAS distance computation (||v||² − 2v·C + ||C||², argmin by row, ties
+    broken toward the lower centroid id via argmin's first-hit).
+
+    FP caveat mirrors cosine_topk_vectorized: BLAS accumulation order
+    differs from the expression left-fold in the last ulp, so assignment of
+    a point EXACTLY equidistant to two centroids could differ — measure
+    zero; use the expression form when hash-exact oracle replay matters."""
+    import numpy as np
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    c_sq = (cmat * cmat).sum(axis=1)
+    in_cols = df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # argmin_j ||v-c_j||² = argmin_j (c_j·c_j - 2 v·c_j); ||v||² constant per row
+            d = c_sq[None, :] - 2.0 * (V @ cmat.T)
+            pdf = pdf.copy()
+            pdf["centroid_id"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema).select(*in_cols, "centroid_id")
+
+
+def _pairwise_block_pairs_vectorized(threshold: float):
+    """applyInPandas kernel: all cosine-≥-threshold pairs WITHIN one block,
+    one normalized gram matrix per block (s² ·d BLAS flops vs s²/2
+    interpreted HOF cosines — measured ~40× at 300-row blocks). Caller
+    guarantees bounded block sizes; memory is O(s²) doubles per block."""
+    import numpy as np
+
+    def fn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ids = pdf["__pid"].to_numpy(dtype=np.int64)
+        V = np.array(list(pdf["__pv"]), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        U = V / nrm[:, None]
+        S = np.round(U @ U.T, 4)
+        iu = np.triu_indices(n, k=1)
+        m = S[iu] >= threshold
+        a, b = ids[iu[0][m]], ids[iu[1][m]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": S[iu][m]})
+
+    return fn
+
+
+def embedding_near_dup_pairs_blocked_vectorized(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, block_col: str
+) -> DataFrame:
+    """Block-local near-dup pairs with the pair work done in numpy: shuffle
+    once on the block key, then one BLAS gram matrix per block. Same output
+    contract as embedding_near_dup_pairs(block_col=...) (sim rounded to 4),
+    same FP caveat as every vectorized twin here. The scale path when
+    blocks are bounded but numerous — interpreted per-pair HOF cosines are
+    the bottleneck long before the shuffle is."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    prep = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).cast("long").alias("__pid"),
+        _as_double(F.col(vec_col)).alias("__pv"),
+    )
+    return prep.groupBy("__blk").applyInPandas(
+        _pairwise_block_pairs_vectorized(threshold), out_schema
+    )

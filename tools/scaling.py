@@ -213,11 +213,14 @@ def _op_fn(name: str):
         "bpe_round": lambda d: TX.bpe_pair_counts(
             TX.word_frequency_table(d, "text"), top_k=30
         ),
-        # n_clusters grows ~sqrt(n) so within-cluster pair work stays
-        # near-linear (SemDeDup's own scaling rule); one Lloyd pass
+        # n_clusters ∝ n (target ~300-row clusters) keeps total pair work
+        # LINEAR in corpus size; the earlier sqrt(n) rule made it n^1.5
+        # (measured 6.3x time at 4x data) — see kmeans_semantic_dedup's
+        # docstring. Past 64 clusters the operator auto-switches to the
+        # vectorized BLAS kernels.
         "kmeans_semantic_dedup": lambda e: S.kmeans_semantic_dedup(
             e, "embedding", "vec_id", 0.3,
-            n_clusters=max(8, int(e.count() ** 0.5) // 4), iterations=1
+            n_clusters=max(8, e.count() // 300), iterations=1
         ),
         "signlsh_topk": lambda e: S.signlsh_topk(
             e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
