@@ -588,6 +588,7 @@ def kmeans_semantic_dedup(
     threshold: float,
     n_clusters: int = 8,
     iterations: int = 0,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -614,19 +615,52 @@ def kmeans_semantic_dedup(
     embedding_near_dup_pairs_blocked_vectorized — one gram matrix per
     cluster instead of s²/2 interpreted HOF cosines); below that the
     expression forms keep the whole plan JVM-side and oracle-replayable.
-    Component collapse is pointer-doubling on the pair set only."""
+    Component collapse is pointer-doubling on the pair set only.
+
+    ``max_cluster_size`` is the skew guard: k-means gives no size bound
+    (MEASURED: on a 128k fixture with low-id seeds + 1 Lloyd pass, skewed
+    clusters produced 108M within-cluster pairs — quadratic pockets exact
+    where the blocking was supposed to prevent them). Oversized clusters
+    are salted into ceil(size/max) deterministic sub-blocks before the
+    pair stage, hard-bounding pair work at n·max/2; pairs straddling a
+    sub-block are missed — the same approximation class as cluster-
+    boundary misses, bought deliberately. Separately: a LOW threshold
+    inside dense clusters makes the true pair set itself near-quadratic
+    (every pair qualifies) — that is an output-size property no blocking
+    escapes; semantic dedup runs at high thresholds (≥0.8) where pairs are
+    sparse."""
     from .dedup import dedup_by_components
 
     assigned = assign_kmeans_clusters(corpus, vec_col, id_col, n_clusters, iterations)
+    pair_block = "cluster_id"
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__csz"))
+        nsub = F.ceil(F.col("__csz") / F.lit(max_cluster_size)).cast("int")
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "__sub",
+                F.when(
+                    nsub > 1, F.pmod(F.xxhash64(F.col(id_col)), nsub)
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            .withColumn(
+                "__blk_key",
+                F.concat_ws(":", F.col("cluster_id"), F.col("__sub")),
+            )
+            .drop("__csz", "__sub")
+        )
+        pair_block = "__blk_key"
     if n_clusters > 64:
         pairs = embedding_near_dup_pairs_blocked_vectorized(
-            assigned, vec_col, id_col, threshold, "cluster_id"
+            assigned, vec_col, id_col, threshold, pair_block
         )
     else:
         pairs = embedding_near_dup_pairs(
-            assigned, vec_col, id_col, threshold, "cluster_id"
+            assigned, vec_col, id_col, threshold, pair_block
         )
-    return dedup_by_components(assigned, pairs.select("id_a", "id_b"), id_col)
+    out = dedup_by_components(assigned, pairs.select("id_a", "id_b"), id_col)
+    return out.drop("__blk_key") if max_cluster_size is not None else out
 
 
 def _assign_to_centroids_vectorized(df: DataFrame, vec_col: str, cents) -> DataFrame:

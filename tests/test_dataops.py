@@ -1024,3 +1024,60 @@ def test_domain_mixture_upsample_epochs(spark):
                    SA.domain_mixture_upsample(df.repartition(9), "doc_id", "source",
                                               0.5, 1.0, seed=3).collect())
     assert sorted((r.doc_id, r.epoch) for r in rows_out) == again
+
+
+def test_kmeans_vectorized_kernels_match_expression(spark, sf_dir):
+    from data_rivers_spark.session import load_tables
+    import numpy as np
+    from data_rivers_spark.operators.dedup import dedup_by_components
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # assignment: BLAS argmin == plan-embedded expression argmin
+    cents = S.train_ivf_centroids(emb, "embedding", "vec_id", 8, 0)
+    cmat = np.array([c for _, c in cents])
+    prep = emb.withColumn(
+        "__v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    ea = {r.vec_id: r.centroid_id for r in
+          S._assign_to_centroids(prep, "__v", cmat).select("vec_id", "centroid_id").collect()}
+    va = {r.vec_id: r.centroid_id for r in
+          S._assign_to_centroids_vectorized(prep, "__v", cmat)
+          .select("vec_id", "centroid_id").collect()}
+    assert ea == va
+    # within-block pairs: gram-matrix kernel == expression join (sim rounded 4)
+    assigned = S.assign_kmeans_clusters(emb, "embedding", "vec_id", 8, 0)
+    pe = sorted((r.id_a, r.id_b, r.sim) for r in S.embedding_near_dup_pairs(
+        assigned, "embedding", "vec_id", 0.3, "cluster_id").collect())
+    pv = sorted((r.id_a, r.id_b, r.sim) for r in
+                S.embedding_near_dup_pairs_blocked_vectorized(
+                    assigned, "embedding", "vec_id", 0.3, "cluster_id").collect())
+    assert pe == pv
+    # end-to-end: the >64-cluster dispatch (vectorized) keeps the operator
+    # contract — unique survivors, deterministic
+    out = S.kmeans_semantic_dedup(emb, "embedding", "vec_id", 0.3,
+                                  n_clusters=80, iterations=1)
+    ids = [r.vec_id for r in out.select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) and 0 < len(ids) <= 500
+
+
+def test_kmeans_semantic_dedup_cluster_size_guard(spark, sf_dir):
+    from data_rivers_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # one cluster (k=... well, n_clusters=8 but max_cluster_size=50 forces
+    # sub-splits on every cluster of ~60) — survivors stay unique and the
+    # guard only ever MISSES pairs (never invents them), so survivor count
+    # with the guard >= survivor count without it
+    full = S.kmeans_semantic_dedup(emb, "embedding", "vec_id", 0.3, 8, 0)
+    capped = S.kmeans_semantic_dedup(emb, "embedding", "vec_id", 0.3, 8, 0,
+                                     max_cluster_size=50)
+    nf = full.count()
+    ids = [r.vec_id for r in capped.select("vec_id").collect()]
+    assert len(ids) == len(set(ids))
+    assert len(ids) >= nf
+    # with a cap far above every cluster size the result is unchanged
+    loose = S.kmeans_semantic_dedup(emb, "embedding", "vec_id", 0.3, 8, 0,
+                                    max_cluster_size=100000)
+    assert sorted(r.vec_id for r in loose.select("vec_id").collect()) == sorted(
+        r.vec_id for r in full.select("vec_id").collect()
+    )

@@ -218,9 +218,15 @@ def _op_fn(name: str):
         # (measured 6.3x time at 4x data) — see kmeans_semantic_dedup's
         # docstring. Past 64 clusters the operator auto-switches to the
         # vectorized BLAS kernels.
+        # threshold 0.85: semantic dedup's operating regime (sparse true
+        # pairs); 0.3 inside dense k-means clusters makes the OUTPUT
+        # near-quadratic (every within-cluster pair qualifies), which no
+        # blocking can escape. max_cluster_size bounds the skew pockets
+        # k-means itself gives no guarantee against.
         "kmeans_semantic_dedup": lambda e: S.kmeans_semantic_dedup(
-            e, "embedding", "vec_id", 0.3,
-            n_clusters=max(8, e.count() // 300), iterations=1
+            e, "embedding", "vec_id", 0.85,
+            n_clusters=max(8, e.count() // 300), iterations=1,
+            max_cluster_size=600,
         ),
         "signlsh_topk": lambda e: S.signlsh_topk(
             e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
