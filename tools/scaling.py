@@ -78,13 +78,27 @@ def scaled(df, id_col: str, k: int, text_col: str | None = None, vec_col: str | 
                 text_col, F.regexp_replace(F.col(text_col), r"(\S+)", f"$1x{i}")
             )
         if vec_col is not None and i > 0:
-            dim_i = i % 64
-            off = float(0.37 * i)
+            # ROLL each replica's vector by i%64 positions (plus a one-dim
+            # offset to separate same-roll replicas past 64x). The earlier
+            # one-dim-offset-only perturbation left every replica at
+            # ~0.95 cosine to its siblings — 64 near-copies per vector, so
+            # near-dup pair counts grew QUADRATICALLY in k (measured 28M
+            # pairs at 64x, all fixture artifact; the text branch had hit
+            # the same artifact and gained word suffixes for it). Rolling
+            # decorrelates replicas while keeping every within-replica
+            # pairwise cosine bit-identical to replica 0 — constant dup
+            # rate, which is how real corpora scale.
+            roll = i % 64
+            dim_i = (i * 7) % 64
+            off = float(0.37 * (1 + i // 64))
+            v = F.col(vec_col)
             p = p.withColumn(
                 vec_col,
                 F.transform(
-                    F.col(vec_col),
-                    lambda x, j: x
+                    v,
+                    lambda x, j: F.element_at(
+                        v, (j + F.lit(roll)) % F.size(v) + 1
+                    )
                     + F.when(j == F.lit(dim_i), F.lit(off)).otherwise(F.lit(0.0)),
                 ),
             )
