@@ -589,6 +589,7 @@ def kmeans_semantic_dedup(
     n_clusters: int = 8,
     iterations: int = 0,
     max_cluster_size: int | None = None,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -651,7 +652,14 @@ def kmeans_semantic_dedup(
             .drop("__csz", "__sub")
         )
         pair_block = "__blk_key"
-    if n_clusters > 64:
+    # pair-stage dispatch: the BLAS kernel wins whenever pair volume is
+    # non-trivial (measured ~10x at 300-row clusters: 1.2M interpreted HOF
+    # cosines took ~30s that the gram matrices do in ~3); the expression
+    # join exists for oracle-exact replay. Default: vectorized past 64
+    # clusters (where the assignment is vectorized anyway); callers chasing
+    # throughput pass vectorized=True explicitly.
+    use_vec = vectorized if vectorized is not None else n_clusters > 64
+    if use_vec:
         pairs = embedding_near_dup_pairs_blocked_vectorized(
             assigned, vec_col, id_col, threshold, pair_block
         )

@@ -240,7 +240,7 @@ def _op_fn(name: str):
         "kmeans_semantic_dedup": lambda e: S.kmeans_semantic_dedup(
             e, "embedding", "vec_id", 0.85,
             n_clusters=max(8, e.count() // 300), iterations=1,
-            max_cluster_size=600,
+            max_cluster_size=600, vectorized=True,
         ),
         "signlsh_topk": lambda e: S.signlsh_topk(
             e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
