@@ -446,10 +446,7 @@ def train_ivf_centroids(
         return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v")).localCheckpoint()
     for _ in range(iterations):
-        assign = (
-            _assign_to_centroids_vectorized if n_centroids > 64 else _assign_to_centroids
-        )
-        assigned = assign(vecs, "__v", cents).localCheckpoint()
+        assigned = _assign_to_centroids(vecs, "__v", cents).localCheckpoint()
         means = (
             assigned.groupBy("centroid_id")
             .agg(
@@ -471,9 +468,15 @@ def cmat_rows(cmat):
 
 
 def _assign_to_centroids(df: DataFrame, vec_col: str, cents) -> DataFrame:
-    """argmin centroid by squared L2, as array_min over (distance, id)
-    structs — linear expression size (a chained when(closer, …) fold doubles
-    the tree per centroid and OOMs past ~20)."""
+    """argmin centroid by squared L2. Up to 64 centroids: array_min over
+    (distance, id) structs — linear expression size, fully JVM-side,
+    oracle-replayable (a chained when(closer, …) fold doubles the tree per
+    centroid and OOMs past ~20). Past 64 the expression tree itself becomes
+    the bottleneck (n_centroids × dim literals in one projection), so the
+    dispatch flips to the Arrow/BLAS kernel — same argmin, same
+    lowest-id tiebreak, FP caveat in its docstring."""
+    if len(cents) > 64:
+        return _assign_to_centroids_vectorized(df, vec_col, cents)
     entries = []
     for i, c in enumerate(cents):
         plane = F.array(*[F.lit(float(x)) for x in c])
@@ -516,26 +519,67 @@ def ivf_topk(
         "__cv",
         cmat,
     )
-    # per-query top-nprobe centroids as expressions over the embedded
-    # centroid literals: distance structs -> array_sort -> slice -> explode
     qv = _as_double(F.col(vec_col))
-    dist_structs = []
-    for i, c in cmat_rows(cmat):
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(qv, plane, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    if n_centroids > 64:
+        # large-codebook probe ranking: one BLAS distance matrix per Arrow
+        # batch (the expression form below would embed n_centroids × dim
+        # literals into the projection — the same plan-explosion wall the
+        # assignment side hits; see _assign_to_centroids)
+        import numpy as np
+
+        c_sq = (cmat * cmat).sum(axis=1)
+        probe_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+                T.StructField("centroid_id", T.IntegerType()),
+            ]
         )
-        dist_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    top_cids = F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)
-    probes = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            qv.alias("__qv"),
-            F.explode(F.transform(top_cids, lambda s: s["i"])).alias("centroid_id"),
+        q_prep = queries.select(
+            F.col(id_col).cast("long").alias("query_id"), qv.alias("__qv")
         )
-    )
+
+        def probe_run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf["__qv"]), dtype=np.float64)
+                d = c_sq[None, :] - 2.0 * (V @ cmat.T)
+                top = np.argsort(d, axis=1)[:, :nprobe]
+                n_q = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            pdf["query_id"].to_numpy(dtype=np.int64), nprobe
+                        ),
+                        "__qv": [v for v in pdf["__qv"] for _ in range(nprobe)],
+                        "centroid_id": top.ravel().astype("int32"),
+                    }
+                )
+
+        probes = F.broadcast(q_prep.mapInPandas(probe_run, probe_schema))
+    else:
+        # per-query top-nprobe centroids as expressions over the embedded
+        # centroid literals: distance structs -> array_sort -> slice -> explode
+        dist_structs = []
+        for i, c in cmat_rows(cmat):
+            plane = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(qv, plane, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dist_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        top_cids = F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)
+        probes = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                qv.alias("__qv"),
+                F.explode(F.transform(top_cids, lambda s: s["i"])).alias(
+                    "centroid_id"
+                ),
+            )
+        )
     pairs = lists.join(probes, "centroid_id")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -574,10 +618,7 @@ def assign_kmeans_clusters(
     cents = train_ivf_centroids(corpus, vec_col, id_col, n_clusters, iterations)
     cmat = np.array([c for _, c in cents], dtype=np.float64)
     prepped = corpus.withColumn("__v", _as_double(F.col(vec_col)))
-    if n_clusters > 64:
-        assigned = _assign_to_centroids_vectorized(prepped, "__v", cmat)
-    else:
-        assigned = _assign_to_centroids(prepped, "__v", cmat)
+    assigned = _assign_to_centroids(prepped, "__v", cmat)
     return assigned.drop("__v").withColumnRenamed("centroid_id", "cluster_id")
 
 
