@@ -661,3 +661,57 @@ def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.salted_count(
         t["orders"].select(F.col("o_orderstatus").alias("k")), "k", salt_buckets=16
     )
+
+
+@query(
+    "q_filter_old_values",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    )
+    """,
+)
+def q_filter_old_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_old_values — the reference's DELETE WHERE key IN (temp)
+    rewritten as an anti join (general_queries.py:165-169): master = all
+    orders, temp = every 10th order; rows sharing a customer with the temp
+    batch are deleted. Anti join distributes where correlated DELETE
+    cannot."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    master = t["orders"].select("o_orderkey", "o_custkey")
+    temp = master.filter(F.col("o_orderkey") % 10 == 0).select("o_custkey")
+    return R.filter_old_values(master, temp, "o_custkey")
+
+
+@query(
+    "q_full_refresh_merge",
+    oracle="""
+    WITH new_batch AS (
+      SELECT DISTINCT o_custkey, 'fresh' AS status FROM orders WHERE o_orderkey % 3 = 0
+    ), old AS (
+      SELECT DISTINCT o_custkey, 'stale' AS status FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT * FROM new_batch
+    UNION ALL
+    SELECT * FROM old WHERE o_custkey NOT IN (SELECT o_custkey FROM new_batch)
+    """,
+)
+def q_full_refresh_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine_incoming_existing_recs — full-refresh union-merge: DISTINCT
+    incoming ∪ existing records whose key is absent from the incoming batch
+    (condemned_dead_end_properties.py:4-46). New rows win wholesale; the
+    anti join keeps only unmatched history."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    new = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_custkey", F.lit("fresh").alias("status"))
+        .distinct()
+    )
+    old = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_custkey", F.lit("stale").alias("status"))
+        .distinct()
+    )
+    return R.full_refresh_merge(new, old, "o_custkey")
