@@ -2387,8 +2387,9 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(pos + 5) - MIN(pos) AS covered
       FROM isl GROUP BY doc_id, island
     ), per_doc AS (
-      SELECT doc_id, SUM(grams) AS dup_gram_count,
-             COUNT(*) AS dup_span_count, SUM(covered) AS dup_token_count
+      SELECT doc_id, CAST(SUM(grams) AS BIGINT) AS dup_gram_count,
+             COUNT(*) AS dup_span_count,
+             CAST(SUM(covered) AS BIGINT) AS dup_token_count
       FROM per_island GROUP BY doc_id
     )
     SELECT a.doc_id,
@@ -2433,7 +2434,7 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wf, UNNEST(GENERATE_SERIES(1, LEN(word) - 1)) AS t(i)
       WHERE LEN(word) >= 2
     ), pc AS (
-      SELECT l, r, SUM(freq) AS pair_count FROM pairs GROUP BY l, r
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY l, r
     )
     SELECT l AS left, r AS right, pair_count, rank FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, l, r) AS rank
