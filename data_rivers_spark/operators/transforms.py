@@ -786,11 +786,21 @@ def deduplicate(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 
 
 def identify_active_permits(
-    df: DataFrame, from_field: str, to_field: str, flag_field: str = "active"
+    df: DataFrame,
+    from_field: str,
+    to_field: str,
+    flag_field: str = "active",
+    now_unix: int | None = None,
 ) -> DataFrame:
     """active=1 iff now ∈ [from_UNIX, to_UNIX]
-    (computronix_gis_street_closures_dataflow.py:66-79)."""
-    now = F.unix_timestamp(F.current_timestamp())
+    (computronix_gis_street_closures_dataflow.py:66-79). ``now_unix``
+    injects the evaluation instant for reproducible runs/oracles;
+    production leaves it None (wall clock, the reference's behavior)."""
+    now = (
+        F.lit(now_unix).cast("long")
+        if now_unix is not None
+        else F.unix_timestamp(F.current_timestamp())
+    )
     return df.withColumn(
         flag_field,
         F.when(now.between(F.col(from_field), F.col(to_field)), F.lit(1)).otherwise(F.lit(0)),

@@ -611,3 +611,30 @@ def q_anonymize_latlong(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = X.anonymize_lat_long(df, [("pii_lat", "pii_long", 100)])
     return df.select("c_custkey", "pii_lat", "anon_lat", "pii_long", "anon_long")
+
+
+@query(
+    "q_active_permits",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey * 100 AS BIGINT) AS valid_from,
+           CAST(o_orderkey * 100 + 5000 AS BIGINT) AS valid_to,
+           CASE WHEN 500000 BETWEEN o_orderkey * 100 AND o_orderkey * 100 + 5000
+                THEN 1 ELSE 0 END AS active
+    FROM orders
+    """,
+)
+def q_active_permits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IdentifyActivePermits with an injected evaluation instant
+    (computronix_gis_street_closures_dataflow.py:66-79): permits are
+    active iff now ∈ [from, to]. Synthesized windows sweep past the fixed
+    now=500000, exercising both branches deterministically."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    key = F.col("o_orderkey")
+    df = t["orders"].select(
+        "o_orderkey",
+        (key * 100).cast("long").alias("valid_from"),
+        (key * 100 + 5000).cast("long").alias("valid_to"),
+    )
+    df = X.identify_active_permits(df, "valid_from", "valid_to", now_unix=500000)
+    return df.select("o_orderkey", "valid_from", "valid_to", "active")

@@ -348,3 +348,40 @@ def test_spec_curation_and_embedding_verbs(spark, sf_dir):
     egot = run_spec(spark, espec, source_df=emb)
     ewant = SIM.embedding_near_dup_pairs(emb, "embedding", "vec_id", 0.3, "label")
     assert sorted(map(tuple, egot.collect())) == sorted(map(tuple, ewant.collect()))
+
+
+def test_spec_round5_sampling_and_dedup_verbs(spark, sf_dir):
+    """Round-5 additions: temperature remix (down/up) and span-dedup stats
+    dispatch through the spec catalog and equal the direct calls."""
+    from data_rivers_spark.operators import dedup as D
+    from data_rivers_spark.operators import sampling as SA
+    from data_rivers_spark.session import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id", "text", "source")
+        .filter(F.trim(F.col("text")) != "")
+    )
+    spec = {"steps": [{"op": "domain_mixture_sample", "key_col": "doc_id",
+                       "domain_col": "source", "temperature": 0.5,
+                       "budget_frac": 0.5, "seed": 3}]}
+    got = run_spec(spark, spec, source_df=docs)
+    want = SA.domain_mixture_sample(docs, "doc_id", "source", 0.5, 0.5, seed=3)
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+
+    spec_up = {"steps": [{"op": "domain_mixture_upsample", "key_col": "doc_id",
+                          "domain_col": "source", "temperature": 0.0,
+                          "budget_frac": 1.0, "seed": 3}]}
+    got_up = run_spec(spark, spec_up, source_df=docs)
+    want_up = SA.domain_mixture_upsample(docs, "doc_id", "source", 0.0, 1.0, seed=3)
+    assert sorted((r.doc_id, r.epoch) for r in got_up.collect()) == sorted(
+        (r.doc_id, r.epoch) for r in want_up.collect()
+    )
+
+    spec_spans = {"steps": [{"op": "duplicate_span_stats", "text_col": "text",
+                             "id_col": "doc_id", "k": 5}]}
+    got_sp = run_spec(spark, spec_spans, source_df=docs)
+    want_sp = D.duplicate_span_stats(docs, "text", "doc_id", k=5)
+    assert sorted(map(tuple, got_sp.collect())) == sorted(map(tuple, want_sp.collect()))
