@@ -966,15 +966,22 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
                     "component"
                 ),
+                # convergence flag computed IN the propagation pass: the
+                # old round ran a second join+count job against the prior
+                # labels just to ask "did anything move" — at toy scale
+                # that doubled the per-round fixed cost (measured ~10s of
+                # pure scheduling on a 3.7k-edge graph)
+                (
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    )
+                    != F.col("component")
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = len(new_labels.filter(F.col("__chg")).take(1))
+        new_labels = new_labels.drop("__chg")
         labels = new_labels
         if changed == 0:
             break
