@@ -638,3 +638,82 @@ def q_active_permits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = X.identify_active_permits(df, "valid_from", "valid_to", now_unix=500000)
     return df.select("o_orderkey", "valid_from", "valid_to", "active")
+
+
+@query(
+    "q_nested_extraction",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 4 IN (0, 2)
+                THEN 'u' || CAST(c_custkey AS VARCHAR) || '@pittsburghpa.gov'
+                END AS email,
+           CASE WHEN c_custkey % 3 = 0 THEN 'C' ELSE 'B' END
+             || CAST(c_custkey AS VARCHAR) AS unit,
+           CASE WHEN c_custkey % 3 = 0 THEN '2025-07-01'
+                ELSE '2023-06-01' END AS unit_valid_date,
+           CASE WHEN c_custkey % 5 <> 0
+                THEN 'rank' || CAST(c_custkey % 7 AS VARCHAR) END AS rank_val
+    FROM customer
+    """,
+)
+def q_nested_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.4 nested-navigation family against closed-form expectations:
+    extract_email's typed-contact scan with domain guard
+    (intime_employees_pandas.py:41-68 — phone entries and wrong-domain
+    emails must be skipped), current_assignment's validFrom/validTo
+    resolution (latest open assignment wins, :77-135), and
+    search_attribute's first-matching-key lookup (:137-148). The fixture
+    synthesizes each nested array<struct> from key arithmetic, so the
+    oracle states the expected extraction directly — the Spark side must
+    navigate the real nested shape to agree."""
+    from data_rivers_spark.operators import nested as N
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    key = F.col("c_custkey")
+    kstr = key.cast("string")
+    good = F.concat(F.lit("u"), kstr, F.lit("@pittsburghpa.gov"))
+    bad = F.concat(F.lit("u"), kstr, F.lit("@example.org"))
+    email_entry = lambda addr: F.struct(  # noqa: E731
+        F.lit("EMAIL").alias("type"),
+        F.array(F.struct(addr.alias("info"))).alias("infos"),
+    )
+    phone_entry = F.struct(
+        F.lit("PHONE").alias("type"),
+        F.array(F.struct(F.lit("555-0000").alias("info"))).alias("infos"),
+    )
+    contacts = (
+        F.when(key % 4 == 0, F.array(email_entry(good)))
+        .when(key % 4 == 1, F.array(phone_entry))
+        .when(key % 4 == 2, F.array(email_entry(bad), email_entry(good)))
+        .otherwise(F.array().cast(
+            "array<struct<type:string,infos:array<struct<info:string>>>>"
+        ))
+    )
+    asg = lambda unit, vf, vt: F.struct(  # noqa: E731
+        unit.alias("unit"), F.lit(vf).alias("validFrom"),
+        (F.lit(vt) if vt else F.lit(None)).cast("string").alias("validTo"),
+    )
+    expired = asg(F.concat(F.lit("A"), kstr), "2020-01-01", "2024-01-01")
+    open_b = asg(F.concat(F.lit("B"), kstr), "2023-06-01", None)
+    open_c = asg(F.concat(F.lit("C"), kstr), "2025-07-01", None)
+    assignments = F.when(
+        key % 3 == 0, F.array(expired, open_b, open_c)
+    ).otherwise(F.array(expired, open_b))
+    attr = lambda k, v: F.struct(k.alias("key"), v.alias("value"))  # noqa: E731
+    attrs = F.when(
+        key % 5 != 0,
+        F.array(
+            attr(F.lit("badge"), kstr),
+            attr(F.lit("rank"), F.concat(F.lit("rank"), (key % 7).cast("string"))),
+        ),
+    ).otherwise(F.array(attr(F.lit("badge"), kstr)))
+    df = t["customer"].select(
+        "c_custkey",
+        contacts.alias("contacts"),
+        assignments.alias("assignments"),
+        attrs.alias("attributes"),
+    )
+    df = N.extract_email(df, "contacts")
+    df = N.current_assignment(df, "assignments", "unit", "unit", today=F.lit("2026-01-01"))
+    df = N.search_attribute(df, "attributes", "key", "rank", "value", "rank_val")
+    return df.select("c_custkey", "email", "unit", "unit_valid_date", "rank_val")
