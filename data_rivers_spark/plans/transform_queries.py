@@ -717,3 +717,136 @@ def q_nested_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = N.current_assignment(df, "assignments", "unit", "unit", today=F.lit("2026-01-01"))
     df = N.search_attribute(df, "attributes", "key", "rank", "value", "rank_val")
     return df.select("c_custkey", "email", "unit", "unit_valid_date", "rank_val")
+
+
+@query(
+    "q_struct_hoist_explode",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderkey % 3 AS n_segs
+      FROM orders
+    ), segs AS (
+      SELECT o_orderkey, o_orderstatus,
+             'closure' || CAST(o_orderkey AS VARCHAR) AS closure_id,
+             'seg' || CAST(o_orderkey AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS seg_id,
+             o_orderkey * 10 + i AS seg_len
+      FROM base, UNNEST(GENERATE_SERIES(1, n_segs)) AS t(i)
+    )
+    SELECT o_orderkey, o_orderstatus AS status_hoisted, closure_id, seg_id, seg_len
+    FROM segs
+    """,
+)
+def q_struct_hoist_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractField's nested-struct hoist (dataflow_utils.py:326-341) +
+    the DOMI street-closure two-level unnest (gcs_utils.py:597-662) under
+    the hash gate: each order carries a struct payload and an
+    array<struct<segments:array<struct>>> xref; the engine hoists
+    payload.status and explodes closures × segments, dropping rows with
+    empty closures (orderkey % 3 == 0 → zero segments → no rows, matching
+    the reference's inner-unnest semantics for present closures)."""
+    from data_rivers_spark.operators import nested as N
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    key = F.col("o_orderkey")
+    kstr = key.cast("string")
+    seg = lambda i: F.struct(  # noqa: E731
+        F.concat(F.lit("seg"), kstr, F.lit("_"), i.cast("string")).alias("seg_id"),
+        (key * 10 + i).alias("seg_len"),
+    )
+    segments = F.transform(F.sequence(F.lit(1), (key % 3).cast("int")), seg)
+    closures = F.when(
+        key % 3 != 0,
+        F.array(
+            F.struct(
+                F.concat(F.lit("closure"), kstr).alias("closure_id"),
+                segments.alias("segments"),
+            )
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<closure_id:string,"
+            "segments:array<struct<seg_id:string,seg_len:bigint>>>>"
+        )
+    )
+    df = t["orders"].select(
+        "o_orderkey",
+        F.struct(F.col("o_orderstatus").alias("status")).alias("payload"),
+        closures.alias("closures"),
+    )
+    df = X.extract_field(df, ["payload"], ["status"], ["status_hoisted"])
+    out = N.explode_nested_xref(
+        df, "closures", "segments", ["o_orderkey", "status_hoisted"]
+    )
+    # inner explode_outer keeps a NULL row for empty closures; the DOMI
+    # shape drops parents with no closure (they re-enter via the parent
+    # table) — filter to present segments like the reference's UNNEST
+    return out.filter(F.col("seg_id").isNotNull()).select(
+        "o_orderkey", "status_hoisted", "closure_id", "seg_id", "seg_len"
+    )
+
+
+@query(
+    "q_geocode_crosswalk",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             'ADDR_' || CAST(c_custkey AS VARCHAR) AS address,
+             CASE c_custkey % 4 WHEN 0 THEN 'Precise' WHEN 1 THEN 'Intersection'
+                                WHEN 2 THEN 'Underspecified' ELSE 'Raw' END AS atype,
+             CAST(c_custkey AS DOUBLE) * 0.5 AS in_lat,
+             CAST(c_custkey AS DOUBLE) * -0.25 AS in_long,
+             c_custkey % 2 = 0 AS hit
+      FROM customer
+    )
+    SELECT c_custkey, address,
+           CASE WHEN atype <> 'Raw' AND NOT hit THEN 'Unmappable'
+                ELSE atype END AS address_type,
+           CASE WHEN atype <> 'Raw' AND hit
+                THEN 'FMT ADDR_' || CAST(c_custkey AS VARCHAR) END
+             AS google_formatted_address,
+           CASE WHEN atype <> 'Raw' AND hit THEN CAST(c_custkey AS DOUBLE)
+                WHEN atype = 'Raw' THEN in_lat END AS latitude,
+           CASE WHEN atype <> 'Raw' AND hit THEN CAST(c_custkey AS DOUBLE) * -1.0
+                WHEN atype = 'Raw' THEN in_long END AS longitude,
+           in_lat AS input_latitude, in_long AS input_longitude
+    FROM base
+    """,
+)
+def q_geocode_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GoogleMapsGeocodeAddress semantics via the hermetic broadcast
+    crosswalk (dataflow_utils.py geocoding DoFns; geocode.py:27): geocodable
+    rows (Precise/Intersection/Underspecified) take crosswalk coordinates on
+    a hit and become 'Unmappable' with NULL coords on a miss; 'Raw' rows
+    pass their input coordinates through untouched; input_* columns preserve
+    the pre-enrichment values. Crosswalk = even keys only, so both branches
+    run on every address type."""
+    from data_rivers_spark.operators import geocode as G
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    key = F.col("c_custkey")
+    base = t["customer"].select(
+        "c_custkey",
+        F.concat(F.lit("ADDR_"), key.cast("string")).alias("address"),
+        F.when(key % 4 == 0, F.lit("Precise"))
+        .when(key % 4 == 1, F.lit("Intersection"))
+        .when(key % 4 == 2, F.lit("Underspecified"))
+        .otherwise(F.lit("Raw"))
+        .alias("address_type"),
+        (key * 0.5).alias("latitude"),
+        (key * -0.25).alias("longitude"),
+    )
+    cw = (
+        t["customer"]
+        .filter(key % 2 == 0)
+        .select(
+            F.concat(F.lit("ADDR_"), key.cast("string")).alias("address"),
+            F.concat(F.lit("FMT ADDR_"), key.cast("string")).alias("formatted_address"),
+            (key * 1.0).alias("lat"),
+            (key * -1.0).alias("long"),
+        )
+    )
+    out = G.geocode_with_crosswalk(base, cw, "address")
+    return out.select(
+        "c_custkey", "address", "address_type", "google_formatted_address",
+        "latitude", "longitude", "input_latitude", "input_longitude",
+    )
