@@ -30,8 +30,15 @@ from pyspark.sql import functions as F
 
 
 def words(text: Column) -> Column:
-    """Lowercased whitespace tokens; empty text → empty array."""
-    t = F.trim(F.lower(text))
+    """Lowercased whitespace tokens; empty/whitespace-only text → empty
+    array, and NEVER an empty-string token. F.trim strips ASCII space only,
+    so the old trim+split let '\\n'-padded text smuggle '' tokens into every
+    downstream consumer (shingles, vocabularies, BPE symbol counts — found
+    by the BPE conservation property test); the regexp trim removes every
+    \\s class at both ends, after which an interior \\s+ split cannot
+    produce empties. Still whole-stage-codegen (regexp_replace + split +
+    case), unlike an array filter."""
+    t = F.lower(F.regexp_replace(text, r"^\s+|\s+$", ""))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 

@@ -51,8 +51,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN TRIM(text) = '' THEN 0
-                ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END AS n_ws,
+           CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_ws,
            LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_bpe
     FROM documents
     """,
@@ -72,8 +72,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT doc_id, text,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
       FROM documents
     )
     SELECT doc_id,
@@ -110,8 +110,8 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
       FROM documents
     ), r AS (
       SELECT doc_id,
@@ -141,8 +141,8 @@ def q_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id, lang,
-             LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS ws
-      FROM documents WHERE TRIM(text) != ''
+             LIST_DISTINCT(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(LEN(LIST_INTERSECT(a.ws, b.ws)) * 1.0 /
@@ -341,8 +341,8 @@ def q_embedding_lsh_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
       FROM documents WHERE doc_id % 5 = 0
     ), toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM aug WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM aug WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), w AS (
       SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
         SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
@@ -375,7 +375,7 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     designed property, not a measurement; same measured runtime (false
     candidates cost verification work, never correctness). Token-less docs
     can never enter an LSH bucket (no shingles), so the oracle likewise
-    excludes TRIM(text)='' rows."""
+    excludes REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g')='' rows."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     # planted near-dups: drop the first word of every 5th doc
@@ -523,7 +523,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 100000, '  ' || UPPER(REPLACE(text, ' ', '  ')) || ' '
       FROM documents WHERE doc_id % 4 = 0
     ), norm AS (
-      SELECT doc_id, REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g') AS k
+      SELECT doc_id, REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS k
       FROM aug
     )
     SELECT doc_id,
@@ -571,8 +571,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
       FROM documents WHERE doc_id % 5 = 0
     ), toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM aug WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM aug WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), w AS (
       SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
         SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
@@ -647,8 +647,8 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decontaminate",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM documents WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), grams AS (
       SELECT doc_id, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
       FROM (SELECT doc_id, ws,
@@ -681,8 +681,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tfidf_top_terms",
     oracle="""
     WITH tokens AS (
-      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS term
-      FROM documents WHERE TRIM(text) != ''
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS term
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
     ), idf AS (
@@ -871,8 +871,8 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- corpus curation: deterministic sampling / splitting / trimming / packing
 
 _TOK_WS_SQL = (
-    "CASE WHEN TRIM(text) = '' THEN 0 "
-    "ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END"
+    "CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
 )
 
 
@@ -1103,8 +1103,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), alldocs AS (
       SELECT * FROM b1 UNION ALL SELECT * FROM b2
     ), toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM alldocs WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM alldocs WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), w AS (
       SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
         SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
@@ -1186,8 +1186,8 @@ def _synth_lines(docs: DataFrame) -> DataFrame:
 
 _LINES_CTE = """
     toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM documents WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), chunks AS (
       SELECT doc_id,
              LIST(ARRAY_TO_STRING(ws[(i-1)*8+1:(i-1)*8+8], ' ') ORDER BY i) AS lines
@@ -1292,8 +1292,8 @@ _NGRAM_CTE = """
     "q_ngram_repetition",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM documents WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), {_NGRAM_CTE}
     SELECT n.doc_id,
            ROUND(t.top_chars * 1.0 / n.norm_chars, 6) AS top_2gram_char_frac,
@@ -1409,8 +1409,8 @@ def _dup_n_cte(n: int) -> str:
 _GOPHER_FULL_ORACLE = (
     """
     WITH toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM documents WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), norm AS (
       SELECT doc_id, LEN(ARRAY_TO_STRING(ws, ' ')) AS norm_chars FROM toks
     )"""
@@ -1572,8 +1572,8 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT doc_id,
-             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
-      FROM documents WHERE TRIM(text) != ''
+             UNNEST(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), c AS (
       SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
       FROM ex GROUP BY token HAVING COUNT(*) >= 5
@@ -1600,8 +1600,8 @@ def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT doc_id,
-             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
-      FROM documents WHERE TRIM(text) != ''
+             UNNEST(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), lm AS (
       SELECT token, COUNT(*) AS cnt FROM ex GROUP BY token
     ), t AS (
@@ -1631,8 +1631,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT doc_id,
-             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
-      FROM documents WHERE TRIM(text) != ''
+             UNNEST(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), pairs AS (
       SELECT DISTINCT token, doc_id FROM ex
     )
@@ -1688,8 +1688,8 @@ def q_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT doc_id, source, text,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
       FROM documents
     )
     SELECT source,
@@ -1876,9 +1876,9 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
         SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
         FROM (SELECT doc_id,
-                     STRING_SPLIT_REGEX(TRIM(LOWER(ARRAY_TO_STRING(kept, CHR(10)))), '\\s+') AS ws,
+                     STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(ARRAY_TO_STRING(kept, CHR(10))), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws,
                      UNNEST(GENERATE_SERIES(1, GREATEST(
-                       LEN(STRING_SPLIT_REGEX(TRIM(LOWER(ARRAY_TO_STRING(kept, CHR(10)))), '\\s+')) - 2, 1))) AS i
+                       LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(ARRAY_TO_STRING(kept, CHR(10))), '^\\s+|\\s+$', '', 'g'), '\\s+')) - 2, 1))) AS i
               FROM c4kept)
       ) GROUP BY doc_id
     ), pj1 AS (
@@ -1911,8 +1911,8 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN SUBSTR(MD5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)
                        < '19999999'
                   THEN 'test' ELSE 'train' END AS split,
-             CASE WHEN TRIM(text) = '' THEN 0
-                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END AS n_tok
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tok
       FROM pdocs WHERE n_kept > 0
     )
     -- PRECONDITION (guarded, see q_char_lsh_dedup): exact-Jaccard oracle vs
@@ -2007,13 +2007,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_char_lsh_dedup",
     oracle="""
     WITH aug AS (
-      SELECT doc_id, text FROM documents WHERE TRIM(text) != ''
+      SELECT doc_id, text FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
       UNION ALL
       SELECT doc_id + 100000, SUBSTRING(text, 4)
-      FROM documents WHERE doc_id % 9 = 0 AND TRIM(text) != ''
+      FROM documents WHERE doc_id % 9 = 0 AND REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), norm AS (
       SELECT doc_id,
-             REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g') AS t
+             REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS t
       FROM aug
     ), grams AS (
       SELECT doc_id, LIST_DISTINCT(LIST(SUBSTRING(t, i, 7))) AS gs
@@ -2084,8 +2084,8 @@ def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
       FROM documents WHERE doc_id % 5 = 0
     ), toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM aug WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM aug WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), w AS (
       SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
         SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
@@ -2163,9 +2163,9 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lines[1] AS btext FROM lines2 WHERE doc_id % 25 = 0
     ), bsh AS (
       SELECT DISTINCT ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
-      FROM (SELECT STRING_SPLIT_REGEX(TRIM(LOWER(btext)), '\\s+') AS ws,
+      FROM (SELECT STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(btext), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws,
                    UNNEST(GENERATE_SERIES(1, GREATEST(
-                     LEN(STRING_SPLIT_REGEX(TRIM(LOWER(btext)), '\\s+')) - 4, 1))) AS i
+                     LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(btext), '^\\s+|\\s+$', '', 'g'), '\\s+')) - 4, 1))) AS i
             FROM bench)
     ), sp AS (
       SELECT doc_id, i AS pos, lines[i] AS span
@@ -2174,9 +2174,9 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ssh AS (
       SELECT doc_id, pos, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
       FROM (SELECT doc_id, pos,
-                   STRING_SPLIT_REGEX(TRIM(LOWER(span)), '\\s+') AS ws,
+                   STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(span), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws,
                    UNNEST(GENERATE_SERIES(1, GREATEST(
-                     LEN(STRING_SPLIT_REGEX(TRIM(LOWER(span)), '\\s+')) - 4, 1))) AS i
+                     LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(span), '^\\s+|\\s+$', '', 'g'), '\\s+')) - 4, 1))) AS i
             FROM sp)
     ), hits AS (
       SELECT DISTINCT doc_id, pos FROM ssh JOIN bsh USING (gram)
@@ -2214,8 +2214,8 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- blank texts are excluded here and coalesced to sigmoid(0)=0.5 at
       -- the end, matching the engine's words('') = [] semantics (DuckDB's
       -- STRING_SPLIT_REGEX('', '\s+') would otherwise mint one ''-feature)
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws
-      FROM documents WHERE TRIM(text) != ''
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), feats AS (
       SELECT doc_id, ws[i] AS f
       FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i FROM w)
@@ -2367,8 +2367,8 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 5 = 0
     ), toks AS (
       SELECT doc_id,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS w
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
       FROM aug
     ), grams AS (
       SELECT doc_id, i - 1 AS pos, LEN(w) AS n_tok,
@@ -2398,8 +2398,8 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_island GROUP BY doc_id
     )
     SELECT a.doc_id,
-           CASE WHEN TRIM(a.text) = '' THEN 0
-                ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(a.text)), '\\s+')) END AS n_tokens,
+           CASE WHEN REGEXP_REPLACE(a.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(a.text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens,
            COALESCE(dup_gram_count, 0) AS dup_gram_count,
            COALESCE(dup_span_count, 0) AS dup_span_count,
            COALESCE(dup_token_count, 0) AS dup_token_count
@@ -2428,8 +2428,8 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bpe_pair_counts",
     oracle="""
     WITH w AS (
-      SELECT CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS ws
+      SELECT CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
       FROM documents
     ), wf AS (
       SELECT word, COUNT(*) AS freq
@@ -2510,8 +2510,8 @@ def q_domain_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 5 = 0
     ), toks AS (
       SELECT doc_id,
-             CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
-                  ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS w
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS w
       FROM aug
     ), grams AS (
       SELECT doc_id, i - 1 AS pos, ARRAY_TO_STRING(w[i:i+4], ' ') AS g
@@ -2536,8 +2536,8 @@ def q_domain_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, SUM(covered) AS dup_tok FROM per_island GROUP BY doc_id
     ), survivors AS (
       SELECT a.doc_id, a.source,
-             CASE WHEN TRIM(a.text) = '' THEN 0
-                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(a.text)), '\\s+')) END AS n_tok,
+             CASE WHEN REGEXP_REPLACE(a.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(a.text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tok,
              COALESCE(p.dup_tok, 0) AS dup_tok
       FROM aug a LEFT JOIN per_doc p USING (doc_id)
     ), clean AS (

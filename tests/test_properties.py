@@ -154,3 +154,88 @@ def test_funnel_stage_counts_monotone(spark, events):
     out = {r.stage: r.n_users for r in
            conversion_funnel(df, ["view", "click", "purchase"]).collect()}
     assert out["view"] >= out["view>click"] >= out["view>click>purchase"]
+
+
+@given(texts)
+@SET
+def test_duplicate_span_stats_invariants(spark, rows):
+    """Span-dedup invariants: duplicated tokens never exceed the doc's
+    tokens, counts are non-negative, grams >= spans (a span holds >= 1
+    gram), and an exact duplicate pair marks (almost) everything — every
+    doc of >= k tokens duplicated verbatim must report a dup span."""
+    from data_rivers_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)] +
+        [(1000 + i, t) for i, t in enumerate(rows)],  # verbatim copies
+        ["doc_id", "text"],
+    )
+    out = duplicate_span_stats(df, "text", "doc_id", k=3).collect()
+    assert len(out) == 2 * len(rows)
+    for r in out:
+        assert 0 <= r.dup_token_count <= r.n_tokens
+        assert r.dup_span_count >= 0
+        assert r.dup_gram_count >= r.dup_span_count or r.dup_span_count == 0
+        if r.n_tokens >= 3:
+            # its verbatim twin guarantees every 3-gram is cross-doc duplicated
+            assert r.dup_token_count == r.n_tokens
+            assert r.dup_span_count == 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=2, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.floats(0.0, 1.0),
+)
+@SET
+def test_domain_mixture_sample_invariants(spark, rows, temp):
+    """Mixture-sampling invariants at any temperature: output ⊆ input (no
+    minting), per-row decisions deterministic under repartitioning, and
+    every domain's kept count <= its input count."""
+    from data_rivers_spark.operators.sampling import domain_mixture_sample
+
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = domain_mixture_sample(df, "doc_id", "source", temp, 0.5, seed=2)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    assert got <= set(rows)
+    again = {(r.doc_id, r.source) for r in
+             domain_mixture_sample(df.repartition(5), "doc_id", "source",
+                                   temp, 0.5, seed=2).collect()}
+    assert got == again
+
+
+@given(texts)
+@SET
+def test_bpe_round_conservation(spark, rows):
+    """BPE pair-count conservation: total pair occurrences == Σ freq ·
+    (len(word)-1) over the vocabulary, and applying the top merge strictly
+    reduces (or preserves, when it never fires twice in a word) the total
+    symbol count by exactly the merged pair's count."""
+    from data_rivers_spark.operators.textstats import (
+        bpe_apply_merge, bpe_pair_counts, word_frequency_table,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)], ["doc_id", "text"])
+    wf = word_frequency_table(df, "text").localCheckpoint()
+    vocab = wf.collect()
+    if not vocab:
+        return
+    pc = bpe_pair_counts(wf).collect()
+    total_pairs = sum(r.pair_count for r in pc)
+    assert total_pairs == sum(r.freq * max(len(r.word) - 1, 0) for r in vocab)
+    if not pc:
+        return
+    top = pc[0]
+    merged = bpe_apply_merge(wf, top.left, top.right)
+    before = sum(r.freq * len(r.word) for r in vocab)
+    after = sum(
+        r.freq * len(r.symbols)
+        for r in merged.select("word", "freq", "symbols").collect()
+    )
+    # every merge occurrence fuses two symbols into one; greedy
+    # non-overlapping application can fire at most pair_count times and at
+    # least once per word containing the pair
+    assert before - after <= top.pair_count
+    assert after < before
