@@ -1,0 +1,130 @@
+"""Token-window document chunking — RAG / context-window preparation.
+
+Splits each document into fixed-size token windows with a configurable
+overlap, the standard pre-processing step for retrieval corpora and for
+packing long documents into model context windows. No reference
+counterpart (the reference pipeline ships whole records); this is part of
+the LLM-training-data layer alongside operators/textstats.py.
+
+Scale design: one Project + one Generate (posexplode over a computed
+``sequence``) — no shuffle, no UDF, whole-stage codegen end to end. A
+100 TB corpus chunks at scan speed and composes with any downstream
+partitioning; the only data growth is the overlap fraction
+(chunk/(chunk-overlap) ≈ 1.33x at 128/32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_rivers_spark.operators.dedup import words
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode each doc into overlapping windows of ``chunk_tokens``
+    whitespace tokens, stepping ``chunk_tokens - overlap_tokens`` tokens
+    per chunk.
+
+    Chunk ``i`` covers tokens ``[i*step, i*step + chunk_tokens)``;
+    the number of chunks is ``1 + ceil((n - chunk) / step)`` (1 when the
+    doc fits in a single window). Empty / whitespace-only docs emit no
+    chunks — chunking blank text is meaningless and emitting it would
+    poison downstream dedup with identical empty strings.
+
+    Output: (id_col, chunk_idx, chunk_text, n_chunk_tokens). Tokenization
+    is ``dedup.words`` (lowercased, regexp-trimmed) so chunk joins/dedups
+    share the vocabulary of every other text operator.
+
+    All integer math stays integral (``(n - chunk + step - 1) div step``)
+    so the DuckDB oracle replays it hash-exactly.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens"
+            f" ({chunk_tokens}) or the window never advances"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = words(F.col(text_col))
+    n = F.size(toks)
+    extra = F.floor(
+        (n - F.lit(chunk_tokens) + F.lit(step - 1)) / F.lit(step)
+    ).cast("int")
+    num_chunks = F.lit(1) + F.greatest(extra, F.lit(0))
+    carry = list(carry_cols)
+    # empty docs are dropped BEFORE building the index sequence:
+    # sequence(0, num-1) with num=0 would be sequence(0, -1), which Spark
+    # evaluates as the DESCENDING sequence [0, -1], not an empty array
+    base = df.filter(F.size(toks) > 0).select(
+        F.col(id_col),
+        *carry,
+        toks.alias("__toks"),
+        F.sequence(F.lit(0), num_chunks - 1).alias("__idxs"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * step + 1, chunk_tokens
+    )
+    return (
+        base.select(
+            id_col, *carry, "__toks", F.explode("__idxs").alias("chunk_idx")
+        )
+        .select(
+            id_col,
+            *carry,
+            "chunk_idx",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_and_pack(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    pack_budget: int = 512,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Chunk, then assign each chunk to the training sequence its first
+    token lands in — concat-then-chunk packing with the SAME start-position
+    binning as textstats.sequential_pack (seq = floor(start/budget) where
+    start is the running token total before this chunk), within each
+    id-hash shard so packing never needs a global sort.
+
+    Output: (shard, seq_id, id_col, chunk_idx, n_chunk_tokens) — one
+    window per shard, pure integer arithmetic, oracle-replayable.
+
+    ``shard_col`` names an existing column to shard by (a natural
+    language x source x date shard, or an md5 bucket when oracle replay
+    matters); the default is a 16-way xxhash64 shard of the id.
+    """
+    from pyspark.sql import Window
+
+    if shard_col is not None:
+        # carried through the explode — never joined back (a join on the
+        # id would re-shuffle the whole chunk set at scale)
+        with_shard = chunk_documents(
+            df, text_col, id_col, chunk_tokens, overlap_tokens,
+            carry_cols=(shard_col,),
+        ).withColumnRenamed(shard_col, "shard")
+    else:
+        chunks = chunk_documents(df, text_col, id_col, chunk_tokens, overlap_tokens)
+        shard = (F.xxhash64(F.col(id_col)) % 16 + 16) % 16
+        with_shard = chunks.withColumn("shard", shard.cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col(id_col), F.col("chunk_idx"))
+    start = F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")
+    return with_shard.select(
+        "shard",
+        F.floor(start / F.lit(pack_budget)).cast("long").alias("seq_id"),
+        id_col,
+        "chunk_idx",
+        "n_chunk_tokens",
+    )

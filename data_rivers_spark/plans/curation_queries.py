@@ -1,0 +1,197 @@
+"""Driver-contract queries for the round-5 corpus-shaping operators:
+token-window chunking (+ packing) and text normalization (Unicode NFC,
+within-doc repeated-line removal).
+
+Same fixture discipline as dataops_queries.py: the synthetic corpus is
+clean, so fixtures plant what the operator must find (NFD sequences,
+duplicated lines) inside the query, keeping each oracle a pure function of
+the input tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_rivers_spark.operators.chunking import chunk_and_pack, chunk_documents
+from data_rivers_spark.operators.textnorm import (
+    nfc_normalize_text,
+    remove_repeated_lines,
+)
+from data_rivers_spark.plans.registry import query
+from data_rivers_spark.session import load_tables
+
+# the tokenize-and-window CTE both chunk oracles share (chunk=32, step=24)
+_CHUNK_CTE = """
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = ''
+                  THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(
+                    REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'),
+                    '\\s+') END AS ws
+      FROM documents
+    ), nn AS (
+      SELECT doc_id, ws, LEN(ws) AS n FROM toks WHERE LEN(ws) > 0
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             ARRAY_TO_STRING(ws[i*24+1 : i*24+32], ' ') AS chunk_text,
+             LEN(ws[i*24+1 : i*24+32]) AS n_chunk_tokens
+      FROM nn, UNNEST(GENERATE_SERIES(0,
+             CASE WHEN n <= 32 THEN 0
+                  ELSE CAST((n - 32 + 23) // 24 AS INT) END)) AS t(i)
+    )
+"""
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH {_CHUNK_CTE}
+    SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM chunks
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap → step 24): the RAG / context-window prep step. One Generate,
+    no shuffle; every output is integer or deterministic text, so the
+    DuckDB slice replay is hash-exact."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return chunk_documents(
+        t["documents"], "text", "doc_id", chunk_tokens=32, overlap_tokens=8
+    )
+
+
+@query(
+    "q_chunk_pack",
+    oracle=f"""
+    WITH {_CHUNK_CTE}
+    , sharded AS (
+      SELECT CAST(CONCAT('0x', SUBSTR(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS shard, *
+      FROM chunks
+    )
+    SELECT shard,
+           CAST(FLOOR((SUM(n_chunk_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id, chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chunk_tokens) / 128.0) AS BIGINT) AS seq_id,
+           doc_id, chunk_idx, n_chunk_tokens
+    FROM sharded
+    """,
+)
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk then concat-then-chunk pack into 128-token training sequences
+    within 8 md5-hash shards (md5 so the oracle replays the shard; the
+    operator's scale default is xxhash64). Start-position binning matches
+    textstats.sequential_pack."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].withColumn(
+        "shard",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ),
+    )
+    return chunk_and_pack(
+        docs, "text", "doc_id",
+        chunk_tokens=32, overlap_tokens=8, pack_budget=128, shard_col="shard",
+    )
+
+
+@query(
+    "q_nfc_normalize",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000,
+             'cafe' || CHR(769) || ' ' || SUBSTR(text, 1, 40)
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           NFC_NORMALIZE(text) AS norm_text,
+           LEN(text) AS n_chars_raw,
+           LEN(NFC_NORMALIZE(text)) AS n_chars_nfc,
+           (NFC_NORMALIZE(text) != text) AS changed
+    FROM aug
+    """,
+)
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (pre-dedup canonicalization): planted NFD
+    rows ('cafe' + U+0301 combining acute) must compose to 'café' — 5 raw
+    chars to 4 — while already-NFC rows pass through byte-identical.
+    Engine = Arrow pandas UDF (unicodedata.normalize); oracle = DuckDB's
+    built-in NFC_NORMALIZE. Both implement UAX #15, so outputs are
+    codepoint-identical, not merely similar."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                F.lit("cafe" + chr(769) + " "), F.substring("text", 1, 40)
+            ).alias("text"),
+        )
+    )
+    out = nfc_normalize_text(aug, "text", out_col="norm_text")
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.length("text").alias("n_chars_raw"),
+        F.length("norm_text").alias("n_chars_nfc"),
+        (F.col("norm_text") != F.col("text")).alias("changed"),
+    )
+
+
+@query(
+    "q_remove_repeated_lines",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text || CHR(10) || text AS text FROM documents
+    ), l AS (
+      SELECT doc_id, lines[i] AS line, i AS pos
+      FROM (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS lines FROM aug),
+           UNNEST(GENERATE_SERIES(1, LEN(lines))) AS t(i)
+    ), f AS (
+      SELECT doc_id, line, pos,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM l
+    ), raw_n AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, CHR(10))) AS n_lines_raw FROM aug
+    )
+    SELECT f.doc_id,
+           ARRAY_TO_STRING(LIST(line ORDER BY pos), CHR(10)) AS clean_text,
+           ANY_VALUE(n_lines_raw) AS n_lines_raw,
+           COUNT(*) AS n_lines_clean
+    FROM f JOIN raw_n ON f.doc_id = raw_n.doc_id
+    WHERE rn = 1 GROUP BY f.doc_id
+    """,
+)
+def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (boilerplate excision), first
+    occurrence kept in document order: every doc is planted with a full
+    second copy of its own lines (text||\\n||text), so the cleaner must
+    reconstruct exactly the original's distinct-line sequence.
+    array_distinct's first-occurrence order IS the contract being tested —
+    the oracle rebuilds it independently via ROW_NUMBER per (doc, line)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n"), F.col("text")).alias("text"),
+    )
+    out = remove_repeated_lines(aug, "text", out_col="clean_text")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.size(F.split("text", "\n")).alias("n_lines_raw"),
+        F.size(F.split("clean_text", "\n")).alias("n_lines_clean"),
+    )

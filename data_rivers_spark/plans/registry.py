@@ -51,6 +51,7 @@ def load_all() -> None:
     from data_rivers_spark.plans import (  # noqa: F401
         admin_queries,
         analytics_queries,
+        curation_queries,
         dataops_queries,
         geo_queries,
         relational_queries,
