@@ -487,6 +487,14 @@ def asof_join(
     (plain units for numeric ordering columns); a match further away yields
     NULL value columns, exactly like no match at all.
 
+    ``direction='nearest'`` (pandas merge_asof): whichever of the backward
+    and forward matches is closer in time; equal distances prefer the
+    backward (earlier) match, exactly pandas' ``bdiff <= fdiff`` rule.
+    Same single shuffle+sort — the backward carry and the forward carry are
+    two frames over the SAME ascending sort (rows unbounded-preceding →
+    current and current → unbounded-following), so nearest costs no more
+    than one directional scan.
+
     Scale design: NOT a range join (which degrades to O(n·m) per key).
     Union both sides tagged, sort within key by (ts, side), and carry the
     last-seen right values forward with last_value(ignorenulls) over an
@@ -495,8 +503,10 @@ def asof_join(
     ts) resolve right-before-left in scan order, matching ASOF '<=' / '>='."""
     from pyspark.sql import Window
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward, forward or nearest, got {direction!r}"
+        )
     # ts_col/by in value_cols would mint duplicate __r_<c> aliases below and
     # fail at analysis with an ambiguous-reference error — reject up front
     # (the matched right timestamp is carried automatically; the key is
@@ -523,6 +533,42 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in carry],
     ).select(*lcols, "__side", *[f"__r_{c}" for c in carry])
     unioned = l_tagged.unionByName(r_tagged)
+    if direction == "nearest":
+        asc = Window.partitionBy(by).orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        w_b = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w_f = asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carried = unioned.select(
+            *lcols,
+            "__side",
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_b).alias(f"__b_{c}")
+                for c in carry
+            ],
+            *[
+                F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_f).alias(f"__f_{c}")
+                for c in carry
+            ],
+        ).filter(F.col("__side") == 1)
+        bts, fts = F.col(f"__b_{ts_col}"), F.col(f"__f_{ts_col}")
+        gap_b = F.col(ts_col).cast("double") - bts.cast("double")
+        gap_f = fts.cast("double") - F.col(ts_col).cast("double")
+        # an equal-ts right row lands in the backward frame only (side order
+        # puts it before the left row), giving gap 0 — backward then wins
+        # every comparison, so 'nearest' still matches it, via <=
+        use_b = bts.isNotNull() & (fts.isNull() | (gap_b <= gap_f))
+        matched = F.when(use_b, bts.isNotNull()).otherwise(fts.isNotNull())
+        if tolerance is not None:
+            gap = F.when(use_b, gap_b).otherwise(gap_f)
+            matched = matched & (gap <= F.lit(float(tolerance)))
+        return carried.select(
+            *lcols,
+            *[
+                F.when(matched & use_b, F.col(f"__b_{c}"))
+                .when(matched & ~use_b, F.col(f"__f_{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(by)

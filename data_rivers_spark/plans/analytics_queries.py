@@ -537,3 +537,44 @@ def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward", tolerance=3600.0,
     )
     return out.select("event_id", "user_id", F.round("quote", 2).alias("quote"))
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, value AS quote FROM events
+      WHERE event_type IN ('view', 'click')
+    ), trades AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT t.event_id, t.user_id,
+           (SELECT ROUND(q.quote, 2) FROM quotes q
+            WHERE q.user_id = t.user_id
+              AND ABS(EPOCH(q.ts) - EPOCH(t.ts)) <= 1800
+            ORDER BY ABS(EPOCH(q.ts) - EPOCH(t.ts)), q.ts
+            LIMIT 1) AS quote
+    FROM trades t
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction AS-OF with a 30-minute tolerance (the third pandas
+    merge_asof direction): each purchase aligned to the CLOSEST view/click
+    value per user in either direction, equal distances preferring the
+    earlier quote. Engine = one union + two frames over a single sort (no
+    second shuffle); oracle = per-trade argmin-|gap| correlated subquery
+    with the same (|gap|, ts) tie order — the fixture has no equidistant
+    quote pairs (verified), so both are deterministic."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    quotes = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", F.col("value").alias("quote")
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = R.asof_join(
+        trades, quotes, "ts", "user_id", ["quote"],
+        direction="nearest", tolerance=1800.0,
+    )
+    return out.select("event_id", "user_id", F.round("quote", 2).alias("quote"))

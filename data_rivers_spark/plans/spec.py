@@ -37,11 +37,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_rivers_spark.operators import chunking as CH
 from data_rivers_spark.operators import dedup as D
 from data_rivers_spark.operators import geo as G
 from data_rivers_spark.operators import relational as R
 from data_rivers_spark.operators import sampling as SA
 from data_rivers_spark.operators import similarity as SIM
+from data_rivers_spark.operators import textnorm as TN
 from data_rivers_spark.operators import textstats as TX
 from data_rivers_spark.operators import transforms as T
 from data_rivers_spark.session import load_tables
@@ -125,6 +127,10 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "domain_mixture_upsample": _simple(SA.domain_mixture_upsample),
     "duplicate_span_stats": _simple(D.duplicate_span_stats),
     "kmeans_semantic_dedup": _simple(SIM.kmeans_semantic_dedup),
+    "chunk_documents": _simple(CH.chunk_documents),
+    "chunk_and_pack": _simple(CH.chunk_and_pack),
+    "nfc_normalize_text": _simple(TN.nfc_normalize_text),
+    "remove_repeated_lines": _simple(TN.remove_repeated_lines),
     # geo verbs (single-frame; the two-frame revgeo join is a CTX op below)
     "city_limits_classify": _simple(G.city_limits_classify),
     # embedding verbs (bucket-first near-dup dispatch, see similarity.py)
