@@ -195,3 +195,69 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", "\n")).alias("n_lines_raw"),
         F.size(F.split("clean_text", "\n")).alias("n_lines_clean"),
     )
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), lm AS (
+      SELECT token, COUNT(*) AS cnt FROM ex GROUP BY token
+    ), t AS (
+      SELECT SUM(cnt) AS total FROM lm
+    ), scored AS (
+      SELECT e.doc_id, ROUND(AVG(LN(lm.cnt * 1.0 / t.total)), 4) AS unigram_logprob
+      FROM ex e JOIN lm USING (token) CROSS JOIN t
+      GROUP BY e.doc_id
+    ), ranked AS (
+      SELECT s.doc_id, d.lang, s.unigram_logprob,
+             PERCENT_RANK() OVER (PARTITION BY d.lang
+               ORDER BY s.unigram_logprob DESC, s.doc_id) AS pr
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, unigram_logprob,
+           CASE WHEN pr < 1.0/3 THEN 'head'
+                WHEN pr < 2.0/3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per-
+    LANGUAGE percentile of the self-unigram-LM fluency score splits the
+    corpus into head/middle/tail thirds — head is the most-fluent slice a
+    curation pipeline keeps outright, tail gets re-filtered or dropped.
+    Composition of two independently-oracled pieces (unigram_logprob_score
+    + percent_rank trim); the (score DESC, doc_id) order makes every rank
+    distinct so both engines bucket identically. Scale: one token-keyed
+    join for the LM, one lang-keyed window — percentiles per language, not
+    global, so no single-partition sort."""
+    from pyspark.sql import Window
+
+    from data_rivers_spark.operators import textstats as TX
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text", "lang")
+    scored = TX.unigram_logprob_score(
+        docs.select("doc_id", "text"), "text", "doc_id"
+    ).filter(F.col("n_tokens") > 0)
+    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "pr",
+        F.percent_rank().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("unigram_logprob").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "unigram_logprob",
+        F.when(F.col("pr") < 1.0 / 3, "head")
+        .when(F.col("pr") < 2.0 / 3, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
