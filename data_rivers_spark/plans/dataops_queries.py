@@ -2213,7 +2213,7 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       -- blank texts are excluded here and coalesced to sigmoid(0)=0.5 at
       -- the end, matching the engine's words('') = [] semantics (DuckDB's
-      -- STRING_SPLIT_REGEX('', '\s+') would otherwise mint one ''-feature)
+      -- STRING_SPLIT_REGEX('', '\\s+') would otherwise mint one ''-feature)
       SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
       FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
     ), feats AS (
