@@ -34,11 +34,16 @@ def words(text: Column) -> Column:
     array, and NEVER an empty-string token. F.trim strips ASCII space only,
     so the old trim+split let '\\n'-padded text smuggle '' tokens into every
     downstream consumer (shingles, vocabularies, BPE symbol counts — found
-    by the BPE conservation property test); the regexp trim removes every
-    \\s class at both ends, after which an interior \\s+ split cannot
-    produce empties. Still whole-stage-codegen (regexp_replace + split +
-    case), unlike an array filter."""
-    t = F.lower(F.regexp_replace(text, r"^\s+|\s+$", ""))
+    by the BPE conservation property test). The edge trim is btrim with the
+    Java \\s charset [ \\t\\n\\x0B\\f\\r] — identical result to a
+    regexp_replace('^\\s+|\\s+$') trim (property-verified), but an
+    edges-only charset scan instead of a full-string regex pass: the regexp
+    form cost 30-40% of whole queries (measured at sf0.1 on
+    c4/paragraph/unigram, whose fixtures evaluate words() several times per
+    row inside HOF lambdas, where no common-subexpression elimination
+    applies). After the trim, an interior \\s+ split cannot produce
+    empties. Whole-stage-codegen throughout, unlike an array filter."""
+    t = F.lower(F.btrim(text, F.lit(" \t\n\x0b\f\r")))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
