@@ -725,3 +725,32 @@ def test_zorder_clustering_tightens_both_dims(spark, tmp_path):
     ranges = zread.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
     spans = sorted((r.lo, r.hi) for r in ranges)
     assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+# staged: appended to tests/test_catalog_sources.py after bench finishes
+
+
+def test_compact_small_files(spark, tmp_path):
+    import os
+
+    from data_rivers_spark.catalog.tables import ManagedCatalog
+
+    def n_files(path):
+        return sum(
+            1 for dp, _, fs in os.walk(path)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    cat = ManagedCatalog(spark, str(tmp_path / "cat"), keep_versions=2)
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k", "repeat('x', 50) AS pad")
+    cat.create_or_replace(df.repartition(64), "wide")
+    v1 = cat._current_version("wide")
+    before = n_files(cat._data_dir("wide", v1))
+    assert before >= 64
+    cat.compact("wide", target_file_bytes=512 * 1024 * 1024)
+    v2 = cat._current_version("wide")
+    assert v2 == v1 + 1
+    after = n_files(cat._data_dir("wide", v2))
+    assert after < before and after <= 4
+    # content identical, order-insensitively; prior version retained
+    assert sorted(r.id for r in cat.read("wide", version=v1).collect()) == \
+        sorted(r.id for r in cat.read("wide").collect())
+    assert v1 in cat.versions("wide")
