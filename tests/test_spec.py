@@ -385,3 +385,34 @@ def test_spec_round5_sampling_and_dedup_verbs(spark, sf_dir):
     got_sp = run_spec(spark, spec_spans, source_df=docs)
     want_sp = D.duplicate_span_stats(docs, "text", "doc_id", k=5)
     assert sorted(map(tuple, got_sp.collect())) == sorted(map(tuple, want_sp.collect()))
+
+
+def test_spec_chunk_and_textnorm_verbs(spark):
+    from data_rivers_spark.plans.spec import run_spec
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a\nb\na")],
+        "doc_id long, text string",
+    )
+    chunks = run_spec(
+        spark,
+        {"steps": [{"op": "chunk_documents", "text_col": "text",
+                    "id_col": "doc_id", "chunk_tokens": 4,
+                    "overlap_tokens": 2}]},
+        source_df=df,
+    ).collect()
+    assert {(r.doc_id, r.chunk_idx) for r in chunks} >= {(1, 0), (1, 3), (2, 0)}
+
+    cleaned = run_spec(
+        spark,
+        {"steps": [{"op": "remove_repeated_lines", "text_col": "text"}]},
+        source_df=df,
+    ).collect()
+    assert {r.text for r in cleaned if r.doc_id == 2} == {"a\nb"}
+
+    nfc = run_spec(
+        spark,
+        {"steps": [{"op": "nfc_normalize_text", "text_col": "text"}]},
+        source_df=spark.createDataFrame([(1, "cafe" + chr(769))], "doc_id long, text string"),
+    ).collect()
+    assert nfc[0].text == "café"

@@ -149,6 +149,12 @@ OPS_DOC = (
     # temperature remixers are count-agg + broadcast-filter — no cell needed)
     "duplicate_spans",
     "bpe_round",
+    # round-5 curation ops: the chunk explode (output ~1.33x input tokens),
+    # the chunk-pack window shuffle, and the Arrow pandas-UDF map (measures
+    # Python round-trip throughput growth — the one UDF hot path)
+    "chunk_documents",
+    "chunk_pack",
+    "nfc_normalize",
 )
 OPS_EMB = ("signlsh_topk", "kmeans_semantic_dedup")
 
@@ -203,8 +209,10 @@ def _op_fn(name: str):
     """An op is either ``lambda frame: df`` (timed end to end) or a
     ``(prep, run)`` pair: ``prep(frame) -> ctx`` runs untimed (checkpointing
     its outputs), ``run(ctx) -> df`` is the timed pipeline."""
+    from data_rivers_spark.operators import chunking as CH
     from data_rivers_spark.operators import dedup as D
     from data_rivers_spark.operators import multimodal as M
+    from data_rivers_spark.operators import textnorm as TN
     from data_rivers_spark.operators import sampling as SA
     from data_rivers_spark.operators import similarity as S
     from data_rivers_spark.operators import textstats as TX
@@ -223,6 +231,14 @@ def _op_fn(name: str):
         "unigram_logprob": lambda d: TX.unigram_logprob_score(d, "text", "doc_id"),
         "deterministic_sample": lambda d: SA.deterministic_sample(d, "doc_id", 0.3),
         "duplicate_spans": lambda d: D.duplicate_span_stats(d, "text", "doc_id", k=5),
+        "chunk_documents": lambda d: CH.chunk_documents(
+            d, "text", "doc_id", chunk_tokens=128, overlap_tokens=32
+        ),
+        "chunk_pack": lambda d: CH.chunk_and_pack(
+            d, "text", "doc_id", chunk_tokens=128, overlap_tokens=32,
+            pack_budget=2048,
+        ),
+        "nfc_normalize": lambda d: TN.nfc_normalize_text(d, "text"),
         # one full BPE round: corpus -> word-freq table -> pair stats
         "bpe_round": lambda d: TX.bpe_pair_counts(
             TX.word_frequency_table(d, "text"), top_k=30
@@ -277,6 +293,14 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
     from data_rivers_spark.session import load_tables
 
     out = _fixture_dir(k)
+    sentinel = os.path.join(out, "_done.json")
+    want = {"sf_dir": os.path.abspath(sf_dir), "k": k}
+    try:
+        with open(sentinel) as f:
+            if json.load(f) == want:
+                return out  # identical fixture already on disk — reuse
+    except (OSError, ValueError):
+        pass
     t = load_tables(spark, sf_dir, ["documents", "embeddings"])
     docs0 = t["documents"].select("doc_id", "text").filter(F.trim("text") != "")
     scaled(docs0, "doc_id", k, text_col="text").write.mode("overwrite").parquet(
@@ -285,6 +309,13 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
     scaled(t["embeddings"], "vec_id", k, vec_col="embedding").write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "embeddings"))
+    with open(sentinel, "w") as f:
+        json.dump(want, f)
+    # flush dirty pages NOW: the ~GB fixture write otherwise drains as
+    # background writeback DURING the first measurement cells, inflating
+    # them (chunk_documents@256x measured 11.5s mid-writeback vs 3.2s on a
+    # settled filesystem — a 3.6x phantom "cliff")
+    os.sync()
     return out
 
 
