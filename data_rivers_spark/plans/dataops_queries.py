@@ -2589,6 +2589,14 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug.join(stats, "doc_id")
         .filter((F.col("n_tokens") > 0) & (F.col("dup_token_count") * 2 <= F.col("n_tokens")))
         .select("doc_id", "source")
+        # stage boundary: the mixture sampler consumes `clean` TWICE (the
+        # domain-count aggregate and the row filter), and without a
+        # materialization each consumer re-derives the entire span-stats
+        # subtree — the plan audit counted 16 documents scans. The survivor
+        # set is (id, source)-narrow, so one eager checkpoint collapses the
+        # replay to the operator's own scans, exactly what a real pipeline
+        # does by writing the cleaned batch.
+        .localCheckpoint(eager=True)
     )
     mixed = SA.domain_mixture_sample(
         clean, "doc_id", "source", temperature=0.5, budget_frac=0.6, seed=23

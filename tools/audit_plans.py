@@ -91,6 +91,19 @@ EXPLAINED = {
     "q_unigram_logprob": "LM build + scoring side (documented 2 tokenizes)",
     "q_update_submitter": "aggregate + anti-union branches",
     "q_validate_orders": "row rules + unique + referential checks",
+    "q_asof_forward_tolerance": "events as both quote and trade stream (self as-of)",
+    "q_asof_nearest": "events as both quote and trade stream (self as-of)",
+    "q_curation_mix": "union fixture x span-stats internal consumers; survivor set checkpointed at the stage boundary (was 16 scans unchecked)",
+    "q_domain_mixture_sample": "domain-count aggregate + row-filter pass (rates derived from the corpus itself)",
+    "q_domain_mixture_upsample": "domain-count aggregate + repeat-epoch expansion pass",
+    "q_duplicate_spans": "union fixture x 3 operator consumers (gram agg, semi join, n_tokens join-back) — a 2nd/3rd scan beats materializing a row-per-token frame",
+    "q_embedding_lsh_cc_dedup": "pair join: both sides from one table",
+    "q_filter_old_values": "current vs incoming fixture from one table",
+    "q_full_refresh_merge": "target + incoming + tombstone branches",
+    "q_geocode_crosswalk": "address input + crosswalk fixture from one table",
+    "q_gopher_full_features": "line / top-ngram / dup-ngram signal families",
+    "q_nfc_normalize": "planted-NFD union fixture",
+    "q_perplexity_buckets": "LM build + scoring pass + language join-back (documented 2-tokenize, same as q_unigram_logprob)",
 }
 
 
