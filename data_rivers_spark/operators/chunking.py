@@ -128,3 +128,61 @@ def chunk_and_pack(
         "chunk_idx",
         "n_chunk_tokens",
     )
+
+
+SENTENCE_PATTERN = r"[^.!?]+[.!?]+\s*|[^.!?]+$"
+"""Sentence segmentation regex, deliberately restricted to syntax that Java
+(Spark) and RE2 (DuckDB) evaluate identically — no lookbehind, which RE2
+lacks. Each match is a run of non-terminator characters plus its terminator
+run and trailing whitespace; a final unterminated fragment matches via the
+second alternative. Probed for parity across empty / whitespace-only /
+unterminated / multi-space inputs."""
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int = 256,
+) -> DataFrame:
+    """Sentence-boundary chunking: never split mid-sentence. Sentences are
+    extracted with SENTENCE_PATTERN, each is assigned to the chunk its
+    FIRST token lands in (the same start-position binning as
+    textstats.sequential_pack), and chunks rejoin in document order — a
+    sentence longer than the budget simply occupies its chunk alone
+    (subsequent sentences start past the next budget boundary).
+
+    Output: (id_col, chunk_idx, chunk_text, n_sentences, n_tokens).
+    Sentence boundaries and whitespace are preserved verbatim in
+    chunk_text (concatenation of the original sentence slices), so
+    un-chunking is lossless modulo the document's own text.
+
+    Scale: one Generate (posexplode of the sentence array), one window +
+    hash aggregate, both partitioned by the doc id — a single shuffle, no
+    UDF, no all-pairs anything."""
+    from pyspark.sql import Window
+
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_PATTERN), 0)
+        ).alias("__pos", "__sent"),
+    )
+    n_tok = F.size(words(F.col("__sent")))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    binned = sents.withColumn("__n_tok", n_tok).withColumn(
+        "chunk_idx",
+        F.floor(
+            (F.sum("__n_tok").over(w) - F.col("__n_tok"))
+            / F.lit(budget_tokens)
+        ).cast("long"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "__sent"))),
+        lambda x: x["__sent"],
+    )
+    return binned.groupBy(id_col, "chunk_idx").agg(
+        F.array_join(ordered, "").alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("__n_tok").alias("n_tokens"),
+    )

@@ -261,3 +261,75 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "q_chunk_sentences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = ''
+                  THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(
+                    REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'),
+                    '\\s+') END AS ws
+      FROM documents
+    ), dotted AS (
+      -- plant sentence terminators: 7-token sentences ending in '.'
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST_TRANSFORM(
+               GENERATE_SERIES(0, CAST(CEIL(LEN(ws) / 7.0) AS INT) - 1),
+               i -> ARRAY_TO_STRING(ws[i*7+1 : i*7+7], ' ') || '.'), ' ') AS text
+      FROM toks WHERE LEN(ws) > 0
+    ), s AS (
+      SELECT doc_id, arr[i] AS sent, i AS pos
+      FROM (SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(text, '[^.!?]+[.!?]+\\s*|[^.!?]+$') AS arr
+            FROM dotted),
+           UNNEST(GENERATE_SERIES(1, LEN(arr))) AS t(i)
+    ), tok AS (
+      SELECT doc_id, pos, sent,
+             CASE WHEN REGEXP_REPLACE(sent, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(
+                    REGEXP_REPLACE(LOWER(sent), '^\\s+|\\s+$', '', 'g'),
+                    '\\s+')) END AS n_tok
+      FROM s
+    ), b AS (
+      SELECT doc_id, pos, sent, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tok) / 24.0) AS BIGINT) AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, chunk_idx,
+           STRING_AGG(sent, '' ORDER BY pos) AS chunk_text,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking into 24-token-budget chunks — the
+    never-split-mid-sentence RAG segmentation. The corpus has no natural
+    terminators, so the fixture re-punctuates each doc into 7-token dotted
+    sentences first (both engines replay the identical construction);
+    budget 24 then packs ~3 sentences per chunk with a short tail. The
+    segmentation regex is restricted to Java/RE2-common syntax
+    (chunking.SENTENCE_PATTERN) so the oracle extracts identical sentence
+    slices; binning and concatenation are pure integer/window arithmetic."""
+    from data_rivers_spark.operators.chunking import chunk_by_sentences
+    from data_rivers_spark.operators.dedup import words
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    ws = words(F.col("text"))
+    nsent = F.ceil(F.size(ws) / F.lit(7.0)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), nsent - 1),
+        lambda i: F.concat(F.concat_ws(" ", F.slice(ws, i * 7 + 1, 7)), F.lit(".")),
+    )
+    dotted = (
+        t["documents"]
+        .filter(F.size(ws) > 0)
+        .select("doc_id", F.array_join(sents, " ").alias("text"))
+    )
+    return chunk_by_sentences(dotted, "text", "doc_id", budget_tokens=24)

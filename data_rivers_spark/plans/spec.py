@@ -129,6 +129,7 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "kmeans_semantic_dedup": _simple(SIM.kmeans_semantic_dedup),
     "chunk_documents": _simple(CH.chunk_documents),
     "chunk_and_pack": _simple(CH.chunk_and_pack),
+    "chunk_by_sentences": _simple(CH.chunk_by_sentences),
     "nfc_normalize_text": _simple(TN.nfc_normalize_text),
     "remove_repeated_lines": _simple(TN.remove_repeated_lines),
     # geo verbs (single-frame; the two-frame revgeo join is a CTX op below)

@@ -132,3 +132,42 @@ class TestRemoveRepeatedLines:
         )
         row = remove_repeated_lines(aug, "text").collect()[0]
         assert row.text == "p\nq"
+
+
+class TestChunkBySentences:
+    def test_never_splits_sentences(self, spark):
+        from data_rivers_spark.operators.chunking import chunk_by_sentences
+
+        text = "one two three. four five six! seven eight nine? ten"
+        df = _docs(spark, [(1, text)])
+        out = sorted(
+            chunk_by_sentences(df, "text", "doc_id", budget_tokens=5).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # 4 sentences of 3/3/3/1 tokens; budget 5 -> starts 0,3,6,9 ->
+        # chunks 0,0,1,1
+        assert [r.n_sentences for r in out] == [2, 2]
+        assert out[0].chunk_text == "one two three. four five six! "
+        assert out[1].chunk_text == "seven eight nine? ten"
+        # reassembling chunks reproduces the document verbatim
+        assert "".join(r.chunk_text for r in out) == text
+
+    def test_giant_sentence_gets_own_chunk(self, spark):
+        from data_rivers_spark.operators.chunking import chunk_by_sentences
+
+        text = " ".join(["w"] * 20) + ". short one."
+        df = _docs(spark, [(1, text)])
+        out = sorted(
+            chunk_by_sentences(df, "text", "doc_id", budget_tokens=8).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert out[0].n_sentences == 1 and out[0].n_tokens == 20
+        assert out[1].chunk_text == "short one."
+
+    def test_unterminated_and_empty(self, spark):
+        from data_rivers_spark.operators.chunking import chunk_by_sentences
+
+        df = _docs(spark, [(1, "no terminator here"), (2, "")])
+        out = chunk_by_sentences(df, "text", "doc_id", budget_tokens=4).collect()
+        assert {r.doc_id for r in out} == {1}  # empty doc emits nothing
+        assert out[0].chunk_text == "no terminator here"
