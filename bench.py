@@ -84,6 +84,11 @@ HEADLINE = [
     "q_semantic_dedup_kmeans",
     "q_bpe_pair_counts",
     "q_curation_mix",
+    # round 5b: token-window + sentence-boundary chunking (zero/one-shuffle
+    # explodes) and the one Arrow-UDF hot path (NFC normalization)
+    "q_chunk_documents",
+    "q_chunk_sentences",
+    "q_nfc_normalize",
 ]
 
 

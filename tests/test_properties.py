@@ -239,3 +239,40 @@ def test_bpe_round_conservation(spark, rows):
     # least once per word containing the pair
     assert before - after <= top.pair_count
     assert after < before
+
+
+@given(texts, st.integers(1, 12))
+@SET
+def test_chunk_by_sentences_roundtrip(spark, rows, budget):
+    """Sentence chunking invariants at any budget: concatenating a doc's
+    chunks in order reproduces the concatenation of its extracted sentences
+    (lossless modulo unmatched bare-terminator runs, which the segmentation
+    regex deliberately drops), token totals equal the whitespace token
+    count of the claimed text, and docs with no sentences emit nothing."""
+    import re
+
+    from data_rivers_spark.operators.chunking import (
+        SENTENCE_PATTERN,
+        chunk_by_sentences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], ["doc_id", "text"]
+    )
+    out = chunk_by_sentences(df, "text", "doc_id", budget_tokens=budget).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(rows):
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        sents = re.findall(SENTENCE_PATTERN, t)
+        if not sents:
+            assert not got
+            continue
+        claimed = "".join(sents)
+        assert "".join(r.chunk_text for r in got) == claimed
+        assert all(r.n_sentences >= 1 for r in got)
+        # token totals are PER-SENTENCE whitespace counts: a terminator
+        # without trailing whitespace ('a?a') splits into two sentences
+        # and thus two tokens, more than the whole-text split would give
+        assert sum(r.n_tokens for r in got) == sum(len(s.split()) for s in sents)
