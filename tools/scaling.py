@@ -155,6 +155,7 @@ OPS_DOC = (
     "chunk_documents",
     "chunk_pack",
     "nfc_normalize",
+    "chunk_sentences",
 )
 OPS_EMB = ("signlsh_topk", "kmeans_semantic_dedup")
 
@@ -239,6 +240,9 @@ def _op_fn(name: str):
             pack_budget=2048,
         ),
         "nfc_normalize": lambda d: TN.nfc_normalize_text(d, "text"),
+        "chunk_sentences": lambda d: CH.chunk_by_sentences(
+            d, "text", "doc_id", budget_tokens=64
+        ),
         # one full BPE round: corpus -> word-freq table -> pair stats
         "bpe_round": lambda d: TX.bpe_pair_counts(
             TX.word_frequency_table(d, "text"), top_k=30
