@@ -333,3 +333,66 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_join(sents, " ").alias("text"))
     )
     return chunk_by_sentences(dotted, "text", "doc_id", budget_tokens=24)
+
+
+@query(
+    "q_url_domains",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/page-' || CAST(doc_id AS VARCHAR)
+                       || ' and http://mirror.example/x'
+                  ELSE text END AS text
+      FROM documents
+    ), u AS (
+      SELECT doc_id, UNNEST(REGEXP_EXTRACT_ALL(text, 'https?://[^\\s]+')) AS url
+      FROM aug
+    ), h AS (
+      SELECT doc_id, REGEXP_EXTRACT(url, 'https?://([^/\\s]+)', 1) AS domain FROM u
+    )
+    SELECT domain,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM h GROUP BY domain
+    """,
+)
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL telemetry — the aggregate a crawl-curation pipeline
+    feeds its domain blocklist/allowlist decisions from (RefinedWeb §3.1
+    URL filtering operates on exactly this table). The corpus has no URLs,
+    so the fixture plants two per third doc (one doc-varying domain, one
+    constant). Extraction uses an RE2/Java-common pattern; host = first
+    capture group, counted as (distinct docs, total occurrences) per
+    domain. Scale: one Generate + one map-side-combinable aggregate on the
+    domain key — no shuffle beyond the count."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    aug = t["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/page-"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and http://mirror.example/x"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    urls = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"https?://[^\s]+"), 0)
+        ).alias("url"),
+    )
+    hosts = urls.select(
+        "doc_id",
+        F.regexp_extract("url", r"https?://([^/\s]+)", 1).alias("domain"),
+    )
+    return hosts.groupBy("domain").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
