@@ -26,6 +26,21 @@ inspection; "calib_sec" anchors cross-round host-speed attribution.
 
 Each query executes fully via a noop-format write (drains every partition
 through the whole plan, no driver-side collect overhead).
+
+Round-7 additions, closing the r6 verdict's two measurement gaps:
+
+1. **Per-sample telemetry**: every timed sample records the JVM's GC-time
+   delta and the peak heap across that sample (GarbageCollector/MemoryPool
+   MXBeans, peaks reset per sample). Samples exceeding 3x their query's
+   across-everything min get a named cause in "outliers": "gc" when the
+   GC delta explains >=50% of the excess, else "host" (the r6 record had
+   a 43.8s sample on a 1.5s-floor query with no way to attribute it).
+2. **Full-artifact persistence**: the parent writes the COMPLETE result
+   JSON to bench_out/latest.json (the driver keeps only a 2,000-char tail
+   of stdout, which destroyed r6's per-run medians and r5's record
+   entirely); round close commits it as bench_out/rN.json. The stdout
+   JSON also orders the headline aggregates (queries/min/value/calib)
+   LAST so the tail the driver retains contains the numbers that matter.
 """
 
 from __future__ import annotations
@@ -84,6 +99,10 @@ HEADLINE = [
     "q_semantic_dedup_kmeans",
     "q_bpe_pair_counts",
     "q_curation_mix",
+    # round 7: the composed 3-round BPE training loop (driver-side argmax
+    # alternation over the vocabulary frame — measures the per-round
+    # collect+checkpoint overhead the one-round row doesn't see)
+    "q_bpe_train_rounds",
     # round 5b: token-window + sentence-boundary chunking (zero/one-shuffle
     # explodes) and the one Arrow-UDF hot path (NFC normalization)
     "q_chunk_documents",
@@ -109,6 +128,34 @@ def _release_new_rdds(spark, keep: set) -> None:
 def _sf_of(sf_dir: str) -> float | None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else None
+
+
+class _JvmTelemetry:
+    """Per-sample JVM counters via the management MXBeans (py4j): total GC
+    time across collectors, and peak heap usage across heap pools (peaks
+    reset before each sample so the number is per-sample, not per-JVM).
+    Driver-side and O(#beans) per call — nanoseconds next to any query."""
+
+    def __init__(self, spark) -> None:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        self._gc_beans = list(mf.getGarbageCollectorMXBeans())
+        self._heap_pools = [
+            p
+            for p in mf.getMemoryPoolMXBeans()
+            if p.getType().toString() == "Heap memory"
+        ]
+
+    def gc_ms(self) -> int:
+        return sum(b.getCollectionTime() for b in self._gc_beans)
+
+    def reset_peaks(self) -> None:
+        for p in self._heap_pools:
+            p.resetPeakUsage()
+
+    def peak_heap_mb(self) -> int:
+        return sum(p.getPeakUsage().getUsed() for p in self._heap_pools) // (
+            1024 * 1024
+        )
 
 
 def run_child(sf_dir: str, gen_plans_after: bool) -> None:
@@ -162,6 +209,8 @@ def run_child(sf_dir: str, gen_plans_after: bool) -> None:
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    telem: dict[str, list[dict]] = {}
+    jvm = _JvmTelemetry(spark)
     # NOTE: an explicit System.gc() per sample was tried and REJECTED — it
     # produced an 18.8s first-iteration outlier on the curation pipeline
     # (full GC landing mid-query) and no measurable stabilization; the
@@ -169,12 +218,24 @@ def run_child(sf_dir: str, gen_plans_after: bool) -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         samples: list[float] = []
+        tsamples: list[dict] = []
         for _ in range(iters):
+            jvm.reset_peaks()
+            gc0 = jvm.gc_ms()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(round(time.time() - t0, 3))
+            sec = round(time.time() - t0, 3)
+            samples.append(sec)
+            tsamples.append(
+                {
+                    "sec": sec,
+                    "gc_sec": round((jvm.gc_ms() - gc0) / 1000.0, 3),
+                    "peak_heap_mb": jvm.peak_heap_mb(),
+                }
+            )
             _release_new_rdds(spark, keep)
         raw[name] = samples
+        telem[name] = tsamples
         times[name] = sorted(samples)[len(samples) // 2]
 
     if gen_plans_after and not os.environ.get("SPARK_GRAFT_SKIP_PLANS"):
@@ -186,7 +247,11 @@ def run_child(sf_dir: str, gen_plans_after: bool) -> None:
         gen_plans.generate(spark, sf_dir, HEADLINE)
         print("PLANS.md regenerated", file=sys.stderr)
 
-    print(json.dumps({"queries": times, "iters": raw, "calib_sec": calib}))
+    print(
+        json.dumps(
+            {"queries": times, "iters": raw, "telemetry": telem, "calib_sec": calib}
+        )
+    )
 
 
 def main() -> None:
@@ -199,6 +264,7 @@ def main() -> None:
     per_run: list[dict[str, float]] = []
     calibs: list[float] = []
     all_iters: dict[str, list[float]] = {q: [] for q in HEADLINE}
+    all_telem: dict[str, list[dict]] = {q: [] for q in HEADLINE}
     for i in range(runs):
         argv = [sys.executable, os.path.abspath(__file__), "--child"]
         if i == runs - 1:
@@ -212,31 +278,55 @@ def main() -> None:
         calibs.append(child.get("calib_sec"))
         for q, samples in child["iters"].items():
             all_iters[q].extend(samples)
+        for q, tsamples in child.get("telemetry", {}).items():
+            all_telem[q].extend({**t, "run": i} for t in tsamples)
         sys.stderr.write(
             f"run {i + 1}/{runs}: total {round(sum(child['queries'].values()), 3)}s\n"
         )
 
     merged = {q: min(r[q] for r in per_run) for q in HEADLINE}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(merged.values()), 3),
-                "unit": "sec",
-                # min over cold-JVM runs of each run's per-query median —
-                # the host-contention-robust number (see module docstring)
-                "queries": merged,
-                "runs": per_run,
-                "iters": all_iters,
-                "min": {q: min(all_iters[q]) for q in HEADLINE},
-                "bench_runs": runs,
-                # min over runs of the in-child median — compare across
-                # rounds to separate host-speed shifts from plan changes
-                "calib_sec": min([c for c in calibs if c is not None], default=None),
-                "sf": _sf_of(sf_dir),
-            }
-        )
-    )
+    mins = {q: min(all_iters[q]) for q in HEADLINE}
+    # name the cause of every >3x-of-min sample: "gc" when the sample's GC
+    # delta covers >=50% of its excess over the query min, else "host"
+    # (shared-machine contention — nothing inside the JVM accounts for it)
+    outliers: dict[str, list[dict]] = {}
+    for q, tsamples in all_telem.items():
+        flagged = []
+        for t in tsamples:
+            if t["sec"] > 3 * mins[q] and t["sec"] - mins[q] > 0.5:
+                excess = t["sec"] - mins[q]
+                cause = "gc" if t.get("gc_sec", 0) >= 0.5 * excess else "host"
+                flagged.append({**t, "cause": cause})
+        if flagged:
+            outliers[q] = flagged
+
+    result = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "bench_runs": runs,
+        "sf": _sf_of(sf_dir),
+        # bulky diagnostics FIRST: the driver retains only a stdout tail,
+        # so the aggregates that matter must be at the END of the line
+        "iters": all_iters,
+        "telemetry": all_telem,
+        "runs": per_run,
+        "outliers": outliers,
+        # min over cold-JVM runs of each run's per-query median — the
+        # host-contention-robust number (see module docstring)
+        "queries": merged,
+        "min": mins,
+        # min over runs of the in-child median — compare across rounds to
+        # separate host-speed shifts from plan changes
+        "calib_sec": min([c for c in calibs if c is not None], default=None),
+        "value": round(sum(merged.values()), 3),
+    }
+    # persist the COMPLETE artifact (the driver's 2,000-char stdout tail
+    # lost r6's per-run medians; bench_out/rN.json is committed per round)
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "latest.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -136,7 +136,17 @@ SENTENCE_PATTERN = r"[^.!?]+[.!?]+\s*|[^.!?]+$"
 lacks. Each match is a run of non-terminator characters plus its terminator
 run and trailing whitespace; a final unterminated fragment matches via the
 second alternative. Probed for parity across empty / whitespace-only /
-unterminated / multi-space inputs."""
+unterminated / multi-space inputs.
+
+Semantic limitation (a recorded contract, pinned by test): EVERY '.' run
+terminates a sentence, so abbreviations and decimals split — 'U.S. Steel'
+is two sentences ('U.', 'S. Steel…') and '3.14' splits after '3.'. This
+is the deliberate trade for oracle-replayability and a single
+whole-stage-codegen pass: exception-aware splitters need either a
+curated abbreviation lexicon (a broadcast join this operator's caller can
+compose via its own pre-tokenization) or lookbehind, which RE2 lacks.
+Chunk boundaries only ever move a few tokens under over-splitting —
+chunk_text still concatenates the ORIGINAL slices losslessly."""
 
 
 def chunk_by_sentences(

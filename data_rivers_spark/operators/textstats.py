@@ -1176,3 +1176,134 @@ def bpe_apply_merge(
         ).otherwise(F.concat(acc, F.array(s))),
     )
     return word_freq.withColumn(symbols_col, folded)
+
+
+def train_bpe(
+    word_freq: DataFrame,
+    n_merges: int,
+    symbols_col: str = "symbols",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Full BPE training loop (Sennrich et al. 2016 §3.2: repeat n_merges
+    times: count pairs, merge the most frequent): alternates
+    bpe_pair_counts (argmax) with bpe_apply_merge over the SAME
+    vocabulary frame. Returns (merges, vocab) where merges is the learned
+    merge list [(left, right, pair_count), ...] in training order and
+    vocab is the word table carrying the post-training symbol sequences.
+
+    The loop is driver-side by design — each round moves exactly ONE row
+    (the argmax pair) to the driver, and the per-round dataframe work is
+    vocabulary-sized, not corpus-sized: the corpus is touched exactly once,
+    by word_frequency_table, before this function is called. The vocab
+    frame is eagerly localCheckpointed each round, which (a) keeps the
+    fold expressions from nesting n_merges deep in one Catalyst plan
+    (analysis cost grows superlinearly with nested HOF lambdas) and (b)
+    caps lineage so round k plans against round k-1's materialized result.
+    Ties in the argmax break on (pair_count desc, left asc, right asc) —
+    a total order, so training is deterministic (property-tested).
+
+    Training stops early if no pair remains (every word fully merged)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    vocab = word_freq
+    if symbols_col not in vocab.columns:
+        vocab = vocab.withColumn(symbols_col, F.split(F.col("word"), ""))
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = bpe_pair_counts(vocab, top_k=1, symbols_col=symbols_col).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((left, right, cnt))
+        vocab = bpe_apply_merge(vocab, left, right, symbols_col).localCheckpoint(
+            eager=True
+        )
+    return merges, vocab
+
+
+def bpe_train_merges(word_freq: DataFrame, n_merges: int) -> DataFrame:
+    """train_bpe as a single-frame verb: the learned merge table
+    (round, left, right, pair_count), round starting at 1 in training
+    order — the artifact a tokenizer-training pipeline persists."""
+    merges, _ = train_bpe(word_freq, n_merges)
+    spark = word_freq.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        schema="round int, left string, right string, pair_count bigint",
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    ndigits: int = 4,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document with the self-unigram-LM fluency signal, then split
+    each ``group_col`` partition (language, in CCNet) into len(labels)
+    equal percentile slices — 'head' is the most-fluent slice a curation
+    pipeline keeps outright, 'tail' gets re-filtered or dropped.
+
+    Untokenizable documents (zero tokens) are excluded — they have no
+    fluency to rank. The (score desc, id) window order is a total order,
+    so bucketing is deterministic and oracle-replayable.
+
+    Scale: unigram_logprob_score's token-keyed join + one group-keyed
+    window — percentiles per group, never a global sort."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_score(
+        df.select(id_col, text_col), text_col, id_col, ndigits=ndigits
+    ).filter(F.col("n_tokens") > 0)
+    ranked = scored.join(df.select(id_col, group_col), id_col).withColumn(
+        "__pr",
+        F.percent_rank().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col("unigram_logprob").desc(), F.col(id_col)
+            )
+        ),
+    )
+    n = len(labels)
+    bucket = F.when(F.col("__pr") < 1.0 / n, labels[0])
+    for k in range(2, n):
+        bucket = bucket.when(F.col("__pr") < k * 1.0 / n, labels[k - 1])
+    bucket = bucket.otherwise(labels[-1])
+    return ranked.select(
+        id_col, group_col, "unigram_logprob", bucket.alias("bucket")
+    )
+
+
+def url_domain_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    url_pattern: str = r"https?://[^\s]+",
+    domain_pattern: str = r"https?://([^/\s]+)",
+) -> DataFrame:
+    """Per-domain URL telemetry — the (domain, n_docs, n_occurrences)
+    aggregate a crawl-curation pipeline feeds its domain blocklist /
+    allowlist decisions from (RefinedWeb §3.1 URL filtering operates on
+    exactly this table). Patterns are RE2/Java-common, so the operator is
+    oracle-replayable verbatim.
+
+    Scale: one Generate (URL explode) + one aggregate keyed on the domain;
+    COUNT(*) combines map-side and COUNT(DISTINCT id) expands to the
+    standard two-phase partial aggregate — nothing wider than the domain
+    key ever shuffles."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(url_pattern), 0)
+        ).alias("url"),
+    )
+    hosts = urls.select(
+        F.col(id_col),
+        F.regexp_extract("url", domain_pattern, 1).alias("domain"),
+    )
+    return hosts.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )

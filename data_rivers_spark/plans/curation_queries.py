@@ -234,33 +234,13 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     + percent_rank trim); the (score DESC, doc_id) order makes every rank
     distinct so both engines bucket identically. Scale: one token-keyed
     join for the LM, one lang-keyed window — percentiles per language, not
-    global, so no single-partition sort."""
-    from pyspark.sql import Window
-
+    global, so no single-partition sort. The whole thing is one operator
+    call (textstats.perplexity_buckets) so it is also a spec verb."""
     from data_rivers_spark.operators import textstats as TX
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text", "lang")
-    scored = TX.unigram_logprob_score(
-        docs.select("doc_id", "text"), "text", "doc_id"
-    ).filter(F.col("n_tokens") > 0)
-    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
-        "pr",
-        F.percent_rank().over(
-            Window.partitionBy("lang").orderBy(
-                F.col("unigram_logprob").desc(), F.col("doc_id")
-            )
-        ),
-    )
-    return ranked.select(
-        "doc_id",
-        "lang",
-        "unigram_logprob",
-        F.when(F.col("pr") < 1.0 / 3, "head")
-        .when(F.col("pr") < 2.0 / 3, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    )
+    return TX.perplexity_buckets(docs, "text", "doc_id", "lang")
 
 
 @query(
@@ -366,7 +346,10 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant). Extraction uses an RE2/Java-common pattern; host = first
     capture group, counted as (distinct docs, total occurrences) per
     domain. Scale: one Generate + one map-side-combinable aggregate on the
-    domain key — no shuffle beyond the count."""
+    domain key — no shuffle beyond the count. The extraction+aggregate is
+    one operator call (textstats.url_domain_stats) so it is a spec verb."""
+    from data_rivers_spark.operators import textstats as TX
+
     t = load_tables(spark, sf_dir, ["documents"])
     aug = t["documents"].select(
         "doc_id",
@@ -382,17 +365,4 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")).alias("text"),
     )
-    urls = aug.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all("text", F.lit(r"https?://[^\s]+"), 0)
-        ).alias("url"),
-    )
-    hosts = urls.select(
-        "doc_id",
-        F.regexp_extract("url", r"https?://([^/\s]+)", 1).alias("domain"),
-    )
-    return hosts.groupBy("domain").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_occurrences"),
-    )
+    return TX.url_domain_stats(aug, "text", "doc_id")

@@ -2459,6 +2459,66 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_pair_counts(wf, top_k=30)
 
 
+def _bpe_round_ctes(k: int) -> str:
+    """One count→argmax→apply round of the BPE training oracle. Symbols are
+    replayed as a wrapped string '<s1><s2>...' so DuckDB's left-to-right
+    non-overlapping REPLACE reproduces bpe_apply_merge's greedy fold
+    exactly ('<a><a><a>' + merge(a,a) → '<aa><a>', verified both ways);
+    the wrapping is unambiguous because the fixture corpus contains no
+    '<'/'>' (an ORACLE-fixture constraint only — the Spark operator keeps
+    symbols as a real array and has no charset constraint)."""
+    return f"""
+    p{k} AS (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+        SELECT syms[i] AS l, syms[i + 1] AS r, freq FROM (
+          SELECT freq, REGEXP_EXTRACT_ALL(rep, '<([^<>]*)>', 1) AS syms FROM s{k}
+        ), UNNEST(GENERATE_SERIES(1, LEN(syms) - 1)) AS t(i)
+      ) GROUP BY l, r
+    ), m{k} AS (
+      SELECT l, r, pair_count FROM p{k} ORDER BY pair_count DESC, l, r LIMIT 1
+    ), s{k + 1} AS (
+      SELECT freq,
+             REPLACE(rep, '<' || m{k}.l || '><' || m{k}.r || '>',
+                     '<' || m{k}.l || m{k}.r || '>') AS rep
+      FROM s{k}, m{k}
+    )"""
+
+
+@query(
+    "q_bpe_train_rounds",
+    oracle="""
+    WITH w AS (
+      SELECT CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq
+      FROM w, UNNEST(ws) AS t(word) GROUP BY word
+    ), s1 AS (
+      SELECT freq, '<' || ARRAY_TO_STRING(STRING_SPLIT(word, ''), '><') || '>' AS rep
+      FROM wf
+    ),"""
+    + ",".join(_bpe_round_ctes(k) for k in (1, 2, 3))
+    + """
+    SELECT 1 AS round, l AS left, r AS right, pair_count FROM m1
+    UNION ALL SELECT 2, l, r, pair_count FROM m2
+    UNION ALL SELECT 3, l, r, pair_count FROM m3
+    """,
+)
+def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE composed BPE training rounds (Sennrich et al. 2016 §3.2 trains
+    to a merge budget, not a single round): textstats.train_bpe alternates
+    pair counting with greedy merge application over the vocabulary frame,
+    so round 2's counts see round 1's merged symbols — the composition is
+    what q_bpe_pair_counts (one round) could not verify. The oracle replays
+    all three count→argmax→apply rounds in chained CTEs; the merge lists
+    must agree pair-for-pair AND count-for-count, so a divergence in either
+    half of any round (or in the tie-break order) breaks the hash."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    wf = TX.word_frequency_table(t["documents"], "text")
+    return TX.bpe_train_merges(wf, n_merges=3)
+
+
 @query(
     "q_domain_mixture_upsample",
     oracle="""

@@ -132,6 +132,14 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "chunk_by_sentences": _simple(CH.chunk_by_sentences),
     "nfc_normalize_text": _simple(TN.nfc_normalize_text),
     "remove_repeated_lines": _simple(TN.remove_repeated_lines),
+    # round-7 verb additions: the last registered op families that had no
+    # spec spelling (BPE training, CCNet perplexity trim, URL telemetry)
+    "word_frequency_table": _simple(TX.word_frequency_table),
+    "bpe_pair_counts": _simple(TX.bpe_pair_counts),
+    "bpe_train_merges": _simple(TX.bpe_train_merges),
+    "unigram_logprob_score": _simple(TX.unigram_logprob_score),
+    "perplexity_buckets": _simple(TX.perplexity_buckets),
+    "url_domain_stats": _simple(TX.url_domain_stats),
     # geo verbs (single-frame; the two-frame revgeo join is a CTX op below)
     "city_limits_classify": _simple(G.city_limits_classify),
     # embedding verbs (bucket-first near-dup dispatch, see similarity.py)

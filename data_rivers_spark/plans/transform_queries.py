@@ -397,6 +397,91 @@ def q_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_spec_curation",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), lm AS (
+      SELECT token, COUNT(*) AS cnt FROM ex GROUP BY token
+    ), t AS (
+      SELECT SUM(cnt) AS total FROM lm
+    ), scored AS (
+      SELECT e.doc_id, ROUND(AVG(LN(lm.cnt * 1.0 / t.total)), 4) AS unigram_logprob
+      FROM ex e JOIN lm USING (token) CROSS JOIN t
+      GROUP BY e.doc_id
+    ), ranked AS (
+      SELECT s.doc_id, d.lang, s.unigram_logprob,
+             PERCENT_RANK() OVER (PARTITION BY d.lang
+               ORDER BY s.unigram_logprob DESC, s.doc_id) AS pr
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, unigram_logprob
+    FROM ranked WHERE pr < 1.0/3
+    """,
+)
+def q_spec_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CURATION pipeline built entirely from a declarative spec: the
+    CCNet perplexity-bucket trim (keep the most-fluent third per language)
+    as two spec steps — the round-7 verb additions under the driver's hash
+    gate through the interpreter's dispatch, not just as direct calls."""
+    from data_rivers_spark.plans.spec import run_spec
+
+    spec = {
+        "source": {"table": "documents"},
+        "steps": [
+            {"op": "perplexity_buckets", "text_col": "text",
+             "id_col": "doc_id", "group_col": "lang"},
+            {"op": "filter", "where": "bucket = 'head'"},
+        ],
+        "select": ["doc_id", "lang", "unigram_logprob"],
+    }
+    return run_spec(spark, spec, sf_dir)
+
+
+@query(
+    "q_spec_bpe",
+    oracle="""
+    WITH w AS (
+      SELECT CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq
+      FROM w, UNNEST(ws) AS t(word) GROUP BY word
+    ), pairs AS (
+      SELECT SUBSTRING(word, i, 1) AS l, SUBSTRING(word, i + 1, 1) AS r, freq
+      FROM wf, UNNEST(GENERATE_SERIES(1, LEN(word) - 1)) AS t(i)
+      WHERE LEN(word) >= 2
+    ), pc AS (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY l, r
+    )
+    SELECT l AS left, r AS right, pair_count, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, l, r) AS rank
+      FROM pc
+    ) WHERE rank <= 10
+    """,
+)
+def q_spec_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training front half as a spec: corpus → word/frequency
+    vocabulary → one BPE pair-count round, dispatched through run_spec
+    (the word_frequency_table and bpe_pair_counts verbs). The steps change
+    the frame's shape entirely (corpus rows → vocab rows → pair rows) —
+    exercising that a spec is a pipeline of operators, not column edits."""
+    from data_rivers_spark.plans.spec import run_spec
+
+    spec = {
+        "source": {"table": "documents"},
+        "steps": [
+            {"op": "word_frequency_table", "text_col": "text"},
+            {"op": "bpe_pair_counts", "top_k": 10},
+        ],
+    }
+    return run_spec(spark, spec, sf_dir)
+
+
+@query(
     "q_string_shaping",
     oracle="""
     SELECT c_custkey,

@@ -171,3 +171,32 @@ class TestChunkBySentences:
         out = chunk_by_sentences(df, "text", "doc_id", budget_tokens=4).collect()
         assert {r.doc_id for r in out} == {1}  # empty doc emits nothing
         assert out[0].chunk_text == "no terminator here"
+
+    def test_abbreviations_split_is_the_recorded_contract(self, spark):
+        # SENTENCE_PATTERN deliberately treats EVERY '.' run as a
+        # terminator (docstring: the oracle-replayability trade), so
+        # abbreviations and decimals over-split. Pin it so a future
+        # "smarter" splitter is a recorded semantic change, not drift.
+        import re
+
+        from data_rivers_spark.operators.chunking import (
+            SENTENCE_PATTERN,
+            chunk_by_sentences,
+        )
+
+        text = "U.S. Steel was founded in 1901. Pi is 3.14 roughly."
+        assert re.findall(SENTENCE_PATTERN, text) == [
+            "U.",
+            "S. ",
+            "Steel was founded in 1901. ",
+            "Pi is 3.",
+            "14 roughly.",
+        ]
+        df = _docs(spark, [(1, text)])
+        out = sorted(
+            chunk_by_sentences(df, "text", "doc_id", budget_tokens=100).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert out[0].n_sentences == 5  # 2 abbrev splits + 1 decimal split
+        # over-splitting never loses text: the chunk is still verbatim
+        assert "".join(r.chunk_text for r in out) == text

@@ -988,6 +988,50 @@ def test_bpe_apply_merge_greedy_nonoverlapping(spark):
     assert syms["aaaa"] == ["aa", "aa"]
 
 
+def test_train_bpe_composed_rounds(spark):
+    # Sennrich et al.'s worked example shape: 'low'-family corpus. Round 1
+    # merges the most frequent adjacent pair, round 2 must see round 1's
+    # merged symbols (the composition one-round tests can't check).
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "newer newer wider")],
+        ["doc_id", "text"],
+    )
+    wf = TX.word_frequency_table(df, "text")
+    merges, vocab = TX.train_bpe(wf, 3)
+    # round 1: lo/ow tie at 5, (l,o) wins on left asc; round 2: the
+    # survivor pair (lo,w) at 5; round 3: (e,r) at 4 (lower + 2x newer +
+    # wider) now tops (low,e)=2 and (w,e)=... which fell to 2 with 'low'
+    # fully fused.
+    assert merges[0] == ("l", "o", 5)
+    assert merges[1] == ("lo", "w", 5)
+    assert merges[2] == ("e", "r", 4)
+    syms = {r.word: r.symbols for r in vocab.collect()}
+    assert syms["low"] == ["low"]
+    assert syms["lowest"] == ["low", "e", "s", "t"]
+    assert syms["newer"] == ["n", "e", "w", "er"]
+
+
+def test_train_bpe_deterministic_and_exhausts(spark):
+    df = spark.createDataFrame([(1, "ab ab ba")], ["doc_id", "text"])
+    wf = TX.word_frequency_table(df, "text")
+    # deterministic: two independent runs produce identical merge lists
+    m1, _ = TX.train_bpe(wf, 2)
+    m2, _ = TX.train_bpe(wf, 2)
+    assert m1 == m2
+    # tie between (a,b) count 2 and (b,a) count 1 -> (a,b) first
+    assert m1[0] == ("a", "b", 2)
+    # exhaustion: once every word is a single symbol, training stops early
+    m3, vocab = TX.train_bpe(wf, 10)
+    assert len(m3) == 2
+    assert all(len(r.symbols) == 1 for r in vocab.collect())
+    # the single-frame verb carries the round index
+    mdf = TX.bpe_train_merges(wf, 2).collect()
+    assert [(r["round"], r["left"], r["right"]) for r in mdf] == [
+        (1, "a", "b"),
+        (2, "b", "a"),
+    ]
+
+
 def test_domain_mixture_upsample_epochs(spark):
     from data_rivers_spark.operators import sampling as SA
 

@@ -416,3 +416,55 @@ def test_spec_chunk_and_textnorm_verbs(spark):
         source_df=spark.createDataFrame([(1, "cafe" + chr(769))], "doc_id long, text string"),
     ).collect()
     assert nfc[0].text == "café"
+
+
+def test_spec_curation_round7_verbs(spark):
+    """The round-7 verb additions dispatch through run_spec: URL telemetry,
+    perplexity buckets, and the two-step BPE front half (vocab -> pair
+    counts), each equal to the direct operator call."""
+    from data_rivers_spark.operators import textstats as TX
+    from data_rivers_spark.plans.spec import run_spec
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://a.example/x and https://a.example/y", "en"),
+            (2, "plain text with common words here", "en"),
+            (3, "http://b.example/z rare gibberish zqxv", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    got = run_spec(
+        spark,
+        {"steps": [{"op": "url_domain_stats", "text_col": "text",
+                    "id_col": "doc_id"}]},
+        source_df=docs,
+    ).collect()
+    stats = {r.domain: (r.n_docs, r.n_occurrences) for r in got}
+    assert stats == {"a.example": (1, 2), "b.example": (1, 1)}
+
+    buckets = run_spec(
+        spark,
+        {"steps": [{"op": "perplexity_buckets", "text_col": "text",
+                    "id_col": "doc_id", "group_col": "lang"}]},
+        source_df=docs,
+    ).collect()
+    assert {r.doc_id for r in buckets} == {1, 2, 3}
+    assert all(r.bucket in {"head", "middle", "tail"} for r in buckets)
+
+    pairs = run_spec(
+        spark,
+        {"steps": [{"op": "word_frequency_table", "text_col": "text"},
+                   {"op": "bpe_pair_counts", "top_k": 5}]},
+        source_df=docs,
+    )
+    want = TX.bpe_pair_counts(TX.word_frequency_table(docs, "text"), top_k=5)
+    assert sorted(map(tuple, pairs.collect())) == sorted(map(tuple, want.collect()))
+
+    merges = run_spec(
+        spark,
+        {"steps": [{"op": "word_frequency_table", "text_col": "text"},
+                   {"op": "bpe_train_merges", "n_merges": 2}]},
+        source_df=docs,
+    ).collect()
+    assert [r["round"] for r in merges] == [1, 2]

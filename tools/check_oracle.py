@@ -6,12 +6,19 @@ compares row count, column names, and an order-insensitive value hash
 round(…, 6)). Usage:
 
     python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
-"""
+    python tools/check_oracle.py --json CORRECTNESS_LOCAL_r07.json
+
+--json writes a per-query result file (status/rows/spark seconds/problems
+per name, plus totals) — the committed per-round record of the FULL local
+gate, covering the queries the driver's 50-name sample never draws (93 of
+176 had never been driver-sampled as of r6; the verdicts' local 176/176
+runs existed only as prose until this artifact)."""
 
 from __future__ import annotations
 
 import argparse
 import hashlib
+import json
 import math
 import os
 import sys
@@ -70,6 +77,8 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", dest="json_path", default=None,
+                    help="write per-query results to this JSON file")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -93,6 +102,7 @@ def main() -> int:
         print(f"unknown queries: {unknown}; available: {sorted(registry.QUERIES)}")
         return 2
     failures = []
+    results: dict[str, dict] = {}
     for name in names:
         fn = registry.QUERIES[name]
         t0 = time.time()
@@ -102,11 +112,14 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "fail", "error": f"spark: {e}"[:500]}
             failures.append(name)
             continue
         spark_t = time.time() - t0
         if name not in registry.ORACLES:
             print(f"weak  {name}: rows={len(srows)} (no oracle) [{spark_t:.1f}s]")
+            results[name] = {"status": "weak", "rows": len(srows),
+                             "spark_sec": round(spark_t, 2)}
             continue
         try:
             res = con.execute(registry.ORACLES[name])
@@ -114,6 +127,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "error": f"duckdb: {e}"[:500]}
             failures.append(name)
             continue
         problems = []
@@ -137,9 +151,28 @@ def main() -> int:
                 for x in oonly:
                     print(f"        duck-only : {x[:200]!r}")
             failures.append(name)
+            results[name] = {"status": "fail", "rows": len(srows),
+                             "problems": problems,
+                             "spark_sec": round(spark_t, 2)}
         else:
             print(f"ok    {name}: rows={len(srows)} [{spark_t:.1f}s]")
+            results[name] = {"status": "ok", "rows": len(srows),
+                             "spark_sec": round(spark_t, 2)}
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if args.json_path:
+        with open(args.json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "total": len(names),
+                    "passed": len(names) - len(failures),
+                    "failures": failures,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json_path}")
     return 1 if failures else 0
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 
 from contextlib import redirect_stdout
@@ -24,7 +25,8 @@ to look for (and what the judge should see): `PushedFilters` reaching the
 parquet scans, pruned `ReadSchema`, `BroadcastHashJoin` for every dimension
 side, a single `Exchange` per aggregation/window, and wide
 `WholeStageCodegen` spans (the hot operators avoid interpreted higher-order
-functions in hot paths).
+functions in hot paths). Catalyst attribute ids are renumbered per-plan in
+first-appearance order, so regenerating unchanged plans is a no-op diff.
 
 Notes on specific plans:
 
@@ -104,6 +106,35 @@ Notes on specific plans:
 """
 
 
+def _stable_ids(plan: str) -> str:
+    """Renumber Catalyst attribute/plan ids (`name#1234`, `[plan_id=#N]`)
+    in first-appearance order within one plan. The global id counter
+    advances with every expression the session ever analyzed, so two
+    regenerations of an UNCHANGED plan differed in every id — each round
+    ended with a 1,500-line PLANS.md diff of pure renumbering (r4 punch
+    item #8, r6 repeat). First-appearance renumbering is a bijection per
+    plan, so distinct attributes stay distinct and an unchanged plan now
+    regenerates byte-identical."""
+    mapping: dict[str, str] = {}
+
+    def sub(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok not in mapping:
+            mapping[tok] = f"#{len(mapping) + 1}"
+        return mapping[tok]
+
+    return re.sub(r"#\d+", sub, plan)
+
+
+# queries whose RESULT frame is driver-materialized (explain would show a
+# bare LocalTableScan): the plan evidence lives in the named component
+# queries instead, and constructing them here would re-run driver loops.
+PLAN_SKIP = {
+    "q_bpe_train_rounds": "driver-side 3-round argmax loop; per-round plans "
+    "are q_bpe_pair_counts' (count) and the vocab-sized merge fold",
+}
+
+
 def generate(spark, sf_dir: str, names: list[str]) -> None:
     """Render .explain('formatted') for `names` into PLANS.md."""
     import __spark_entry__ as entry
@@ -111,11 +142,14 @@ def generate(spark, sf_dir: str, names: list[str]) -> None:
     queries = entry.queries()
     out = [HEADER.format(sf=sf_dir)]
     for name in names:
+        if name in PLAN_SKIP:
+            out.append(f"\n## {name}\n\n(not rendered: {PLAN_SKIP[name]})\n")
+            continue
         df = queries[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out.append(f"\n## {name}\n\n```\n{buf.getvalue().rstrip()}\n```\n")
+        out.append(f"\n## {name}\n\n```\n{_stable_ids(buf.getvalue().rstrip())}\n```\n")
     plans_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
     )

@@ -39,22 +39,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 KS = (1, 4, 16, 64, 256)
 # ops too slow to run at the top octave get capped (recorded as blank).
-# Empty for the single operators since the Manku combination-blocking fix: a
-# fresh-JVM re-measurement put simhash_pairs at 2.8/7.9/15.3/19.9 s for
-# 4x/16x/64x/256x (sub-linear per octave) — the earlier 33 s / 7.53-ratio
-# 64x cell was host contention inside the long multi-op session, not
-# operator behavior. The checkpoint-heavy COMPOSITES are measured 1x-64x
-# (VERDICT r4 #5): each 64x cell is minutes, and the exponent is readable
-# from four octaves.
-MAX_K: dict[str, int] = {
-    "curation_pipeline": 64,
-    "media_dedup": 64,
-    "incremental_lsh_dedup": 64,
-    # round-5 ops measured 1x-64x: four octaves read the exponent
-    "duplicate_spans": 64,
-    "bpe_round": 64,
-    "kmeans_semantic_dedup": 64,
-}
+# Empty since round 7: the six checkpoint-heavy composites previously
+# stopped at 64x ("four octaves read the exponent"), but the r6 verdict
+# flagged that duplicate_spans' last measured ratio sat at 3.99 — exactly
+# where a super-linear term would first show at the NEXT octave — so the
+# 256x cells are now measured for everything. A fresh-JVM re-measurement
+# had earlier put simhash_pairs at 2.8/7.9/15.3/19.9 s for 4x/16x/64x/256x
+# (sub-linear per octave); the 33 s / 7.53-ratio 64x cell was host
+# contention inside the long multi-op session, not operator behavior.
+MAX_K: dict[str, int] = {}
 
 
 def scaled(df, id_col: str, k: int, text_col: str | None = None, vec_col: str | None = None):
