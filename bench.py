@@ -108,6 +108,10 @@ HEADLINE = [
     "q_chunk_documents",
     "q_chunk_sentences",
     "q_nfc_normalize",
+    # round 8: the abbrev-aware opt-in sentence mode (same plan shape as
+    # q_chunk_sentences plus four masking regexp_replaces — the row pins
+    # the masking overhead next to the naive mode's floor)
+    "q_chunk_sentences_abbrev",
 ]
 
 
@@ -134,7 +138,12 @@ class _JvmTelemetry:
     """Per-sample JVM counters via the management MXBeans (py4j): total GC
     time across collectors, and peak heap usage across heap pools (peaks
     reset before each sample so the number is per-sample, not per-JVM).
-    Driver-side and O(#beans) per call — nanoseconds next to any query."""
+    Driver-side and O(#beans) per call — nanoseconds next to any query.
+
+    Scope: observes the DRIVER JVM only, which is the whole story under
+    local-mode execution (driver == executor) — the bench's regime. On a
+    real cluster this would need executor-side metrics instead; don't
+    reuse as-is there."""
 
     def __init__(self, spark) -> None:
         mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
@@ -146,7 +155,10 @@ class _JvmTelemetry:
         ]
 
     def gc_ms(self) -> int:
-        return sum(b.getCollectionTime() for b in self._gc_beans)
+        # getCollectionTime() is spec'd to return -1 when the collector
+        # doesn't support the metric — clamp so one undefined bean can't
+        # corrupt the per-sample delta (and misattribute outliers to "host")
+        return sum(max(0, b.getCollectionTime()) for b in self._gc_beans)
 
     def reset_peaks(self) -> None:
         for p in self._heap_pools:
@@ -321,11 +333,19 @@ def main() -> None:
         "value": round(sum(merged.values()), 3),
     }
     # persist the COMPLETE artifact (the driver's 2,000-char stdout tail
-    # lost r6's per-run medians; bench_out/rN.json is committed per round)
+    # lost r6's per-run medians; bench_out/rN.json is committed per round).
+    # latest.json is overwritten per run, so a round-close run is ALSO
+    # round-stamped via $SPARK_GRAFT_BENCH_TAG=rN (r7's round-close artifact
+    # survived only because the driver's snapshot commit happened to land
+    # before round 8's first bench run).
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "latest.json"), "w") as f:
         json.dump(result, f, indent=1)
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag and re.fullmatch(r"[A-Za-z0-9._-]+", tag):
+        with open(os.path.join(out_dir, f"{tag}.json"), "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 

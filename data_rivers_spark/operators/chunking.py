@@ -149,11 +149,49 @@ Chunk boundaries only ever move a few tokens under over-splitting —
 chunk_text still concatenates the ORIGINAL slices losslessly."""
 
 
+_ABBREV_SENTINEL = "\x01"
+ABBREV_WORDS = (
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Sr", "Jr", "St", "vs", "etc",
+    "Inc", "Ltd", "Corp", "Fig", "Vol", "et al",
+)
+"""Bounded, case-sensitive abbreviation lexicon for ``abbrev_aware``
+sentence mode. Deliberately short and explicit: every entry is replayable
+in the DuckDB oracle via the same alternation, and ambiguous entries
+(words that commonly END sentences, like 'No'/'Co') are excluded — a
+terminal 'etc.' still under-splits, which is the documented trade of any
+lexicon splitter."""
+
+
+def _mask_abbrev_periods(col):
+    """Rewrite non-terminator periods to a sentinel (\\x01) so the
+    RE2-safe SENTENCE_PATTERN stops splitting on them — look-around-free,
+    so DuckDB replays it with the identical rules. Four ordered global
+    rewrites, each expressible in both Java regex and RE2:
+
+    1. decimals: ``3.14`` → ``3␁14``
+    2. dotted-acronym pairs: ``U.S.`` / ``e.g.`` / ``a.m.`` → ``U␁S␁``
+    3. acronym continuation: a ␁-preceded letter-dot extends the run, so
+       ``U.S.A.`` masks fully (scan order means 4+-letter acronyms keep
+       their final dot — bounded, documented)
+    4. the ABBREV_WORDS lexicon: ``Dr.`` → ``Dr␁``
+
+    The sentinel never occurs in text (control char); the caller restores
+    it to '.' per extracted sentence, so chunk_text stays verbatim."""
+    s = _ABBREV_SENTINEL
+    c = F.regexp_replace(col, r"(\d)\.(\d)", "$1" + s + "$2")
+    c = F.regexp_replace(c, r"([A-Za-z])\.([A-Za-z])\.", "$1" + s + "$2" + s)
+    c = F.regexp_replace(c, s + r"([A-Za-z])\.", s + "$1" + s)
+    return F.regexp_replace(
+        c, r"\b(" + "|".join(ABBREV_WORDS) + r")\.", "$1" + s
+    )
+
+
 def chunk_by_sentences(
     df: DataFrame,
     text_col: str,
     id_col: str,
     budget_tokens: int = 256,
+    abbrev_aware: bool = False,
 ) -> DataFrame:
     """Sentence-boundary chunking: never split mid-sentence. Sentences are
     extracted with SENTENCE_PATTERN, each is assigned to the chunk its
@@ -161,6 +199,15 @@ def chunk_by_sentences(
     textstats.sequential_pack), and chunks rejoin in document order — a
     sentence longer than the budget simply occupies its chunk alone
     (subsequent sentences start past the next budget boundary).
+
+    ``abbrev_aware=True`` opts into lexicon-masked segmentation: periods
+    belonging to decimals, dotted acronyms, and ABBREV_WORDS entries are
+    masked to a sentinel before extraction and restored after, so
+    'U.S. Steel' and '3.14' no longer split (the naive default's recorded
+    contract — see SENTENCE_PATTERN — is unchanged). Same plan shape: the
+    masking is three more regexp_replace expressions in the same
+    whole-stage-codegen projection, still zero look-around so the DuckDB
+    oracle replays it exactly.
 
     Output: (id_col, chunk_idx, chunk_text, n_sentences, n_tokens).
     Sentence boundaries and whitespace are preserved verbatim in
@@ -172,12 +219,20 @@ def chunk_by_sentences(
     UDF, no all-pairs anything."""
     from pyspark.sql import Window
 
-    sents = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_PATTERN), 0)
-        ).alias("__pos", "__sent"),
-    )
+    src = F.col(text_col)
+    if abbrev_aware:
+        src = _mask_abbrev_periods(src)
+    sent_expr = F.posexplode(
+        F.regexp_extract_all(src, F.lit(SENTENCE_PATTERN), 0)
+    ).alias("__pos", "__sent")
+    if abbrev_aware:
+        sents = df.select(F.col(id_col), sent_expr).select(
+            id_col,
+            "__pos",
+            F.translate("__sent", _ABBREV_SENTINEL, ".").alias("__sent"),
+        )
+    else:
+        sents = df.select(F.col(id_col), sent_expr)
     n_tok = F.size(words(F.col("__sent")))
     w = Window.partitionBy(id_col).orderBy("__pos")
     binned = sents.withColumn("__n_tok", n_tok).withColumn(

@@ -275,13 +275,16 @@ def perceptual_hash(
     decode failures yield phash=NULL, decode_ok=False."""
     import numpy as np
 
+    # orthonormal DCT-II matrix — input-independent, so built ONCE per task
+    # (it was previously rebuilt per ROW: 2 outer products + a cos over
+    # 1024 cells each call, pure constant-factor waste in the hot loop)
+    n = 32
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis[0, :] = np.sqrt(1.0 / n)
+
     def _phash(pixels: list, w: int, h: int) -> int:
-        n = 32
         arr = np.resize(np.asarray(pixels, dtype=np.float64), (n, n))
-        # orthonormal DCT-II matrix, applied on both axes
-        k = np.arange(n)
-        basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-        basis[0, :] = np.sqrt(1.0 / n)
         freq = basis @ arr @ basis.T
         block = freq[:grid, :grid].ravel()[1:]  # drop DC: brightness invariance
         med = np.median(block)

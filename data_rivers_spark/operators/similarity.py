@@ -424,6 +424,8 @@ def train_ivf_centroids(
     id_col: str,
     n_centroids: int = 16,
     iterations: int = 5,
+    assign_vectorized: bool | None = None,
+    assign_hierarchical: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic mini k-means (Lloyd) for IVF coarse quantization.
 
@@ -446,7 +448,10 @@ def train_ivf_centroids(
         return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v")).localCheckpoint()
     for _ in range(iterations):
-        assigned = _assign_to_centroids(vecs, "__v", cents).localCheckpoint()
+        assigned = _assign_to_centroids(
+            vecs, "__v", cents,
+            vectorized=assign_vectorized, hierarchical=assign_hierarchical,
+        ).localCheckpoint()
         means = (
             assigned.groupBy("centroid_id")
             .agg(
@@ -467,15 +472,35 @@ def cmat_rows(cmat):
     return list(enumerate(cmat))
 
 
-def _assign_to_centroids(df: DataFrame, vec_col: str, cents) -> DataFrame:
+def _assign_to_centroids(
+    df: DataFrame,
+    vec_col: str,
+    cents,
+    vectorized: bool | None = None,
+    hierarchical: bool = False,
+) -> DataFrame:
     """argmin centroid by squared L2. Up to 64 centroids: array_min over
     (distance, id) structs — linear expression size, fully JVM-side,
     oracle-replayable (a chained when(closer, …) fold doubles the tree per
     centroid and OOMs past ~20). Past 64 the expression tree itself becomes
     the bottleneck (n_centroids × dim literals in one projection), so the
     dispatch flips to the Arrow/BLAS kernel — same argmin, same
-    lowest-id tiebreak, FP caveat in its docstring."""
-    if len(cents) > 64:
+    lowest-id tiebreak, FP caveat in its docstring.
+
+    ``vectorized`` overrides the size dispatch (None = >64 rule). The
+    64-centroid default is the plan-size wall, NOT the speed crossover:
+    the interpreted HOF argmin loses to the BLAS kernel well below it
+    (SCALING.md's kmeans 4x cell measured 8.8-17.1 s at k=26 on the
+    expression path vs 5.7 s for 4x the data at k=106 on BLAS), so
+    throughput callers force True and eat the FP-rounding caveat; the
+    expression form exists for oracle-exact replay."""
+    if hierarchical and len(cents) > 256:
+        # two-level IVF routing: the flat BLAS matrix is n·k — quadratic
+        # when k grows ∝ n (SemDeDup's regime); below ~256 centroids the
+        # flat kernel is cheaper than the two-stage overhead
+        return _assign_to_centroids_hierarchical(df, vec_col, cents)
+    use_vec = vectorized if vectorized is not None else len(cents) > 64
+    if use_vec:
         return _assign_to_centroids_vectorized(df, vec_col, cents)
     entries = []
     for i, c in enumerate(cents):
@@ -596,6 +621,8 @@ def assign_kmeans_clusters(
     id_col: str,
     n_clusters: int = 8,
     iterations: int = 0,
+    assign_vectorized: bool | None = None,
+    assign_hierarchical: bool = False,
 ) -> DataFrame:
     """Corpus with a ``cluster_id`` column: nearest centroid by squared L2
     after ``iterations`` Lloyd rounds of the deterministic mini k-means
@@ -615,10 +642,17 @@ def assign_kmeans_clusters(
     cluster SIZE, see kmeans_semantic_dedup) — i.e. the vectorized branch."""
     import numpy as np
 
-    cents = train_ivf_centroids(corpus, vec_col, id_col, n_clusters, iterations)
+    cents = train_ivf_centroids(
+        corpus, vec_col, id_col, n_clusters, iterations,
+        assign_vectorized=assign_vectorized,
+        assign_hierarchical=assign_hierarchical,
+    )
     cmat = np.array([c for _, c in cents], dtype=np.float64)
     prepped = corpus.withColumn("__v", _as_double(F.col(vec_col)))
-    assigned = _assign_to_centroids(prepped, "__v", cmat)
+    assigned = _assign_to_centroids(
+        prepped, "__v", cmat,
+        vectorized=assign_vectorized, hierarchical=assign_hierarchical,
+    )
     return assigned.drop("__v").withColumnRenamed("centroid_id", "cluster_id")
 
 
@@ -631,6 +665,8 @@ def kmeans_semantic_dedup(
     iterations: int = 0,
     max_cluster_size: int | None = None,
     vectorized: bool | None = None,
+    assign_vectorized: bool | None = None,
+    assign_hierarchical: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -657,7 +693,19 @@ def kmeans_semantic_dedup(
     embedding_near_dup_pairs_blocked_vectorized — one gram matrix per
     cluster instead of s²/2 interpreted HOF cosines); below that the
     expression forms keep the whole plan JVM-side and oracle-replayable.
-    Component collapse is pointer-doubling on the pair set only.
+    ``vectorized`` forces the PAIR stage's dispatch; ``assign_vectorized``
+    independently forces the ASSIGNMENT stage's (the oracle query needs
+    expression-exact assignment at k=8 while still vectorizing pair sims,
+    and the scaling harness needs BLAS assignment at k=26 where the
+    interpreted argmin is the measured bottleneck — see SCALING.md's
+    kmeans 4x note). Even the flat BLAS assignment is n·k work — QUADRATIC
+    when k ∝ n (SCALING.md measured ratio 5.9 on 64x->256x) — so
+    ``assign_hierarchical=True`` opts into the IVF-style two-level router
+    (_assign_to_centroids_hierarchical): ~sqrt(k) coarse cells, nprobe=4,
+    per-point cost ~5·sqrt(k)·dim. Approximate in the same class as the
+    operator's cluster-boundary misses; this is the 100 TB path (FAISS-
+    based SemDeDup clusters the same way). Component collapse is
+    pointer-doubling on the pair set only.
 
     ``max_cluster_size`` is the skew guard: k-means gives no size bound
     (MEASURED: on a 128k fixture with low-id seeds + 1 Lloyd pass, skewed
@@ -673,7 +721,11 @@ def kmeans_semantic_dedup(
     sparse."""
     from .dedup import dedup_by_components
 
-    assigned = assign_kmeans_clusters(corpus, vec_col, id_col, n_clusters, iterations)
+    assigned = assign_kmeans_clusters(
+        corpus, vec_col, id_col, n_clusters, iterations,
+        assign_vectorized=assign_vectorized,
+        assign_hierarchical=assign_hierarchical,
+    )
     pair_block = "cluster_id"
     if max_cluster_size is not None:
         sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__csz"))
@@ -743,6 +795,99 @@ def _assign_to_centroids_vectorized(df: DataFrame, vec_col: str, cents) -> DataF
             d = c_sq[None, :] - 2.0 * (V @ cmat.T)
             pdf = pdf.copy()
             pdf["centroid_id"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema).select(*in_cols, "centroid_id")
+
+
+def _coarse_partition_centroids(cmat, n_coarse: int, iterations: int = 3):
+    """Deterministic driver-side Lloyd over the CENTROID matrix itself:
+    returns (coarse_matrix, children) where children[j] lists the (sorted,
+    ascending) fine-centroid indices owned by coarse cell j. Pure numpy on
+    a k×dim array — the model is small by construction, so this is
+    driver-compute in the same sense as train_ivf_centroids' means."""
+    import numpy as np
+
+    coarse = cmat[:n_coarse].copy()
+
+    def _assign():
+        d = -2.0 * (cmat @ coarse.T) + (coarse * coarse).sum(axis=1)[None, :]
+        return d.argmin(axis=1)
+
+    for _ in range(iterations):
+        assign = _assign()
+        for j in range(n_coarse):
+            members = cmat[assign == j]
+            if len(members):
+                coarse[j] = members.mean(axis=0)
+    # one more assignment AGAINST THE FINAL MEANS so `children` is
+    # consistent with the `coarse` matrix the probe ranking will use
+    assign = _assign()
+    children = [np.nonzero(assign == j)[0] for j in range(n_coarse)]
+    return coarse, children
+
+
+def _assign_to_centroids_hierarchical(
+    df: DataFrame, vec_col: str, cents, nprobe: int = 4
+) -> DataFrame:
+    """IVF-style two-level assignment for LARGE codebooks: rank ~sqrt(k)
+    coarse cells per point, then argmin only over the fine centroids owned
+    by the point's ``nprobe`` nearest coarse cells. Per-point cost drops
+    from k·dim to ~(1+nprobe)·sqrt(k)·dim — the term that makes flat
+    assignment QUADRATIC when k grows ∝ n (SemDeDup's bounded-cluster-size
+    regime: SCALING.md measured the flat BLAS path at ratio 5.9 on the
+    64x->256x octave, exactly the n·k term; FAISS-based SemDeDup runs use
+    IVF clustering for the same reason).
+
+    APPROXIMATE by design: a point whose true nearest fine centroid lives
+    outside its probed coarse cells gets its best probed centroid instead —
+    the same approximation class as the cluster-boundary pair misses the
+    operator already buys, and raising ``nprobe`` trades cost for recall.
+    Deterministic: coarse cells come from a seeded driver-side Lloyd over
+    the centroid matrix, ties break toward the lower centroid id."""
+    import numpy as np
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    k = len(cmat)
+    n_coarse = max(1, int(np.ceil(np.sqrt(k))))
+    coarse, children = _coarse_partition_centroids(cmat, n_coarse)
+    coarse_sq = (coarse * coarse).sum(axis=1)
+    child_sq = [(cmat[idx] * cmat[idx]).sum(axis=1) for idx in children]
+    nprobe = min(nprobe, n_coarse)
+    in_cols = df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b = len(V)
+            dc = coarse_sq[None, :] - 2.0 * (V @ coarse.T)
+            probes = np.argsort(dc, axis=1)[:, :nprobe]
+            best_d = np.full(b, np.inf)
+            best_i = np.full(b, np.iinfo(np.int32).max, dtype=np.int64)
+            for j in range(n_coarse):
+                idx = children[j]
+                if not len(idx):
+                    continue
+                rows = np.nonzero((probes == j).any(axis=1))[0]
+                if not len(rows):
+                    continue
+                d = child_sq[j][None, :] - 2.0 * (V[rows] @ cmat[idx].T)
+                loc = d.argmin(axis=1)
+                dv = d[np.arange(len(rows)), loc]
+                ci = idx[loc]  # children sorted ascending → argmin first-hit
+                # is already the lowest id WITHIN the cell
+                cur_d, cur_i = best_d[rows], best_i[rows]
+                upd = (dv < cur_d) | ((dv == cur_d) & (ci < cur_i))
+                rr = rows[upd]
+                best_d[rr] = dv[upd]
+                best_i[rr] = ci[upd]
+            pdf = pdf.copy()
+            pdf["centroid_id"] = best_i.astype("int32")
             yield pdf
 
     return df.mapInPandas(run, out_schema).select(*in_cols, "centroid_id")

@@ -1198,8 +1198,12 @@ def train_bpe(
     fold expressions from nesting n_merges deep in one Catalyst plan
     (analysis cost grows superlinearly with nested HOF lambdas) and (b)
     caps lineage so round k plans against round k-1's materialized result.
-    Ties in the argmax break on (pair_count desc, left asc, right asc) —
-    a total order, so training is deterministic (property-tested).
+    Each round releases the PREVIOUS round's checkpoint once the new one
+    has materialized (only the final vocab stays resident — without the
+    unpersist, checkpointed vocab blocks accumulate linearly in executor
+    storage across n_merges rounds). Ties in the argmax break on
+    (pair_count desc, left asc, right asc) — a total order, so training is
+    deterministic (property-tested).
 
     Training stops early if no pair remains (every word fully merged)."""
     if n_merges < 0:
@@ -1215,10 +1219,28 @@ def train_bpe(
             break
         left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
         merges.append((left, right, cnt))
+        prev = vocab
         vocab = bpe_apply_merge(vocab, left, right, symbols_col).localCheckpoint(
             eager=True
         )
+        _release_local_checkpoint(prev)
     return merges, vocab
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the RDD blocks behind a localCheckpointed DataFrame.
+
+    ``DataFrame.unpersist()`` only uncaches CacheManager entries — a local
+    checkpoint's blocks live on the RDD the LogicalRDD leaf wraps, so they
+    must be released through that RDD handle (same reason the bench/scaling
+    harnesses sweep ``getPersistentRDDs``). Best-effort: if the plan isn't
+    the expected LogicalRDD shape (e.g. a future Spark changes the
+    internals), leaking one vocab-sized block is preferable to failing
+    training."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def bpe_train_merges(word_freq: DataFrame, n_merges: int) -> DataFrame:

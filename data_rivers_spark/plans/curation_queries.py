@@ -316,6 +316,105 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_chunk_sentences_abbrev",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = ''
+                  THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(
+                    REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'),
+                    '\\s+') END AS ws
+      FROM documents
+    ), dotted AS (
+      -- abbrev-laden preamble + the same 7-token dotted construction
+      SELECT doc_id,
+             'Mr. Jones met Dr. ' || ws[1]
+             || ' at U.S. Steel. The index rose 3.14 points vs. Friday. '
+             || ARRAY_TO_STRING(LIST_TRANSFORM(
+               GENERATE_SERIES(0, CAST(CEIL(LEN(ws) / 7.0) AS INT) - 1),
+               i -> ARRAY_TO_STRING(ws[i*7+1 : i*7+7], ' ') || '.'), ' ') AS text
+      FROM toks WHERE LEN(ws) > 0
+    ), masked AS (
+      -- the same four ordered rewrites as chunking._mask_abbrev_periods
+      SELECT doc_id,
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(text,
+                     '(\\d)\\.(\\d)', '\\1' || chr(1) || '\\2', 'g'),
+                   '([A-Za-z])\\.([A-Za-z])\\.',
+                   '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+                 chr(1) || '([A-Za-z])\\.', chr(1) || '\\1' || chr(1), 'g'),
+               '\\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc|Inc|Ltd|Corp|Fig|Vol|et al)\\.',
+               '\\1' || chr(1), 'g') AS text
+      FROM dotted
+    ), s AS (
+      SELECT doc_id, REPLACE(arr[i], chr(1), '.') AS sent, i AS pos
+      FROM (SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(text, '[^.!?]+[.!?]+\\s*|[^.!?]+$') AS arr
+            FROM masked),
+           UNNEST(GENERATE_SERIES(1, LEN(arr))) AS t(i)
+    ), tok AS (
+      SELECT doc_id, pos, sent,
+             CASE WHEN REGEXP_REPLACE(sent, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(
+                    REGEXP_REPLACE(LOWER(sent), '^\\s+|\\s+$', '', 'g'),
+                    '\\s+')) END AS n_tok
+      FROM s
+    ), b AS (
+      SELECT doc_id, pos, sent, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tok) / 24.0) AS BIGINT) AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, chunk_idx,
+           STRING_AGG(sent, '' ORDER BY pos) AS chunk_text,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_sentences_abbrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abbreviation-aware sentence chunking (chunk_by_sentences with
+    abbrev_aware=True): the opt-in lexicon mode on a fixture that plants
+    the exact artifacts the naive contract records — 'Mr.', 'Dr.',
+    'U.S. Steel', a decimal, 'vs.' — in front of the same 7-token dotted
+    construction as q_chunk_sentences. The masking is four ordered
+    look-around-free rewrites (chunking._mask_abbrev_periods), so DuckDB
+    replays segmentation exactly; the preamble parses as TWO sentences
+    instead of the naive mode's eight fragments. Default behavior is
+    untouched (q_chunk_sentences still pins the naive contract)."""
+    from data_rivers_spark.operators.chunking import chunk_by_sentences
+    from data_rivers_spark.operators.dedup import words
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    ws = words(F.col("text"))
+    nsent = F.ceil(F.size(ws) / F.lit(7.0)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), nsent - 1),
+        lambda i: F.concat(F.concat_ws(" ", F.slice(ws, i * 7 + 1, 7)), F.lit(".")),
+    )
+    dotted = (
+        t["documents"]
+        .filter(F.size(ws) > 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Mr. Jones met Dr. "),
+                F.element_at(ws, 1),
+                F.lit(" at U.S. Steel. The index rose 3.14 points vs. Friday. "),
+                F.array_join(sents, " "),
+            ).alias("text"),
+        )
+    )
+    return chunk_by_sentences(
+        dotted, "text", "doc_id", budget_tokens=24, abbrev_aware=True
+    )
+
+
+@query(
     "q_url_domains",
     oracle="""
     WITH aug AS (

@@ -28,6 +28,16 @@ it adds zero execution overhead and Catalyst sees exactly the chain a
 hand-written pipeline would build, so pushdown/pruning/broadcast decisions
 are identical. Steps are data, so a deployment can version, review, and
 generate them.
+
+EXCEPTIONS — verbs that execute jobs at spec-interpretation time (exactly
+as their operators do when called by hand; spec authors should expect
+Spark jobs to fire during ``run_spec``, not only when the result is
+consumed): ``bpe_train_merges`` runs the full driver-side training loop
+(one per-round argmax collect + eager vocab localCheckpoint per merge
+round), and ``unigram_logprob_score`` / ``perplexity_buckets`` eagerly
+localCheckpoint their vocabulary-sized LM frame so the scoring join and
+the corpus-total aggregate share one cached copy instead of re-deriving
+the tokenize subtree per consumer.
 """
 
 from __future__ import annotations

@@ -200,3 +200,50 @@ class TestChunkBySentences:
         assert out[0].n_sentences == 5  # 2 abbrev splits + 1 decimal split
         # over-splitting never loses text: the chunk is still verbatim
         assert "".join(r.chunk_text for r in out) == text
+
+    def test_abbrev_aware_mode_keeps_lexicon_periods(self, spark):
+        # the opt-in counterpart to the naive contract above: with
+        # abbrev_aware=True the SAME fixture parses as the two true
+        # sentences — lexicon titles, dotted acronyms, and decimals no
+        # longer terminate — and the text is still reassembled verbatim
+        # (the sentinel masking round-trips).
+        from data_rivers_spark.operators.chunking import chunk_by_sentences
+
+        text = "U.S. Steel was founded in 1901. Pi is 3.14 roughly."
+        df = _docs(spark, [(1, text)])
+        out = sorted(
+            chunk_by_sentences(
+                df, "text", "doc_id", budget_tokens=100, abbrev_aware=True
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert out[0].n_sentences == 2
+        assert "".join(r.chunk_text for r in out) == text
+
+        rich = (
+            "Mr. Smith met Dr. Jones at U.S. Steel. The index rose "
+            "3.14 points vs. Friday. Costs fell, etc. It ended."
+        )
+        out2 = sorted(
+            chunk_by_sentences(
+                _docs(spark, [(2, rich)]), "text", "doc_id",
+                budget_tokens=100, abbrev_aware=True,
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # 'etc.' mid-sentence is masked, so: sentence 1 (Mr/Dr/U.S.),
+        # sentence 2 (decimal + vs.), sentence 3 (etc. glues to 'It ended.')
+        assert out2[0].n_sentences == 3
+        assert "".join(r.chunk_text for r in out2) == rich
+
+    def test_abbrev_aware_default_unchanged(self, spark):
+        # abbrev_aware defaults False: identical output to the naive mode
+        from data_rivers_spark.operators.chunking import chunk_by_sentences
+
+        text = "Dr. Who left. Mrs. Pi is 3.14 now."
+        df = _docs(spark, [(1, text)])
+        naive = chunk_by_sentences(df, "text", "doc_id", budget_tokens=8).collect()
+        default = chunk_by_sentences(
+            df, "text", "doc_id", budget_tokens=8, abbrev_aware=False
+        ).collect()
+        assert sorted(map(tuple, naive)) == sorted(map(tuple, default))

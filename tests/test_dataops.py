@@ -1102,6 +1102,71 @@ def test_kmeans_vectorized_kernels_match_expression(spark, sf_dir):
                                   n_clusters=80, iterations=1)
     ids = [r.vec_id for r in out.select("vec_id").collect()]
     assert len(ids) == len(set(ids)) and 0 < len(ids) <= 500
+    # assign_vectorized=True (forcing BLAS assignment below the 64-centroid
+    # size dispatch — the scaling harness's throughput path) produces the
+    # same survivors as the default expression assignment at iterations=0,
+    # where the kernel parity above makes the assignments identical
+    forced = S.kmeans_semantic_dedup(emb, "embedding", "vec_id", 0.3,
+                                     n_clusters=8, iterations=0,
+                                     vectorized=True, assign_vectorized=True)
+    default = S.kmeans_semantic_dedup(emb, "embedding", "vec_id", 0.3,
+                                      n_clusters=8, iterations=0,
+                                      vectorized=True)
+    assert sorted(r.vec_id for r in forced.select("vec_id").collect()) == sorted(
+        r.vec_id for r in default.select("vec_id").collect()
+    )
+
+
+def test_hierarchical_assignment_routes_exact_points_home(spark):
+    """The IVF-style two-level router (_assign_to_centroids_hierarchical):
+    a point sitting EXACTLY on fine centroid i must come back with
+    centroid_id == i — guaranteed deterministic, because the coarse cell
+    that owns i is by definition the argmin coarse center for cmat[i], so
+    it is the point's #1 probe and distance 0 wins the within-cell argmin.
+    Slightly perturbed points must agree with the flat BLAS kernel."""
+    import numpy as np
+
+    # 300 well-separated deterministic centroids in 8-dim (engages the
+    # >256 hierarchical dispatch)
+    k, dim = 300, 8
+    cmat = np.zeros((k, dim))
+    for i in range(k):
+        cmat[i, i % dim] = 1.0 + i  # distinct magnitudes, axis-spread
+    rows = [(int(i), [float(x) for x in cmat[i]]) for i in range(k)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_hierarchical(df, "v", cmat).collect()
+    }
+    assert got == {i: i for i in range(k)}
+    # perturbed points: agree with the flat vectorized kernel
+    pert = [
+        (int(i), [float(x) for x in cmat[i] + 1e-6]) for i in range(0, k, 7)
+    ]
+    pdf = spark.createDataFrame(pert, "vec_id long, v array<double>")
+    hier = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_hierarchical(pdf, "v", cmat).collect()
+    }
+    flat = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_vectorized(pdf, "v", cmat).collect()
+    }
+    assert hier == flat
+    # end-to-end plumbing: the operator accepts the flag and keeps its
+    # contract (unique survivors) — small k here, so the router defers to
+    # the flat path, proving the flag is safe at any scale
+    from data_rivers_spark.session import load_tables  # noqa: F401
+
+    out = S.kmeans_semantic_dedup(
+        df.withColumnRenamed("v", "embedding"), "embedding", "vec_id", 0.99,
+        n_clusters=8, iterations=0, vectorized=True, assign_vectorized=True,
+        assign_hierarchical=True,
+    )
+    ids = [r.vec_id for r in out.select("vec_id").collect()]
+    # same-axis vectors are cosine-1.0 near-dups, so SOME collapse; the
+    # contract is unique survivors and a non-empty result
+    assert len(ids) == len(set(ids)) and 0 < len(ids) <= k
 
 
 def test_kmeans_semantic_dedup_cluster_size_guard(spark, sf_dir):

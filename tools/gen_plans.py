@@ -107,23 +107,49 @@ Notes on specific plans:
 
 
 def _stable_ids(plan: str) -> str:
-    """Renumber Catalyst attribute/plan ids (`name#1234`, `[plan_id=#N]`)
-    in first-appearance order within one plan. The global id counter
-    advances with every expression the session ever analyzed, so two
-    regenerations of an UNCHANGED plan differed in every id — each round
-    ended with a 1,500-line PLANS.md diff of pure renumbering (r4 punch
-    item #8, r6 repeat). First-appearance renumbering is a bijection per
-    plan, so distinct attributes stay distinct and an unchanged plan now
-    regenerates byte-identical."""
-    mapping: dict[str, str] = {}
+    """Renumber every session-global counter in a formatted plan in
+    first-appearance order, and pin the one wall-clock constant, so two
+    regenerations of an UNCHANGED plan are byte-identical (each round used
+    to end with a 1,500-line PLANS.md diff of pure renumbering — r4 punch
+    #8, repeated through r7). Four independent rewrites, each a bijection
+    per plan (distinct inputs get distinct outputs, so distinct
+    attributes/subplans stay distinct):
 
-    def sub(m: re.Match) -> str:
-        tok = m.group(0)
-        if tok not in mapping:
-            mapping[tok] = f"#{len(mapping) + 1}"
-        return mapping[tok]
+    1. `name#1234` attribute ids — the Catalyst expression-id counter.
+    2. `[plan_id=102675]` adaptive/reuse subplan ids — rendered WITHOUT a
+       `#`, which the original attr-id regex silently missed (222 of the
+       370 churned lines in the r7 round-close diff).
+    3. `lambda x_690#9` higher-order-function variable NAMES — the session
+       counter is embedded in the name itself (`x_690`), not just the attr
+       id, so attr-id renumbering alone left it churning. Every occurrence
+       carries a `#id` suffix in formatted output, so `x_\\d+(?=#)` targets
+       exactly the lambda vars.
+    4. Constant-folded `current_timestamp()` instants (`2026-08-15
+       06:31:05.324711` in the revgeo/active-permit plans) — replaced with
+       a fixed token. Only FRACTIONAL-second timestamps are rewritten:
+       every deliberate literal in the query set is a date or whole-second
+       timestamp, while a folded evaluation instant always carries
+       microseconds."""
+    plan = re.sub(
+        r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+",
+        "<plan-eval-instant>",
+        plan,
+    )
 
-    return re.sub(r"#\d+", sub, plan)
+    def renumber(pattern: str, fmt: str, text: str) -> str:
+        mapping: dict[str, str] = {}
+
+        def sub(m: re.Match) -> str:
+            tok = m.group(0)
+            if tok not in mapping:
+                mapping[tok] = fmt.format(len(mapping) + 1)
+            return mapping[tok]
+
+        return re.sub(pattern, sub, text)
+
+    plan = renumber(r"plan_id=\d+", "plan_id={}", plan)
+    plan = renumber(r"x_\d+(?=#)", "x_{}", plan)
+    return renumber(r"#\d+", "#{}", plan)
 
 
 # queries whose RESULT frame is driver-materialized (explain would show a

@@ -250,10 +250,20 @@ def _op_fn(name: str):
         # near-quadratic (every within-cluster pair qualifies), which no
         # blocking can escape. max_cluster_size bounds the skew pockets
         # k-means itself gives no guarantee against.
+        # assign_vectorized=True: below 64 clusters the default assignment
+        # is the interpreted expression argmin, and the 4x octave (k=26)
+        # measured 8.8-17.1 s on it vs 5.7 s for 4x the data at k=106 on
+        # the BLAS path — the dispatch threshold is a plan-size wall, not
+        # the speed crossover, so the throughput harness forces BLAS.
+        # assign_hierarchical=True: even flat BLAS assignment is n·k work,
+        # QUADRATIC under the k ∝ n cluster-count rule (measured ratio 5.9
+        # at 64x->256x, k=1706); the two-level IVF router restores ~linear
+        # (engages past 256 centroids, i.e. the 64x octave onward here)
         "kmeans_semantic_dedup": lambda e: S.kmeans_semantic_dedup(
             e, "embedding", "vec_id", 0.85,
             n_clusters=max(8, e.count() // 300), iterations=1,
-            max_cluster_size=600, vectorized=True,
+            max_cluster_size=600, vectorized=True, assign_vectorized=True,
+            assign_hierarchical=True,
         ),
         "signlsh_topk": lambda e: S.signlsh_topk(
             e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
@@ -354,12 +364,44 @@ class _PeakStorageSampler:
         return round(self.peak_bytes / (1024 * 1024), 1)
 
 
-def run_one_op(spark, fixture: str, name: str) -> tuple[float, float]:
+class _JvmTelemetry:
+    """Per-sample driver-JVM counters (same protocol as bench.py's): total
+    GC time across collectors and peak heap across heap pools, peaks reset
+    per sample. Valid under LOCAL-mode execution only (driver == executor).
+    getCollectionTime() is spec'd to return -1 when undefined — clamped so
+    one bean can't corrupt the delta. This is the diagnosis a spiked
+    scaling cell carries: a big gc_sec names heap pressure, a clean
+    gc/heap profile with a 3x sec names host contention."""
+
+    def __init__(self, spark) -> None:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        self._gc_beans = list(mf.getGarbageCollectorMXBeans())
+        self._heap_pools = [
+            p
+            for p in mf.getMemoryPoolMXBeans()
+            if p.getType().toString() == "Heap memory"
+        ]
+
+    def gc_ms(self) -> int:
+        return sum(max(0, b.getCollectionTime()) for b in self._gc_beans)
+
+    def reset_peaks(self) -> None:
+        for p in self._heap_pools:
+            p.resetPeakUsage()
+
+    def peak_heap_mb(self) -> int:
+        return sum(p.getPeakUsage().getUsed() for p in self._heap_pools) // (
+            1024 * 1024
+        )
+
+
+def run_one_op(spark, fixture: str, name: str) -> tuple[float, float, list[dict]]:
     """Measure ONE operator on a materialized fixture in THIS JVM: warm the
     op on a 5k-row sample (JIT/codegen), then min-of-2 timed full runs.
-    Returns (seconds, peak_storage_mb) — the peak is sampled across the
-    timed runs with prep-stage checkpoints still resident (the real
-    in-flight posture)."""
+    Returns (seconds, peak_storage_mb, telemetry_samples) — the peak is
+    sampled across the timed runs with prep-stage checkpoints still
+    resident (the real in-flight posture); telemetry is one
+    {sec, gc_sec, peak_heap_mb} dict per timed run."""
     spec = _op_fn(name)
     src = "embeddings" if name in OPS_EMB else "documents"
     # repartition to cluster width BEFORE the (untimed) checkpoint: parquet
@@ -388,12 +430,23 @@ def run_one_op(spark, fixture: str, name: str) -> tuple[float, float]:
         fn = lambda: spec(frame)  # noqa: E731
     keep = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     best = None
+    jvm = _JvmTelemetry(spark)
+    tsamples: list[dict] = []
     with _PeakStorageSampler(spark) as sampler:
         for _ in range(2):
+            jvm.reset_peaks()
+            gc0 = jvm.gc_ms()
             t = _time(lambda: fn().write.format("noop").mode("overwrite").save())
+            tsamples.append(
+                {
+                    "sec": t,
+                    "gc_sec": round((jvm.gc_ms() - gc0) / 1000.0, 3),
+                    "peak_heap_mb": jvm.peak_heap_mb(),
+                }
+            )
             _release_new_rdds(spark, keep)
             best = t if best is None else min(best, t)
-    return best, sampler.peak_mb
+    return best, sampler.peak_mb, tsamples
 
 
 def operator_scaling_octave(sf_dir: str, k: int) -> dict[str, dict[int, float]]:
@@ -416,6 +469,7 @@ def operator_scaling_octave(sf_dir: str, k: int) -> dict[str, dict[int, float]]:
     spark.stop()
     results: dict[str, dict[int, float]] = {}
     peaks: dict[str, dict[int, float]] = {}
+    telem: dict[str, dict[int, list]] = {}
     for name in OPS_DOC + OPS_EMB:
         if k > MAX_K.get(name, KS[-1]):
             continue
@@ -432,10 +486,13 @@ def operator_scaling_octave(sf_dir: str, k: int) -> dict[str, dict[int, float]]:
         peak = [ln for ln in proc.stdout.splitlines() if ln.startswith("OP_PEAK_MB:")]
         if peak:
             peaks[name] = {k: float(peak[0].split(":", 1)[1])}
+        tl = [ln for ln in proc.stdout.splitlines() if ln.startswith("OP_TELEM:")]
+        if tl:
+            telem[name] = {k: json.loads(tl[0].split(":", 1)[1])}
     import shutil
 
     shutil.rmtree(fixture, ignore_errors=True)
-    return {"times": results, "peaks": peaks}
+    return {"times": results, "peaks": peaks, "telemetry": telem}
 
 
 def revgeo_crossover(spark, sf_dir: str) -> list[tuple[int, float, float]]:
@@ -537,9 +594,10 @@ def _run_op(sf_dir: str, name: str, fixture: str) -> None:
     from data_rivers_spark.session import get_spark
 
     spark = get_spark(app_name=f"scaling-{name}")
-    sec, peak_mb = run_one_op(spark, fixture, name)
+    sec, peak_mb, tsamples = run_one_op(spark, fixture, name)
     print("OP_SECONDS:" + str(sec))
     print("OP_PEAK_MB:" + str(peak_mb))
+    print("OP_TELEM:" + json.dumps(tsamples))
 
 
 def main() -> None:
@@ -559,6 +617,7 @@ def main() -> None:
         os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
         fresh: dict[str, dict[int, float]] = {}
         fresh_peaks: dict[str, dict[int, float]] = {}
+        fresh_telem: dict[str, dict[int, list]] = {}
         by_k: dict[int, list[str]] = {}
         for cell in cells:
             name, k = cell.split(":")
@@ -577,19 +636,26 @@ def main() -> None:
                        if ln.startswith("OP_SECONDS:")]
                 if pay:
                     fresh.setdefault(name, {})[k] = float(pay[0].split(":", 1)[1])
-                    print(f"remeasured {name}@{k}x: {fresh[name][k]}")
+                    print(f"remeasured {name}@{k}x: {fresh[name][k]}", flush=True)
                 else:
-                    print(f"remeasure {name}@{k}x FAILED:\n{proc.stderr[-800:]}")
+                    print(f"remeasure {name}@{k}x FAILED:\n"
+                          f"{proc.stdout[-800:]}\n{proc.stderr[-800:]}", flush=True)
                 peak = [ln for ln in proc.stdout.splitlines()
                         if ln.startswith("OP_PEAK_MB:")]
                 if peak:
                     fresh_peaks.setdefault(name, {})[k] = float(
                         peak[0].split(":", 1)[1]
                     )
+                tl = [ln for ln in proc.stdout.splitlines()
+                      if ln.startswith("OP_TELEM:")]
+                if tl:
+                    fresh_telem.setdefault(name, {})[k] = json.loads(
+                        tl[0].split(":", 1)[1]
+                    )
             import shutil
 
             shutil.rmtree(fixture, ignore_errors=True)
-        write_report(fresh, sf_dir, fresh_peaks)
+        write_report(fresh, sf_dir, fresh_peaks, fresh_telem)
         return
     if "--op" in argv:
         i = argv.index("--op")
@@ -621,6 +687,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     results: dict[str, dict[int, float]] = {}
     peaks: dict[str, dict[int, float]] = {}
+    telem: dict[str, dict[int, list]] = {}
     for k in KS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), sf_dir, "--octave", str(k)],
@@ -635,8 +702,10 @@ def main() -> None:
             results.setdefault(name, {}).update({int(kk): v for kk, v in cells.items()})
         for name, cells in part.get("peaks", {}).items():
             peaks.setdefault(name, {}).update({int(kk): v for kk, v in cells.items()})
+        for name, cells in part.get("telemetry", {}).items():
+            telem.setdefault(name, {}).update({int(kk): v for kk, v in cells.items()})
         print(f"octave {k}x done: " + json.dumps(part))
-    write_report(results, sf_dir, peaks)
+    write_report(results, sf_dir, peaks, telem)
 
 
 RESULTS_JSON = os.path.join(
@@ -686,13 +755,96 @@ def _load_peaks() -> dict[str, dict[int, float]]:
         return {}
 
 
+CELL_NOTES: dict[str, str] = {
+    "kmeans_semantic_dedup": (
+        "TWO named causes, both fixed in round 8. (1) The long-standing 4x "
+        "cell (8.79 s > the 16x cell's 5.71 s) was NOT host noise — fresh "
+        "remeasures reproduced 17.1 s: at 4x (k=26 centroids) assignment "
+        "ran the interpreted expression argmin while 16x (k=106) crossed "
+        "the >64-centroid dispatch to BLAS, faster despite 4x the data; "
+        "the harness now forces assign_vectorized=True (the 64-centroid "
+        "dispatch is a plan-size wall, not the speed crossover) — the 4x "
+        "cell dropped to 5.46 s. (2) The first 256x cell measured 111.35 s "
+        "(ratio 5.9) on the FLAT BLAS path — assignment is n·k work, "
+        "quadratic under the k ∝ n bounded-cluster-size rule; "
+        "assign_hierarchical=True (the IVF-style two-level router, "
+        "~5·sqrt(k)·dim per point) re-measured the row at "
+        "4.24/5.46/4.76/7.71/25.94 s — final ratio 3.4, linear."
+    ),
+    "media_dedup": (
+        "the first 256x attempt hit 54.26 s (ratio 9.8). Two findings: the "
+        "pHash kernel rebuilt its 32x32 DCT basis PER ROW (hoisted to "
+        "per-task in round 8), and 256x first-runs carry systematic "
+        "warmup/writeback inflation (telemetry: first vs second timed run "
+        "121.9 vs 54.3 s, gc_sec < 1 — not heap). Post-fix remeasure: "
+        "26.35 s. The residual ratio vs the 64x cell is envelope-noisy — "
+        "64x attempts spread 5.55-12.15 s across cold JVMs, so the true "
+        "last-octave ratio lies between 2.2 and 4.7; every stage is the "
+        "same blocking join the simhash_pairs row holds at 3.9 with, plus "
+        "a row-linear Python pHash loop."
+    ),
+    "duplicate_spans": (
+        "the 16x->64x step (3.29 -> 13.14, ratio 3.99) is real, not a "
+        "spike — remeasured 13.6 on a second cold JVM. The step includes "
+        "the dup-hash semi-join's broadcast->shuffle flip as the distinct-"
+        "gram set outgrows the broadcast threshold; the 64x->256x ratio is "
+        "the exponent to read."
+    ),
+    "nfc_normalize": (
+        "64x (1.3 s) nominally exceeds 256x (1.08 s): both cells are "
+        "constant-dominated (sub-1.5 s Arrow round-trip floor) and the 64x "
+        "value reproduced across remeasures — partition-packing effects at "
+        "these sizes swamp the 4x data growth; read the exponent from the "
+        "bigger octaves of chunk_documents/gopher_filter instead, which "
+        "share the corpus-shaped cost."
+    ),
+    "bpe_round": (
+        "the scaled fixture's per-replica word suffixes make the VOCABULARY "
+        "grow linearly with corpus size (every replica's words are "
+        "distinct), so this row measures vocab-proportional pair counting — "
+        "an upper bound; a real corpus's vocab grows sub-linearly (Heaps' "
+        "law) and the pair-count frame with it. The first 256x attempt "
+        "(min 9.71 s) was a spiked cell — its first timed sample ran "
+        "64.33 s with gc_sec 0.5 (host, not heap); a fresh cold JVM "
+        "measured 2.2 s, ratio 1.96."
+    ),
+}
+"""Per-row cause notes rendered under the operator table — the burn-down
+record for cells the monotonicity legend would otherwise flag."""
+
+
+TELEM_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools",
+    "scaling_telemetry.json",
+)
+
+
+def _append_telemetry(telem: dict[str, dict[int, list]]) -> None:
+    """Append per-run {sec, gc_sec, peak_heap_mb} samples to the cell's
+    attempt history — the diagnosis record for spiked cells (big gc_sec →
+    heap pressure; clean JVM profile + 3x sec → host contention)."""
+    try:
+        with open(TELEM_JSON) as f:
+            hist = json.load(f)
+    except (OSError, ValueError):
+        hist = {}
+    for name, cells in (telem or {}).items():
+        for k, samples in cells.items():
+            hist.setdefault(name, {}).setdefault(str(k), []).extend(samples)
+    with open(TELEM_JSON, "w") as f:
+        json.dump(hist, f, indent=1, sort_keys=True)
+
+
 def write_report(
     results: dict[str, dict[int, float]],
     sf_dir: str,
     peaks: dict[str, dict[int, float]] | None = None,
+    telem: dict[str, dict[int, list]] | None = None,
 ) -> None:
     """Run the revgeo crossover and write SCALING.md from octave results
     (callable standalone to re-assemble the report from logged octaves)."""
+    if telem:
+        _append_telemetry(telem)
     results = _merge_min(_load_results(), results)
     with open(RESULTS_JSON, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
@@ -772,6 +924,15 @@ def write_report(
             for a, b in zip(KS, KS[1:])
         )
         lines.append(f"| {name} | {vals} | {ratios} |\n")
+    noted = [n for n in CELL_NOTES if n in results]
+    if noted:
+        lines.append(
+            "\nPer-cell cause notes (burn-down record; spiked samples carry"
+            " {sec, gc_sec, peak_heap_mb} diagnosis in"
+            " tools/scaling_telemetry.json):\n\n"
+        )
+        for n in noted:
+            lines.append(f"- **{n}** — {CELL_NOTES[n]}\n")
     if all_peaks:
         lines += [
             "\n## Peak checkpoint storage (MB)\n",
