@@ -334,10 +334,12 @@ def main() -> None:
     }
     # persist the COMPLETE artifact (the driver's 2,000-char stdout tail
     # lost r6's per-run medians; bench_out/rN.json is committed per round).
-    # latest.json is overwritten per run, so a round-close run is ALSO
-    # round-stamped via $SPARK_GRAFT_BENCH_TAG=rN (r7's round-close artifact
-    # survived only because the driver's snapshot commit happened to land
-    # before round 8's first bench run).
+    # latest.json is per-run scratch and GITIGNORED — every bench run
+    # (including the driver's own post-round run) rewrites it, which kept
+    # the tree dirty at round close for four straight rounds; the tracked
+    # record is the round-stamped copy written when $SPARK_GRAFT_BENCH_TAG
+    # is set (e.g. r08 — r7's round-close artifact survived only because
+    # the driver's snapshot commit happened to land before the next run).
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "latest.json"), "w") as f:
