@@ -110,8 +110,11 @@ HEADLINE = [
     "q_nfc_normalize",
     # round 8: the abbrev-aware opt-in sentence mode (same plan shape as
     # q_chunk_sentences plus four masking regexp_replaces — the row pins
-    # the masking overhead next to the naive mode's floor)
+    # the masking overhead next to the naive mode's floor), and the full
+    # tokenizer lifecycle (3 trained merges + corpus encode: vocab-sized
+    # merge folds, one word-keyed join, id-keyed reassembly)
     "q_chunk_sentences_abbrev",
+    "q_bpe_encode",
 ]
 
 

@@ -1255,6 +1255,79 @@ def bpe_train_merges(word_freq: DataFrame, n_merges: int) -> DataFrame:
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 8,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a TRAINED BPE merge list — the other half of
+    the tokenizer lifecycle (train_bpe learns merges; this applies them to
+    text, the step a training-data pipeline runs to count/budget tokens
+    and emit model-ready sequences).
+
+    ``broadcast_vocab=True`` broadcast-hints the encoded word table so the
+    positioned-word stream joins map-side and the corpus NEVER shuffles on
+    the word key — right whenever the vocabulary fits an executor
+    broadcast (most natural-language corpora; Heaps' law keeps vocab
+    growth sub-linear). Default off: the checkpointed vocab scan carries
+    no size statistics, so the hint is the caller's claim, and a vocab
+    that does NOT fit should take the word-keyed shuffle join instead.
+
+    Output: (id_col, tokens array<string>, n_tokens), one row per document
+    with at least one word (empty/whitespace-only docs emit nothing, same
+    contract as word_frequency_table's explode).
+
+    Scale: merges apply to the corpus's DISTINCT-WORD table (vocabulary-
+    sized), NOT per corpus token — each merge is one bpe_apply_merge greedy
+    fold over the symbols array, with the vocab frame localCheckpointed
+    every ``checkpoint_every`` merges (and the prior checkpoint released)
+    so the HOF lambdas never nest unboundedly in one Catalyst plan — the
+    train_bpe posture. The corpus itself is touched exactly twice: the
+    distinct-word aggregate (map-side combined on the word key) and the
+    positioned-word explode whose join back to the encoded vocab shuffles
+    on the word key; one id-keyed aggregate then re-assembles each
+    document's token stream in word order. Nothing is corpus × merges."""
+    from .dedup import words
+
+    vocab = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .distinct()
+        .withColumn("symbols", F.split(F.col("word"), ""))
+        .localCheckpoint(eager=True)
+    )
+    ckpt = vocab
+    pending = 0
+    for left, right in merges:
+        vocab = bpe_apply_merge(vocab, left, right, "symbols")
+        pending += 1
+        if pending >= checkpoint_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            _release_local_checkpoint(ckpt)
+            ckpt = vocab
+            pending = 0
+    if pending:
+        vocab = vocab.localCheckpoint(eager=True)
+        _release_local_checkpoint(ckpt)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.col(text_col))).alias("__pos", "word"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "symbols"))),
+        lambda s: s["symbols"],
+    )
+    right = F.broadcast(vocab) if broadcast_vocab else vocab
+    return (
+        toks.join(right, "word")
+        .groupBy(id_col)
+        .agg(F.flatten(ordered).alias("tokens"))
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str,

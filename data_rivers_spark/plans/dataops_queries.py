@@ -2519,6 +2519,84 @@ def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_train_merges(wf, n_merges=3)
 
 
+def _bpe_round_ctes_worded(k: int) -> str:
+    """q_bpe_encode's variant of _bpe_round_ctes: identical count→argmax→
+    apply round, but the s{k} CTEs CARRY THE WORD so the final encoded
+    vocabulary can join back to the corpus (the training oracle only needs
+    (freq, rep))."""
+    return f"""
+    p{k} AS (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+        SELECT syms[i] AS l, syms[i + 1] AS r, freq FROM (
+          SELECT freq, REGEXP_EXTRACT_ALL(rep, '<([^<>]*)>', 1) AS syms FROM s{k}
+        ), UNNEST(GENERATE_SERIES(1, LEN(syms) - 1)) AS t(i)
+      ) GROUP BY l, r
+    ), m{k} AS (
+      SELECT l, r FROM p{k} ORDER BY pair_count DESC, l, r LIMIT 1
+    ), s{k + 1} AS (
+      SELECT word, freq,
+             REPLACE(rep, '<' || m{k}.l || '><' || m{k}.r || '>',
+                     '<' || m{k}.l || m{k}.r || '>') AS rep
+      FROM s{k}, m{k}
+    )"""
+
+
+@query(
+    "q_bpe_encode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') = '' THEN []::VARCHAR[]
+                  ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS ws
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq
+      FROM d, UNNEST(ws) AS t(word) GROUP BY word
+    ), s1 AS (
+      SELECT word, freq,
+             '<' || ARRAY_TO_STRING(STRING_SPLIT(word, ''), '><') || '>' AS rep
+      FROM wf
+    ),"""
+    + ",".join(_bpe_round_ctes_worded(k) for k in (1, 2, 3))
+    + """
+    , tok AS (
+      SELECT doc_id, ws[i] AS word, i
+      FROM d, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS t(i)
+      WHERE LEN(ws) > 0
+    ), enc AS (
+      SELECT doc_id, i, REGEXP_EXTRACT_ALL(rep, '<([^<>]*)>', 1) AS syms
+      FROM tok JOIN s4 USING (word)
+    )
+    SELECT doc_id,
+           CAST(SUM(LEN(syms)) AS INT) AS n_tokens,
+           STRING_AGG(ARRAY_TO_STRING(syms, ' '), ' ' ORDER BY i) AS tokens_joined
+    FROM enc GROUP BY doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a freshly TRAINED 3-merge BPE model — the
+    full tokenizer lifecycle in one query (train_bpe learns the merges,
+    bpe_encode applies them per document). The oracle replays the three
+    training rounds (same wrapped-string CTE machinery as
+    q_bpe_train_rounds, carrying the word), applies the final vocabulary's
+    symbol sequences to each document's positioned words, and re-assembles
+    the per-doc token stream — so a divergence ANYWHERE (training argmax,
+    greedy merge fold, word-order re-assembly, token counting) breaks the
+    hash. Tokens contain no whitespace (words() splits on it), so the
+    space-joined token stream is an unambiguous equality surface."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    wf = TX.word_frequency_table(t["documents"], "text")
+    merges, _ = TX.train_bpe(wf, n_merges=3)
+    enc = TX.bpe_encode(
+        t["documents"], "text", "doc_id", [(l, r) for l, r, _ in merges]
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("tokens_joined"),
+    )
+
+
 @query(
     "q_domain_mixture_upsample",
     oracle="""

@@ -34,10 +34,12 @@ as their operators do when called by hand; spec authors should expect
 Spark jobs to fire during ``run_spec``, not only when the result is
 consumed): ``bpe_train_merges`` runs the full driver-side training loop
 (one per-round argmax collect + eager vocab localCheckpoint per merge
-round), and ``unigram_logprob_score`` / ``perplexity_buckets`` eagerly
+round), ``unigram_logprob_score`` / ``perplexity_buckets`` eagerly
 localCheckpoint their vocabulary-sized LM frame so the scoring join and
 the corpus-total aggregate share one cached copy instead of re-deriving
-the tokenize subtree per consumer.
+the tokenize subtree per consumer, and ``bpe_encode`` eagerly
+localCheckpoints its encoded vocabulary every ``checkpoint_every`` merges
+for the same plan-depth reason.
 """
 
 from __future__ import annotations
@@ -147,6 +149,13 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "word_frequency_table": _simple(TX.word_frequency_table),
     "bpe_pair_counts": _simple(TX.bpe_pair_counts),
     "bpe_train_merges": _simple(TX.bpe_train_merges),
+    # round-8: tokenizer APPLICATION (merges spec'd as [[left, right], ...])
+    "bpe_encode": lambda df, p: TX.bpe_encode(
+        df, p["text_col"], p["id_col"],
+        [tuple(m) for m in p["merges"]],
+        checkpoint_every=int(p.get("checkpoint_every", 8)),
+        broadcast_vocab=bool(p.get("broadcast_vocab", False)),
+    ),
     "unigram_logprob_score": _simple(TX.unigram_logprob_score),
     "perplexity_buckets": _simple(TX.perplexity_buckets),
     "url_domain_stats": _simple(TX.url_domain_stats),

@@ -1032,6 +1032,48 @@ def test_train_bpe_deterministic_and_exhausts(spark):
     ]
 
 
+def test_bpe_encode_applies_trained_merges(spark):
+    # train on the Sennrich-style corpus, then ENCODE it: each document's
+    # token stream must be the per-word greedy-fold symbols in word order
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "newer newer wider"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    wf = TX.word_frequency_table(df, "text")
+    merges, _ = TX.train_bpe(wf, 3)  # (l,o), (lo,w), (e,r)
+    out = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in TX.bpe_encode(
+            df, "text", "doc_id", [(l, r) for l, r, _ in merges]
+        ).collect()
+    }
+    assert out[1] == (
+        ["low", "low", "low", "low", "er", "low", "e", "s", "t"], 9,
+    )
+    assert out[2] == (["n", "e", "w", "er", "n", "e", "w", "er",
+                       "w", "i", "d", "er"], 12)
+    assert 3 not in out  # whitespace-only doc emits nothing
+    # empty merge list degrades to character tokens
+    chars = {
+        r.doc_id: r.tokens
+        for r in TX.bpe_encode(
+            spark.createDataFrame([(7, "ab ba")], ["doc_id", "text"]),
+            "text", "doc_id", [],
+        ).collect()
+    }
+    assert chars[7] == ["a", "b", "b", "a"]
+    # checkpoint_every smaller than the merge count exercises the
+    # mid-stream checkpoint/release path with identical results
+    again = {
+        r.doc_id: r.tokens
+        for r in TX.bpe_encode(
+            df, "text", "doc_id", [(l, r) for l, r, _ in merges],
+            checkpoint_every=1,
+        ).collect()
+    }
+    assert again[1] == out[1][0] and again[2] == out[2][0]
+
+
 def test_domain_mixture_upsample_epochs(spark):
     from data_rivers_spark.operators import sampling as SA
 
