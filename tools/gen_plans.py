@@ -119,20 +119,32 @@ def _stable_ids(plan: str) -> str:
     2. `[plan_id=102675]` adaptive/reuse subplan ids — rendered WITHOUT a
        `#`, which the original attr-id regex silently missed (222 of the
        370 churned lines in the r7 round-close diff).
-    3. `lambda x_690#9` higher-order-function variable NAMES — the session
-       counter is embedded in the name itself (`x_690`), not just the attr
-       id, so attr-id renumbering alone left it churning. Every occurrence
-       carries a `#id` suffix in formatted output, so `x_\\d+(?=#)` targets
-       exactly the lambda vars.
+    3. `lambda x_690#9` / `lambda y_766#24` higher-order-function variable
+       NAMES — the session counter is embedded in the name itself, not
+       just the attr id, so attr-id renumbering alone left it churning.
+       Spark prints every lambda-variable occurrence as `lambda <name>#id`
+       (LambdaVariable.toString), so a `lambda `-anchored rewrite targets
+       exactly them; the letter prefix (x/y/id) is preserved and a single
+       shared counter keeps distinct names distinct.
     4. Constant-folded `current_timestamp()` instants (`2026-08-15
        06:31:05.324711` in the revgeo/active-permit plans) — replaced with
        a fixed token. Only FRACTIONAL-second timestamps are rewritten:
        every deliberate literal in the query set is a date or whole-second
        timestamp, while a folded evaluation instant always carries
-       microseconds."""
+       microseconds.
+    5. `Scan ExistingRDD` argument lines (`MapPartitionsRDD[6939] at
+       localCheckpoint at NativeMethodAccessorImpl.java:0`) — the RDD id
+       is a session counter and the callsite flips between JDK reflection
+       frames and `<unknown>` across invocation paths; both collapse to
+       fixed tokens."""
     plan = re.sub(
         r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+",
         "<plan-eval-instant>",
+        plan,
+    )
+    plan = re.sub(
+        r"(\w*RDD)\[\d+\] at (\w+) at [^\s,]+",
+        r"\1[<id>] at \2 at <callsite>",
         plan,
     )
 
@@ -148,7 +160,19 @@ def _stable_ids(plan: str) -> str:
         return re.sub(pattern, sub, text)
 
     plan = renumber(r"plan_id=\d+", "plan_id={}", plan)
-    plan = renumber(r"x_\d+(?=#)", "x_{}", plan)
+
+    lambda_map: dict[str, str] = {}
+
+    def lam(m: re.Match) -> str:
+        tok = m.group(1)
+        if tok not in lambda_map:
+            prefix = tok.rsplit("_", 1)[0]
+            lambda_map[tok] = f"{prefix}_{len(lambda_map) + 1}"
+        return lambda_map[tok]
+
+    # rewrite DEFINITIONS and REFERENCES alike: Spark prints every lambda
+    # variable occurrence with the `lambda ` prefix
+    plan = re.sub(r"(?<=lambda )(\w+_\d+)(?=#)", lam, plan)
     return renumber(r"#\d+", "#{}", plan)
 
 
