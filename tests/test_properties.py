@@ -276,3 +276,43 @@ def test_chunk_by_sentences_roundtrip(spark, rows, budget):
         # without trailing whitespace ('a?a') splits into two sentences
         # and thus two tokens, more than the whole-text split would give
         assert sum(r.n_tokens for r in got) == sum(len(s.split()) for s in sents)
+
+
+@given(
+    texts,
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz", min_size=1, max_size=2),
+            st.text(alphabet="abcxyz", min_size=1, max_size=2),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+)
+@SET
+def test_bpe_encode_lossless_and_conserving(spark, rows, merges):
+    """For ANY corpus and ANY merge list: (1) concatenating a document's
+    tokens reproduces its whitespace-split words exactly (BPE merges only
+    ever JOIN adjacent symbols — encoding is lossless), and (2) the token
+    count never exceeds the character count nor drops below the word
+    count."""
+    from data_rivers_spark.operators.dedup import words as words_expr
+    from data_rivers_spark.operators.textstats import bpe_encode
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], ["doc_id", "text"]
+    )
+    enc = {r.doc_id: r for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    ws = {
+        r.doc_id: r.ws
+        for r in df.select("doc_id", words_expr(F.col("text")).alias("ws")).collect()
+    }
+    for i, t in enumerate(rows):
+        doc_words = [w for w in ws[i] if w is not None]
+        if not doc_words:
+            assert i not in enc
+            continue
+        r = enc[i]
+        assert "".join(r.tokens) == "".join(doc_words)
+        assert r.n_tokens == len(r.tokens)
+        assert len(doc_words) <= r.n_tokens <= sum(len(w) for w in doc_words)
