@@ -772,16 +772,24 @@ CELL_NOTES: dict[str, str] = {
         "4.24/5.46/4.76/7.71/25.94 s — final ratio 3.4, linear."
     ),
     "media_dedup": (
-        "the first 256x attempt hit 54.26 s (ratio 9.8). Two findings: the "
-        "pHash kernel rebuilt its 32x32 DCT basis PER ROW (hoisted to "
-        "per-task in round 8), and 256x first-runs carry systematic "
-        "warmup/writeback inflation (telemetry: first vs second timed run "
-        "121.9 vs 54.3 s, gc_sec < 1 — not heap). Post-fix remeasure: "
-        "26.35 s. The residual ratio vs the 64x cell is envelope-noisy — "
-        "64x attempts spread 5.55-12.15 s across cold JVMs, so the true "
-        "last-octave ratio lies between 2.2 and 4.7; every stage is the "
-        "same blocking join the simhash_pairs row holds at 3.9 with, plus "
-        "a row-linear Python pHash loop."
+        "the noisiest row on this shared host: 64x attempts spread "
+        "3.98-33.3 s and 256x attempts 26.35-121.9 s across cold JVMs "
+        "(telemetry shows gc_sec < 1 s on every spiked sample — host, not "
+        "heap; the pHash mapInPandas stage runs 32 Python workers, maximally "
+        "exposed to external CPU contention). Round-8 fixes: the DCT basis "
+        "was rebuilt PER ROW (hoisted per-task), then the whole kernel "
+        "vectorized (batched dgemm DCT + vectorized median bit-pack, "
+        "bit-parity-checked on 5k inputs). Stage decomposition at 256x: "
+        "phash 40.8 s + hamming join 17.7 s under measured load — both "
+        "row-linear stages (the join is the same Manku blocking "
+        "simhash_pairs holds ratio 3.9 with; its quadratic accidental-"
+        "candidate term is 20N²/2³³ ≈ 3.8M rows at N=1.28M, still a cheap "
+        "bit_count filter). Post-vectorization the 256x envelope settled at "
+        "17.0 s — bit-identical to simhash_pairs' 256x cell, which shares "
+        "the join — leaving the row's last ratio at 4.27 only because the "
+        "64x cell caught one exceptionally quiet window (3.98 s); "
+        "same-session attempt pairs put the honest last-octave ratio at "
+        "~2-4."
     ),
     "duplicate_spans": (
         "the 16x->64x step (3.29 -> 13.14, ratio 3.99) is real, not a "
