@@ -768,8 +768,10 @@ CELL_NOTES: dict[str, str] = {
         "(ratio 5.9) on the FLAT BLAS path — assignment is n·k work, "
         "quadratic under the k ∝ n bounded-cluster-size rule; "
         "assign_hierarchical=True (the IVF-style two-level router, "
-        "~5·sqrt(k)·dim per point) re-measured the row at "
-        "4.24/5.46/4.76/7.71/25.94 s — final ratio 3.4, linear."
+        "~5·sqrt(k)·dim per point) re-measured the row's final ratio at "
+        "3.4 — linear. The residual 1x/4x wiggle (3.95 vs 3.5 s) is "
+        "constant-floor noise: both cells are dominated by fixed "
+        "seed-collect/Lloyd-pass job overhead at k=8 vs k=26."
     ),
     "media_dedup": (
         "the noisiest row on this shared host: 64x attempts spread "
