@@ -347,11 +347,28 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "latest.json"), "w") as f:
         json.dump(result, f, indent=1)
-    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or _round_tag()
     if tag and re.fullmatch(r"[A-Za-z0-9._-]+", tag):
         with open(os.path.join(out_dir, f"{tag}.json"), "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps(result))
+
+
+def _round_tag() -> str | None:
+    """Default round tag from PROGRESS.jsonl's last `round` field (r09…):
+    a forgotten $SPARK_GRAFT_BENCH_TAG used to silently demote a
+    round-close run to gitignored latest.json scratch — r5's record was
+    lost exactly that way. Env var still wins when set."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PROGRESS.jsonl"
+    )
+    try:
+        with open(path) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        rnd = json.loads(lines[-1]).get("round")
+        return f"r{int(rnd):02d}" if rnd is not None else None
+    except Exception:  # noqa: BLE001 - no progress file outside driver runs
+        return None
 
 
 if __name__ == "__main__":

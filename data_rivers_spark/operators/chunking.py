@@ -175,10 +175,17 @@ def _mask_abbrev_periods(col):
        their final dot — bounded, documented)
     4. the ABBREV_WORDS lexicon: ``Dr.`` → ``Dr␁``
 
-    The sentinel never occurs in text (control char); the caller restores
-    it to '.' per extracted sentence, so chunk_text stays verbatim."""
+    The caller restores the sentinel to '.' per extracted sentence, so
+    chunk_text stays verbatim. 'The sentinel never occurs in text' is NOT
+    assumed: pre-existing \\x01 bytes (no legitimate place in a text
+    corpus, but arbitrary corpora contain arbitrary bytes) are REMOVED
+    before masking — otherwise the restore step would rewrite them to '.'
+    and silently corrupt the verbatim round-trip. The removal is the
+    documented abbrev-mode contract (naive mode passes them through) and
+    is replayed identically in the DuckDB oracles via REPLACE(chr(1))."""
     s = _ABBREV_SENTINEL
-    c = F.regexp_replace(col, r"(\d)\.(\d)", "$1" + s + "$2")
+    c = F.translate(col, s, "")
+    c = F.regexp_replace(c, r"(\d)\.(\d)", "$1" + s + "$2")
     c = F.regexp_replace(c, r"([A-Za-z])\.([A-Za-z])\.", "$1" + s + "$2" + s)
     c = F.regexp_replace(c, s + r"([A-Za-z])\.", s + "$1" + s)
     return F.regexp_replace(
@@ -204,7 +211,9 @@ def chunk_by_sentences(
     belonging to decimals, dotted acronyms, and ABBREV_WORDS entries are
     masked to a sentinel before extraction and restored after, so
     'U.S. Steel' and '3.14' no longer split (the naive default's recorded
-    contract — see SENTENCE_PATTERN — is unchanged). Same plan shape: the
+    contract — see SENTENCE_PATTERN — is unchanged). Pre-existing \\x01
+    bytes in the input are removed first (see _mask_abbrev_periods) so the
+    restore step cannot rewrite them to '.'. Same plan shape: the
     masking is three more regexp_replace expressions in the same
     whole-stage-codegen projection, still zero look-around so the DuckDB
     oracle replays it exactly.

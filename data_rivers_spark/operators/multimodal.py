@@ -315,7 +315,10 @@ def perceptual_hash(
                 mids.append(mid)
                 try:
                     d = decoder(content, mtype)
-                    pix.append(np.asarray(d["pixels"], dtype=np.float64))
+                    # ravel: a decoder returning 2-D/nested pixels must not
+                    # poison the batch concatenate — shape is irrelevant to
+                    # the cyclic tile anyway
+                    pix.append(np.asarray(d["pixels"], dtype=np.float64).ravel())
                     oks.append(True)
                 except Exception:  # noqa: BLE001 - quarantine any codec failure
                     pix.append(None)
@@ -323,11 +326,29 @@ def perceptual_hash(
             hashes: list = [None] * len(mids)
             good = [i for i, p in enumerate(pix) if p is not None]
             if good:
-                packed = _phash_batch([pix[i] for i in good])
-                for j, i in enumerate(good):
-                    hashes[i] = int(packed[j])
+                try:
+                    packed = _phash_batch([pix[i] for i in good])
+                    for j, i in enumerate(good):
+                        hashes[i] = int(packed[j])
+                except Exception:  # noqa: BLE001 - keep per-ROW quarantine:
+                    # one pathological row must not fail the whole task, so
+                    # retry each row alone and quarantine only the bad ones
+                    for i in good:
+                        try:
+                            hashes[i] = int(_phash_batch([pix[i]])[0])
+                        except Exception:  # noqa: BLE001
+                            hashes[i] = None
+                            oks[i] = False
+            # nullable Int64: a plain list with a None would coerce the
+            # whole column to float64 and silently corrupt low bits of the
+            # OTHER rows' 63-bit hashes (measured: batches containing one
+            # quarantined row shifted every survivor's hash)
             yield pd.DataFrame(
-                {"media_id": mids, "phash": hashes, "decode_ok": oks}
+                {
+                    "media_id": mids,
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                }
             )
 
     return df.mapInPandas(run, PHASH_SCHEMA)

@@ -425,7 +425,7 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     iterations: int = 5,
     assign_vectorized: bool | None = None,
-    assign_hierarchical: bool = False,
+    assign_hierarchical: bool | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic mini k-means (Lloyd) for IVF coarse quantization.
 
@@ -477,7 +477,7 @@ def _assign_to_centroids(
     vec_col: str,
     cents,
     vectorized: bool | None = None,
-    hierarchical: bool = False,
+    hierarchical: bool | None = None,
 ) -> DataFrame:
     """argmin centroid by squared L2. Up to 64 centroids: array_min over
     (distance, id) structs — linear expression size, fully JVM-side,
@@ -493,11 +493,21 @@ def _assign_to_centroids(
     (SCALING.md's kmeans 4x cell measured 8.8-17.1 s at k=26 on the
     expression path vs 5.7 s for 4x the data at k=106 on BLAS), so
     throughput callers force True and eat the FP-rounding caveat; the
-    expression form exists for oracle-exact replay."""
-    if hierarchical and len(cents) > 256:
+    expression form exists for oracle-exact replay.
+
+    ``hierarchical`` follows the same None-means-auto protocol: past 256
+    centroids the flat BLAS matrix is n·k work — QUADRATIC when k grows
+    ∝ n (SemDeDup's bounded-cluster-size regime; SCALING.md measured the
+    flat path at octave ratio 5.9 vs 3.36 hierarchical) — so the default
+    auto-dispatches the two-level IVF router there. Explicit False keeps
+    the flat/exact kernel (oracle replay); explicit True forces the
+    router below the crossover."""
+    use_hier = hierarchical if hierarchical is not None else len(cents) > 256
+    if use_hier and len(cents) > 1:
         # two-level IVF routing: the flat BLAS matrix is n·k — quadratic
         # when k grows ∝ n (SemDeDup's regime); below ~256 centroids the
-        # flat kernel is cheaper than the two-stage overhead
+        # flat kernel is cheaper than the two-stage overhead, so auto
+        # (hierarchical=None) only lands here past the measured crossover
         return _assign_to_centroids_hierarchical(df, vec_col, cents)
     use_vec = vectorized if vectorized is not None else len(cents) > 64
     if use_vec:
@@ -622,7 +632,7 @@ def assign_kmeans_clusters(
     n_clusters: int = 8,
     iterations: int = 0,
     assign_vectorized: bool | None = None,
-    assign_hierarchical: bool = False,
+    assign_hierarchical: bool | None = None,
 ) -> DataFrame:
     """Corpus with a ``cluster_id`` column: nearest centroid by squared L2
     after ``iterations`` Lloyd rounds of the deterministic mini k-means
@@ -666,7 +676,7 @@ def kmeans_semantic_dedup(
     max_cluster_size: int | None = None,
     vectorized: bool | None = None,
     assign_vectorized: bool | None = None,
-    assign_hierarchical: bool = False,
+    assign_hierarchical: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -699,13 +709,16 @@ def kmeans_semantic_dedup(
     and the scaling harness needs BLAS assignment at k=26 where the
     interpreted argmin is the measured bottleneck — see SCALING.md's
     kmeans 4x note). Even the flat BLAS assignment is n·k work — QUADRATIC
-    when k ∝ n (SCALING.md measured ratio 5.9 on 64x->256x) — so
-    ``assign_hierarchical=True`` opts into the IVF-style two-level router
-    (_assign_to_centroids_hierarchical): ~sqrt(k) coarse cells, nprobe=4,
-    per-point cost ~5·sqrt(k)·dim. Approximate in the same class as the
-    operator's cluster-boundary misses; this is the 100 TB path (FAISS-
-    based SemDeDup clusters the same way). Component collapse is
-    pointer-doubling on the pair set only.
+    when k ∝ n (SCALING.md measured ratio 5.9 on 64x->256x) — so past
+    256 centroids assignment auto-dispatches (``assign_hierarchical=None``
+    default, same protocol as the >64 vectorized rule) to the IVF-style
+    two-level router (_assign_to_centroids_hierarchical): ~sqrt(k) coarse
+    cells, nprobe=4, per-point cost ~5·sqrt(k)·dim. Approximate in the
+    same class as the operator's cluster-boundary misses; this is the
+    100 TB path (FAISS-based SemDeDup clusters the same way). Explicit
+    ``assign_hierarchical=False`` keeps the flat/exact kernel for oracle
+    replay; explicit True forces the router below the crossover.
+    Component collapse is pointer-doubling on the pair set only.
 
     ``max_cluster_size`` is the skew guard: k-means gives no size bound
     (MEASURED: on a 128k fixture with low-id seeds + 1 Lloyd pass, skewed
@@ -844,7 +857,13 @@ def _assign_to_centroids_hierarchical(
     the same approximation class as the cluster-boundary pair misses the
     operator already buys, and raising ``nprobe`` trades cost for recall.
     Deterministic: coarse cells come from a seeded driver-side Lloyd over
-    the centroid matrix, ties break toward the lower centroid id."""
+    the centroid matrix, ties break toward the lower centroid id.
+
+    Degenerate-codebook guard: if every probed coarse cell of a point is
+    EMPTY (possible only when duplicate centroids leave >= nprobe childless
+    cells stacked near it), the point falls back to the flat BLAS argmin
+    over the full codebook instead of leaking the int32-max sentinel as a
+    bogus cluster id."""
     import numpy as np
 
     cmat = np.asarray(cents, dtype=np.float64)
@@ -852,6 +871,7 @@ def _assign_to_centroids_hierarchical(
     n_coarse = max(1, int(np.ceil(np.sqrt(k))))
     coarse, children = _coarse_partition_centroids(cmat, n_coarse)
     coarse_sq = (coarse * coarse).sum(axis=1)
+    cmat_sq = (cmat * cmat).sum(axis=1)
     child_sq = [(cmat[idx] * cmat[idx]).sum(axis=1) for idx in children]
     nprobe = min(nprobe, n_coarse)
     in_cols = df.columns
@@ -886,6 +906,12 @@ def _assign_to_centroids_hierarchical(
                 rr = rows[upd]
                 best_d[rr] = dv[upd]
                 best_i[rr] = ci[upd]
+            orphans = np.nonzero(np.isinf(best_d))[0]
+            if len(orphans):
+                # all probed coarse cells empty (degenerate codebook):
+                # flat argmin over the full codebook, never the sentinel
+                d = cmat_sq[None, :] - 2.0 * (V[orphans] @ cmat.T)
+                best_i[orphans] = d.argmin(axis=1)
             pdf = pdf.copy()
             pdf["centroid_id"] = best_i.astype("int32")
             yield pdf

@@ -1236,11 +1236,19 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     harnesses sweep ``getPersistentRDDs``). Best-effort: if the plan isn't
     the expected LogicalRDD shape (e.g. a future Spark changes the
     internals), leaking one vocab-sized block is preferable to failing
-    training."""
+    training — but the fallback LOGS, so a Spark-internals shift that
+    silently re-enables per-round block accumulation shows up in logs
+    rather than only in executor storage graphs."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "local-checkpoint release failed (%s: %s); the block will "
+            "accumulate until session end — Spark internals may have "
+            "changed shape", type(e).__name__, e,
+        )
 
 
 def bpe_train_merges(word_freq: DataFrame, n_merges: int) -> DataFrame:
@@ -1261,20 +1269,26 @@ def bpe_encode(
     id_col: str,
     merges: list[tuple[str, str]],
     checkpoint_every: int = 8,
-    broadcast_vocab: bool = False,
+    broadcast_vocab: bool | None = None,
+    broadcast_max_vocab: int = 500_000,
 ) -> DataFrame:
     """Tokenize a corpus with a TRAINED BPE merge list — the other half of
     the tokenizer lifecycle (train_bpe learns merges; this applies them to
     text, the step a training-data pipeline runs to count/budget tokens
     and emit model-ready sequences).
 
-    ``broadcast_vocab=True`` broadcast-hints the encoded word table so the
-    positioned-word stream joins map-side and the corpus NEVER shuffles on
-    the word key — right whenever the vocabulary fits an executor
-    broadcast (most natural-language corpora; Heaps' law keeps vocab
-    growth sub-linear). Default off: the checkpointed vocab scan carries
-    no size statistics, so the hint is the caller's claim, and a vocab
-    that does NOT fit should take the word-keyed shuffle join instead.
+    ``broadcast_vocab`` decides whether the encoded word table broadcast-
+    hints so the positioned-word stream joins map-side and the corpus
+    NEVER shuffles on the word key — right whenever the vocabulary fits an
+    executor broadcast (most natural-language corpora; Heaps' law keeps
+    vocab growth sub-linear). Default ``None`` MEASURES: the checkpointed
+    vocab scan carries no size statistics for AQE to act on, so the
+    operator supplies the stat itself — one count() on the (already
+    materialized) final vocab frame, broadcast iff it is at most
+    ``broadcast_max_vocab`` rows (500k words ≈ low hundreds of MB of
+    symbol arrays, comfortably inside an executor broadcast). Explicit
+    True/False overrides the measurement either way — a vocab that does
+    NOT fit must take the word-keyed shuffle join.
 
     Output: (id_col, tokens array<string>, n_tokens), one row per document
     with at least one word (empty/whitespace-only docs emit nothing, same
@@ -1319,6 +1333,10 @@ def bpe_encode(
         F.array_sort(F.collect_list(F.struct("__pos", "symbols"))),
         lambda s: s["symbols"],
     )
+    if broadcast_vocab is None:
+        # the checkpoint scan has no stats; one count on the materialized
+        # frame is the stat — vocabulary-sized, not corpus-sized
+        broadcast_vocab = vocab.count() <= broadcast_max_vocab
     right = F.broadcast(vocab) if broadcast_vocab else vocab
     return (
         toks.join(right, "word")

@@ -336,12 +336,13 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> ARRAY_TO_STRING(ws[i*7+1 : i*7+7], ' ') || '.'), ' ') AS text
       FROM toks WHERE LEN(ws) > 0
     ), masked AS (
-      -- the same four ordered rewrites as chunking._mask_abbrev_periods
+      -- pre-strip pre-existing sentinels, then the same four ordered
+      -- rewrites as chunking._mask_abbrev_periods
       SELECT doc_id,
              REGEXP_REPLACE(
                REGEXP_REPLACE(
                  REGEXP_REPLACE(
-                   REGEXP_REPLACE(text,
+                   REGEXP_REPLACE(REPLACE(text, chr(1), ''),
                      '(\\d)\\.(\\d)', '\\1' || chr(1) || '\\2', 'g'),
                    '([A-Za-z])\\.([A-Za-z])\\.',
                    '\\1' || chr(1) || '\\2' || chr(1), 'g'),

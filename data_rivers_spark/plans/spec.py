@@ -154,7 +154,12 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
         df, p["text_col"], p["id_col"],
         [tuple(m) for m in p["merges"]],
         checkpoint_every=int(p.get("checkpoint_every", 8)),
-        broadcast_vocab=bool(p.get("broadcast_vocab", False)),
+        # None = measure-and-decide (bpe_encode's default); an explicit
+        # spec value forces the join strategy either way
+        broadcast_vocab=(
+            None if p.get("broadcast_vocab") is None
+            else bool(p["broadcast_vocab"])
+        ),
     ),
     "unigram_logprob_score": _simple(TX.unigram_logprob_score),
     "perplexity_buckets": _simple(TX.perplexity_buckets),

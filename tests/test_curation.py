@@ -236,6 +236,31 @@ class TestChunkBySentences:
         assert out2[0].n_sentences == 3
         assert "".join(r.chunk_text for r in out2) == rich
 
+    def test_abbrev_aware_strips_preexisting_sentinel_bytes(self, spark):
+        # arbitrary corpora contain arbitrary bytes: a pre-existing \x01
+        # must NOT be rewritten to '.' by the restore step (the old
+        # corruption), nor confuse the acronym-continuation rewrite — it
+        # is REMOVED, the documented abbrev-mode contract; naive mode
+        # passes it through verbatim.
+        from data_rivers_spark.operators.chunking import chunk_by_sentences
+
+        text = "Alpha\x01beta stays. Dr. Who left.\x01 Pi is 3.14 now."
+        df = _docs(spark, [(1, text)])
+        out = sorted(
+            chunk_by_sentences(
+                df, "text", "doc_id", budget_tokens=100, abbrev_aware=True
+            ).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        joined = "".join(r.chunk_text for r in out)
+        assert joined == text.replace("\x01", "")
+        assert out[0].n_sentences == 3  # Dr./3.14 masked; 3 real sentences
+        # naive mode: untouched bytes, verbatim round-trip
+        naive = chunk_by_sentences(df, "text", "doc_id", budget_tokens=100).collect()
+        assert "".join(
+            r.chunk_text for r in sorted(naive, key=lambda r: r.chunk_idx)
+        ) == text
+
     def test_abbrev_aware_default_unchanged(self, spark):
         # abbrev_aware defaults False: identical output to the naive mode
         from data_rivers_spark.operators.chunking import chunk_by_sentences

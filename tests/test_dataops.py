@@ -794,6 +794,51 @@ def test_perceptual_hash_and_media_dedup(spark):
     assert sorted(r.media_id for r in M.media_dedup(df, decoder=boom).collect()) == [1, 2, 3, 4]
 
 
+def test_perceptual_hash_mixed_shape_pixels_quarantine(spark):
+    """Per-ROW quarantine survives the batched kernel: a decoder emitting
+    2-D pixel grids for some rows and 1-D for others must not fail the
+    whole Spark task (the batch concatenate would raise on mixed ranks
+    without the ravel), and the 2-D rows must hash identically to their
+    raveled 1-D equivalent — pHash is shape-blind by construction (cyclic
+    tile over the flat stream)."""
+    from data_rivers_spark.operators.multimodal import fake_decode
+
+    def shapes(content, media_type):
+        d = fake_decode(content, media_type)
+        pix = d["pixels"]
+        if content and content.startswith(b"grid"):
+            import numpy as np
+
+            n = (len(pix) // 4) * 4
+            d = dict(d, pixels=np.asarray(pix[:n]).reshape(4, n // 4))
+        elif content and content.startswith(b"boom"):
+            raise ValueError("bad row")
+        return d
+
+    def flat(content, media_type):
+        d = fake_decode(content, media_type)
+        pix = d["pixels"]
+        if content and content.startswith(b"grid"):
+            n = (len(pix) // 4) * 4
+            d = dict(d, pixels=list(pix[:n]))
+        return d
+
+    rows = [
+        (1, b"grid-aaaa-bbbb-cccc", "image"),
+        (2, b"plain-bytes", "image"),
+        (3, b"boom-bytes", "image"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, media_type string"
+    ).coalesce(1)  # one task → all three rows share a batch
+    got = {r.media_id: r for r in M.perceptual_hash(df, decoder=shapes).collect()}
+    assert got[1].decode_ok and got[2].decode_ok
+    assert not got[3].decode_ok and got[3].phash is None
+    want = {r.media_id: r for r in M.perceptual_hash(df, decoder=flat).collect()}
+    assert got[1].phash == want[1].phash
+    assert got[2].phash == want[2].phash
+
+
 def test_lsh_oracle_miss_budget_guard():
     """The q_curation_pipeline oracle carries a loud precondition guard: if
     the summed expected banded-recall miss over above-threshold pairs
@@ -1032,6 +1077,27 @@ def test_train_bpe_deterministic_and_exhausts(spark):
     ]
 
 
+def test_release_local_checkpoint_logs_on_failure(caplog):
+    """The best-effort checkpoint release must not fail training when
+    Spark's internals change shape — but it must say so: a silent pass
+    would re-enable the linear per-round block accumulation invisibly."""
+    import logging
+
+    class Boom:
+        @property
+        def _jdf(self):
+            raise RuntimeError("internals moved")
+
+    with caplog.at_level(
+        logging.WARNING, logger="data_rivers_spark.operators.textstats"
+    ):
+        TX._release_local_checkpoint(Boom())  # must not raise
+    assert any(
+        "local-checkpoint release failed" in r.getMessage()
+        for r in caplog.records
+    )
+
+
 def test_bpe_encode_applies_trained_merges(spark):
     # train on the Sennrich-style corpus, then ENCODE it: each document's
     # token stream must be the per-word greedy-fold symbols in word order
@@ -1072,6 +1138,33 @@ def test_bpe_encode_applies_trained_merges(spark):
         ).collect()
     }
     assert again[1] == out[1][0] and again[2] == out[2][0]
+
+
+def test_bpe_encode_auto_broadcast_decision(spark):
+    """broadcast_vocab=None measures the vocab (one count on the already-
+    materialized frame) and supplies the stat the checkpointed scan lacks:
+    a vocab under the threshold joins broadcast (no word-keyed corpus
+    shuffle); over it — or forced False — the word key shuffles. Values
+    are identical either way."""
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newer wider")], ["doc_id", "text"]
+    )
+
+    def plan(bdf):
+        return bdf._jdf.queryExecution().executedPlan().toString()
+
+    auto = TX.bpe_encode(df, "text", "doc_id", [("l", "o")])
+    assert "BroadcastHashJoin" in plan(auto)
+    tiny = TX.bpe_encode(
+        df, "text", "doc_id", [("l", "o")], broadcast_max_vocab=2
+    )  # 5 distinct words > 2 → measured NO
+    assert "BroadcastHashJoin" not in plan(tiny)
+    forced = TX.bpe_encode(
+        df, "text", "doc_id", [("l", "o")], broadcast_vocab=False
+    )
+    assert "BroadcastHashJoin" not in plan(forced)
+    rows = lambda d: sorted((r.doc_id, tuple(r.tokens)) for r in d.collect())  # noqa: E731
+    assert rows(auto) == rows(tiny) == rows(forced)
 
 
 def test_domain_mixture_upsample_epochs(spark):
@@ -1196,8 +1289,10 @@ def test_hierarchical_assignment_routes_exact_points_home(spark):
     }
     assert hier == flat
     # end-to-end plumbing: the operator accepts the flag and keeps its
-    # contract (unique survivors) — small k here, so the router defers to
-    # the flat path, proving the flag is safe at any scale
+    # contract (unique survivors) — explicit True now FORCES the router
+    # even at small k (mirroring the `vectorized` force-override protocol),
+    # and at k=8 n_coarse=3 means every coarse cell is probed, so the
+    # routing is exhaustive and the result exact
     from data_rivers_spark.session import load_tables  # noqa: F401
 
     out = S.kmeans_semantic_dedup(
@@ -1209,6 +1304,72 @@ def test_hierarchical_assignment_routes_exact_points_home(spark):
     # same-axis vectors are cosine-1.0 near-dups, so SOME collapse; the
     # contract is unique survivors and a non-empty result
     assert len(ids) == len(set(ids)) and 0 < len(ids) <= k
+
+
+def test_hierarchical_dispatch_boundary(spark, monkeypatch):
+    """_assign_to_centroids auto-dispatch: hierarchical=None routes to the
+    two-level router strictly past 256 centroids (the measured crossover,
+    SCALING.md flat ratio 5.9 vs 3.36), stays flat at exactly 256, and the
+    explicit overrides force either path at any size — the same protocol
+    as the >64 vectorized rule."""
+    import numpy as np
+
+    calls = []
+    real = S._assign_to_centroids_hierarchical
+    monkeypatch.setattr(
+        S, "_assign_to_centroids_hierarchical",
+        lambda df, vc, c, **kw: calls.append(len(c)) or real(df, vc, c, **kw),
+    )
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 9.0])], "vec_id long, v array<double>"
+    )
+    c256 = np.arange(512, dtype=np.float64).reshape(256, 2)
+    c257 = np.arange(514, dtype=np.float64).reshape(257, 2)
+    S._assign_to_centroids(df, "v", c256).collect()
+    assert calls == []  # at the boundary: flat
+    S._assign_to_centroids(df, "v", c257).collect()
+    assert calls == [257]  # past it: auto-hierarchical
+    S._assign_to_centroids(df, "v", c257, hierarchical=False).collect()
+    assert calls == [257]  # explicit False: flat/exact override holds
+    S._assign_to_centroids(df, "v", c256, hierarchical=True).collect()
+    assert calls == [257, 256]  # explicit True forces below the crossover
+
+
+def test_hierarchical_orphan_fallback_never_emits_sentinel(spark, monkeypatch):
+    """Degenerate codebook: if every coarse cell a point probes is EMPTY
+    (duplicate centroids can stack >= nprobe childless cells nearest it),
+    the point must fall back to the flat argmin over the full codebook,
+    never the int32-max sentinel. The pathological partition is injected
+    directly — constructing it through the driver-side Lloyd would hinge
+    on argsort tie order."""
+    import numpy as np
+
+    k = 25  # ceil(sqrt(25)) = 5 coarse cells, nprobe stays 4
+    cmat = np.array(
+        [[100.0 + i, 0.0] for i in range(k)], dtype=np.float64
+    )
+    # 5 coarse cells: cells 0-3 sit ON the query region but own NOTHING;
+    # cell 4 is far away and owns every fine centroid → a query at the
+    # origin probes (nprobe=4) exactly the four empty cells
+    coarse = np.array(
+        [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [0.1, 0.1], [500.0, 0.0]]
+    )
+    children = [np.array([], dtype=np.int64)] * 4 + [np.arange(k)]
+    monkeypatch.setattr(
+        S, "_coarse_partition_centroids", lambda cm, nc, iterations=3: (coarse, children)
+    )
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [490.0, 0.0])], "vec_id long, v array<double>"
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_hierarchical(df, "v", cmat).collect()
+    }
+    # point 0 probed only empty cells → flat fallback → centroid 0 (nearest)
+    assert got[0] == 0
+    # point 1 probed cell 4 → normal path → centroid 24 (nearest to 490)
+    assert got[1] == k - 1
+    assert all(0 <= cid < k for cid in got.values()), got
 
 
 def test_kmeans_semantic_dedup_cluster_size_guard(spark, sf_dir):

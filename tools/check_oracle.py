@@ -131,11 +131,22 @@ def main() -> int:
                              "spark_sec": round(spark_t, 2)}
             continue
         timer = None
+        oracle_done = None
         try:
             if args.oracle_timeout:
                 import threading
 
-                timer = threading.Timer(args.oracle_timeout, con.interrupt)
+                # the interrupt only fires while THIS query's done-event is
+                # unset: without the guard, a timer expiring in the window
+                # between fetchall() returning and timer.cancel() would
+                # interrupt the NEXT query and misrecord it as a timeout
+                oracle_done = threading.Event()
+
+                def _interrupt(done=oracle_done):
+                    if not done.is_set():
+                        con.interrupt()
+
+                timer = threading.Timer(args.oracle_timeout, _interrupt)
                 timer.start()
             res = con.execute(registry.ORACLES[name])
             ocols = [d[0] for d in res.description]
@@ -156,7 +167,12 @@ def main() -> int:
             }
             continue
         except Exception as e:  # noqa: BLE001
-            if "precondition" in str(e):
+            import re as _re
+
+            # specific sentinel: every fixture guard ends its error() with
+            # "violates q_<name>'s precondition" — a generic DuckDB error
+            # that merely CONTAINS the word 'precondition' must still fail
+            if _re.search(r"violates q_\w+'s precondition", str(e)):
                 # an oracle's own fixture guard fired (e.g. q_char_lsh_dedup
                 # refuses to certify an sf_dir with a true pair in the
                 # [0.8,0.85) banded-recall sliver): the FIXTURE is outside
@@ -174,6 +190,8 @@ def main() -> int:
             failures.append(name)
             continue
         finally:
+            if oracle_done is not None:
+                oracle_done.set()
             if timer is not None:
                 timer.cancel()
         problems = []
