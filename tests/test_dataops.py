@@ -865,7 +865,11 @@ def test_lsh_oracle_miss_budget_guard():
 
     oracles = entry.oracle_sql()
     assert "aggregate LSH miss budget exceeded" in oracles["q_curation_pipeline"]
-    assert "LSH-weak band" in oracles["q_char_lsh_dedup"]
+    # r9: the char oracle's binary any-pair-in-[0.8,0.85) refusal became
+    # the same aggregate budget form (sf0.1 has one J~0.80 natural pair
+    # that is comfortably inside budget but tripped the binary guard)
+    assert "aggregate LSH miss budget exceeded" in oracles["q_char_lsh_dedup"]
+    assert "1 - j*j*j*j" in oracles["q_char_lsh_dedup"]
 
 
 def test_gopher_full_features_match_building_blocks(spark, sf_dir):

@@ -38,6 +38,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 KS = (1, 4, 16, 64, 256)
+# the report renders one extra octave: 1024x cells exist only for the rows
+# whose 64x->256x ratio sat >= 3.3 (one more doubling-pair decides
+# approaching-linear vs drifting super-linear); measured via --remeasure
+# op:1024, never by the full sweep
+REPORT_KS = KS + (1024,)
+
+# Operator-config tags: a row's cells are comparable ONLY if every cell ran
+# the same algorithm. When a harness config (or the operator's own dispatch)
+# changes, bump the tag — _load_results/_load_peaks then DROP that row's
+# min-merged history instead of mixing algorithms across cells (the r8
+# kmeans row min-merged flat-BLAS cells against hierarchical-router cells;
+# media_dedup mixed per-row-DCT and batched-kernel cells the same way).
+OP_CONFIG: dict[str, str] = {
+    # r9: assign_hierarchical=True now FORCES the two-level router at every
+    # octave (previously it only engaged past 256 centroids), so the whole
+    # row is one algorithm
+    "kmeans_semantic_dedup": "vec+hier-forced-r9",
+    # r8's batched-dgemm pHash kernel; pre-vectorization cells dropped
+    "media_dedup": "phash-vectorized-r8",
+}
 # ops too slow to run at the top octave get capped (recorded as blank).
 # Empty since round 7: the six checkpoint-heavy composites previously
 # stopped at 64x ("four octaves read the exponent"), but the r6 verdict
@@ -50,7 +70,8 @@ KS = (1, 4, 16, 64, 256)
 MAX_K: dict[str, int] = {}
 
 
-def scaled(df, id_col: str, k: int, text_col: str | None = None, vec_col: str | None = None):
+def scaled(df, id_col: str, k: int, text_col: str | None = None,
+           vec_col: str | None = None, id_shift: int = 10_000_000):
     """k× the corpus with shifted ids AND distinct content per replica.
 
     A naive k-fold union makes every doc a member of a k-size exact-dup
@@ -65,7 +86,7 @@ def scaled(df, id_col: str, k: int, text_col: str | None = None, vec_col: str | 
     embeddings get a per-replica offset on one dimension."""
     parts = []
     for i in range(k):
-        p = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+        p = df.withColumn(id_col, F.col(id_col) + F.lit(i * id_shift))
         if text_col is not None and i > 0:
             p = p.withColumn(
                 text_col, F.regexp_replace(F.col(text_col), r"(\S+)", f"$1x{i}")
@@ -257,8 +278,11 @@ def _op_fn(name: str):
         # the speed crossover, so the throughput harness forces BLAS.
         # assign_hierarchical=True: even flat BLAS assignment is n·k work,
         # QUADRATIC under the k ∝ n cluster-count rule (measured ratio 5.9
-        # at 64x->256x, k=1706); the two-level IVF router restores ~linear
-        # (engages past 256 centroids, i.e. the 64x octave onward here)
+        # at 64x->256x, k=1706); the two-level IVF router restores ~linear.
+        # Since r9 an explicit True FORCES the router at every octave (the
+        # auto default only engages past 256 centroids), so the whole row
+        # is ONE algorithm — the history reset that forced is recorded in
+        # OP_CONFIG (r8's row min-merged flat cells against router cells)
         "kmeans_semantic_dedup": lambda e: S.kmeans_semantic_dedup(
             e, "embedding", "vec_id", 0.85,
             n_clusters=max(8, e.count() // 300), iterations=1,
@@ -308,14 +332,33 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
                 return out  # identical fixture already on disk — reuse
     except (OSError, ValueError):
         pass
-    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
-    docs0 = t["documents"].select("doc_id", "text").filter(F.trim("text") != "")
-    scaled(docs0, "doc_id", k, text_col="text").write.mode("overwrite").parquet(
-        os.path.join(out, "documents")
-    )
-    scaled(t["embeddings"], "vec_id", k, vec_col="embedding").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "embeddings"))
+    if k > KS[-1]:
+        # past the full sweep's top octave, build by DOUBLING: read the k/4
+        # fixture back and scale it by 4 — a k-way union would put k
+        # regexp_replace branches in one plan. Replica suffixes compose
+        # ('foox3' -> 'foox3x1'), so all word shingles stay distinct across
+        # the new replicas; the id shift must clear the base fixture's id
+        # span (k/4 replicas x 10M).
+        base = materialize_fixture(spark, sf_dir, k // 4)
+        docs0 = spark.read.parquet(os.path.join(base, "documents"))
+        scaled(
+            docs0, "doc_id", 4, text_col="text",
+            id_shift=10_000_000 * (k // 4),
+        ).write.mode("overwrite").parquet(os.path.join(out, "documents"))
+        emb0 = spark.read.parquet(os.path.join(base, "embeddings"))
+        scaled(
+            emb0, "vec_id", 4, vec_col="embedding",
+            id_shift=10_000_000 * (k // 4),
+        ).write.mode("overwrite").parquet(os.path.join(out, "embeddings"))
+    else:
+        t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+        docs0 = t["documents"].select("doc_id", "text").filter(F.trim("text") != "")
+        scaled(docs0, "doc_id", k, text_col="text").write.mode("overwrite").parquet(
+            os.path.join(out, "documents")
+        )
+        scaled(t["embeddings"], "vec_id", k, vec_col="embedding").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, "embeddings"))
     with open(sentinel, "w") as f:
         json.dump(want, f)
     # flush dirty pages NOW: the ~GB fixture write otherwise drains as
@@ -714,10 +757,21 @@ RESULTS_JSON = os.path.join(
 )
 
 
+def _apply_config_reset(raw: dict) -> dict:
+    """Drop rows whose stored config tag mismatches OP_CONFIG — mixing
+    algorithm generations in one min-merged row makes its ratios compare
+    different code (the r8 kmeans row did exactly that)."""
+    stored = raw.pop("_config", {})
+    for op, tag in OP_CONFIG.items():
+        if op in raw and stored.get(op) != tag:
+            del raw[op]
+    return raw
+
+
 def _load_results() -> dict[str, dict[int, float]]:
     try:
         with open(RESULTS_JSON) as f:
-            raw = json.load(f)
+            raw = _apply_config_reset(json.load(f))
         return {n: {int(k): v for k, v in c.items()} for n, c in raw.items()}
     except (OSError, ValueError):
         return {}
@@ -749,7 +803,7 @@ PEAKS_JSON = os.path.join(
 def _load_peaks() -> dict[str, dict[int, float]]:
     try:
         with open(PEAKS_JSON) as f:
-            raw = json.load(f)
+            raw = _apply_config_reset(json.load(f))
         return {n: {int(k): v for k, v in c.items()} for n, c in raw.items()}
     except (OSError, ValueError):
         return {}
@@ -857,7 +911,7 @@ def write_report(
         _append_telemetry(telem)
     results = _merge_min(_load_results(), results)
     with open(RESULTS_JSON, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        json.dump({**results, "_config": OP_CONFIG}, f, indent=1, sort_keys=True)
     # peaks max-merge: the memory requirement is the upper envelope (the
     # opposite convention from wall time, where contention only adds)
     all_peaks = _load_peaks()
@@ -866,7 +920,7 @@ def write_report(
             cur = all_peaks.setdefault(n, {}).get(k)
             all_peaks[n][k] = v if cur is None else max(cur, v)
     with open(PEAKS_JSON, "w") as f:
-        json.dump(all_peaks, f, indent=1, sort_keys=True)
+        json.dump({**all_peaks, "_config": OP_CONFIG}, f, indent=1, sort_keys=True)
     from data_rivers_spark.session import get_spark, load_tables
 
     spark = get_spark(app_name="scaling")
@@ -883,7 +937,7 @@ def write_report(
         },
     )
     with open(RESULTS_JSON, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        json.dump({**results, "_config": OP_CONFIG}, f, indent=1, sort_keys=True)
     xrows = [
         (n, results["revgeo_bnlj"][n], results["revgeo_grid"][n])
         for n in sorted(results.get("revgeo_bnlj", {}))
@@ -894,13 +948,19 @@ def write_report(
         .filter(F.trim("text") != "")
         .count()
     )
-    top_k = KS[-1]
-    header_cells = " | ".join(f"{k}x (s)" for k in KS)
-    ratio_cells = " | ".join(f"{a}x->{b}x" for a, b in zip(KS, KS[1:]))
+    top_k = max(
+        (k for n, r in results.items() if not n.startswith("revgeo_")
+         for k in r),
+        default=KS[-1],
+    )
+    header_cells = " | ".join(f"{k}x (s)" for k in REPORT_KS)
+    ratio_cells = " | ".join(
+        f"{a}x->{b}x" for a, b in zip(REPORT_KS, REPORT_KS[1:])
+    )
     lines = [
         "# SCALING — measured operator scaling at "
         + " / ".join(f"{k}x" for k in KS)
-        + " corpus size\n",
+        + " corpus size (1024x for rows whose 64x->256x ratio sat >= 3.3)\n",
         f"\nGenerated by `tools/scaling.py` on `{sf_dir}` (base corpus {n0} docs;",
         " %dx = %d docs), local[32]. Each growth column is the runtime"
         % (top_k, n0 * top_k),
@@ -923,15 +983,15 @@ def write_report(
         " where a later octave still beats an earlier one marks a spike not",
         " yet burned down.\n",
         f"\n| operator | {header_cells} | {ratio_cells} |\n",
-        "|---|" + "---|" * (2 * len(KS) - 1) + "\n",
+        "|---|" + "---|" * (2 * len(REPORT_KS) - 1) + "\n",
     ]
     for name, r in results.items():
         if name.startswith("revgeo_"):
             continue  # rendered in the crossover table below
-        vals = " | ".join(str(r.get(k, "—")) for k in KS)
+        vals = " | ".join(str(r.get(k, "—")) for k in REPORT_KS)
         ratios = " | ".join(
             str(round(r[b] / r[a], 2)) if r.get(a) and r.get(b) else "—"
-            for a, b in zip(KS, KS[1:])
+            for a, b in zip(REPORT_KS, REPORT_KS[1:])
         )
         lines.append(f"| {name} | {vals} | {ratios} |\n")
     noted = [n for n in CELL_NOTES if n in results]
