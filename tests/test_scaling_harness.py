@@ -1,0 +1,61 @@
+"""Pure-python contract tests for the scaling harness's history handling.
+
+The SCALING.md table is only meaningful if every cell in a row measured
+the same algorithm (tools/scaling.py OP_CONFIG) and each cell is the
+min over cold-JVM attempts (_merge_min). These tests pin both without
+touching Spark.
+"""
+from __future__ import annotations
+
+import tools.scaling as sc
+
+
+def test_config_reset_drops_mismatched_rows():
+    # a row measured under an older algorithm config must be dropped, not
+    # min-merged against fresh cells from the new algorithm
+    raw = {
+        "_config": {"kmeans_semantic_dedup": "flat-blas-r8"},
+        "kmeans_semantic_dedup": {"1": 1.0, "256": 50.0},
+        "simhash_pairs": {"1": 0.5},
+    }
+    out = sc._apply_config_reset(raw)
+    assert "kmeans_semantic_dedup" not in out
+    assert out["simhash_pairs"] == {"1": 0.5}
+    assert "_config" not in out
+
+
+def test_config_reset_keeps_matching_rows():
+    raw = {
+        "_config": dict(sc.OP_CONFIG),
+        **{op: {"1": 1.0} for op in sc.OP_CONFIG},
+        "untagged_op": {"1": 2.0},
+    }
+    out = sc._apply_config_reset(raw)
+    for op in sc.OP_CONFIG:
+        assert out[op] == {"1": 1.0}
+    # rows with no OP_CONFIG entry are never dropped
+    assert out["untagged_op"] == {"1": 2.0}
+
+
+def test_config_reset_handles_legacy_file_without_config_key():
+    # pre-r9 files carry no _config: every tagged row is treated as
+    # unknown-config and dropped
+    raw = {op: {"1": 1.0} for op in sc.OP_CONFIG}
+    raw["plain"] = {"4": 3.0}
+    out = sc._apply_config_reset(raw)
+    assert set(out) == {"plain"}
+
+
+def test_merge_min_takes_lower_envelope():
+    base = {"op": {1: 2.0, 4: 8.0}}
+    new = {"op": {1: 1.5, 4: 9.0, 16: 30.0}, "other": {1: 0.3}}
+    out = sc._merge_min(base, new)
+    assert out["op"] == {1: 1.5, 4: 8.0, 16: 30.0}
+    assert out["other"] == {1: 0.3}
+    # inputs not mutated
+    assert base == {"op": {1: 2.0, 4: 8.0}}
+
+
+def test_report_ks_is_ks_plus_one_octave():
+    assert sc.REPORT_KS[:-1] == sc.KS
+    assert sc.REPORT_KS[-1] == 4 * sc.KS[-1]
