@@ -115,6 +115,11 @@ HEADLINE = [
     # merge folds, one word-keyed join, id-keyed reassembly)
     "q_chunk_sentences_abbrev",
     "q_bpe_encode",
+    # round 9: near-dup-cluster-aware train/test split (LSH verified pairs
+    # -> exact CC -> md5 on the component representative) — pins the cost
+    # of closing the split over the dup graph next to q_minhash_lsh_dedup's
+    # pair-generation floor
+    "q_cluster_safe_split",
 ]
 
 

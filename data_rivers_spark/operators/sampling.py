@@ -96,6 +96,54 @@ def train_test_split(
     return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    test_fraction: float = 0.1,
+    threshold: float = 0.8,
+    seed: int | str = 0,
+    out_col: str = "split",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """``train_test_split`` that also closes over NEAR-DUP clusters: every
+    connected component of the verified near-dup graph lands entirely on one
+    side, so a test document's paraphrase can't leak into train.
+
+    The row-level split hashes each doc's own id; here the hash key is the
+    component representative (minimum reachable id via MinHash-LSH verified
+    pairs + exact connected components), with singletons keying on their own
+    id — which makes this a strict refinement: a corpus with no near-dups
+    splits identically to ``train_test_split(df, id_col, ...)``.
+
+    Scale: the pair graph and component frame are near-dup-sized (orders of
+    magnitude smaller than the corpus); the only corpus-sized operations are
+    the LSH pipeline itself (banded, capped — see minhash_lsh_verified_pairs)
+    and one id-keyed left join against the component frame. The assignment
+    stays a deterministic md5 decision, so reruns, repartitioning, and
+    incremental corpus growth never migrate an already-assigned cluster
+    unless its component representative changes."""
+    from .dedup import connected_components, minhash_lsh_verified_pairs
+
+    pairs = minhash_lsh_verified_pairs(
+        df, text_col, id_col, threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        bucket_cap=bucket_cap,
+    )
+    comps = connected_components(pairs).select(
+        F.col("id").alias(id_col), "component"
+    )
+    tagged = df.join(comps, id_col, "left")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    is_test = hash_bucket(rep, seed) < F.lit(fraction_threshold(test_fraction))
+    return tagged.withColumn(
+        out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    ).drop("component")
+
+
 def hash_unit_int(key: Column, seed: int | str = 0) -> Column:
     """Stable uniform integer in [0, 16^8) for a key — the numeric twin of
     ``hash_bucket`` for decisions whose threshold varies per row (weighted

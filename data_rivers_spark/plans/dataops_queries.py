@@ -1008,6 +1008,85 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cluster_safe_split",
+    oracle="""
+    WITH RECURSIVE aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, REGEXP_REPLACE(text, '^\\S+\\s*', '')
+      FROM documents WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM aug WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), grams AS (
+      -- same blocked inverted-index candidate generation as
+      -- q_minhash_cc_dedup: only gram-sharing pairs can have J > 0
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(ws[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, ws,
+                   UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1))) AS i
+            FROM toks)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, COUNT(*) AS c
+      FROM grams g1 JOIN grams g2 USING (gram)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, MIN(r) AS min_reach FROM reach GROUP BY id
+    )
+    SELECT a.doc_id,
+           CASE WHEN SUBSTR(MD5('split:' || CAST(
+                       LEAST(a.doc_id, COALESCE(c.min_reach, a.doc_id))
+                     AS VARCHAR)), 1, 8) < '19999999'
+                THEN 'test' ELSE 'train' END AS split
+    FROM aug a LEFT JOIN comp c ON c.id = a.doc_id
+    """,
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware 90/10 split on the planted-copy corpus (20%
+    of docs get a prefix-clipped twin at doc_id+100000, word-shingle
+    J >= ~0.9): every connected near-dup component lands entirely on one
+    side, so a test doc's paraphrase can't leak into train — the failure
+    mode row-level q_train_test_split can't prevent.
+
+    Spark side = sampling.cluster_safe_split (MinHash-LSH verified pairs →
+    exact connected components → md5 split keyed on the component's min id;
+    singletons key on their own id). Oracle = the q_minhash_cc_dedup
+    blocked-Jaccard pair closure, with the same md5 decision applied to
+    LEAST(doc_id, min reachable id). Matches iff LSH recall is 100% on
+    J >= 0.7 pairs — the same recall argument as q_minhash_lsh_dedup."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    aug = docs.unionByName(copies)
+    return SA.cluster_safe_split(
+        aug, "text", "doc_id", test_fraction=0.1, threshold=0.7,
+        seed="split", num_hashes=32, bands=16,
+    ).select("doc_id", "split")
+
+
+@query(
     "q_quality_trim",
     oracle=f"""
     WITH scored AS (

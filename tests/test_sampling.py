@@ -271,3 +271,49 @@ def test_domain_mixture_temperature_extremes(spark):
     t0 = SA.domain_mixture_sample(df, "doc_id", "source", 0.0, 0.5, seed=1)
     by0 = {r.source: r["count"] for r in t0.groupBy("source").count().collect()}
     assert by0["small"] == 30  # rate 1: every scarce row kept
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    # three near-dup families (a doc and a lightly-edited twin) plus
+    # singletons; every family must land entirely on one side
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs before the night ends"),
+        (3, "sphinx of black quartz judge my vow said the old librarian"),
+    ]
+    rows = []
+    for i, txt in base:
+        rows.append((i, txt))
+        rows.append((i + 100, txt + " tail"))  # near-dup twin
+    for i in range(10, 40):
+        rows.append((i, f"unique document number {i} with its own words {i * 7} {i * 11}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = SA.cluster_safe_split(
+        df, "text", "doc_id", test_fraction=0.5, threshold=0.5, seed=3,
+        num_hashes=32, bands=16,
+    ).collect()
+    split = {r.doc_id: r.split for r in out}
+    assert len(split) == len(rows)
+    for i, _ in base:
+        assert split[i] == split[i + 100], f"cluster {i} straddles the split"
+    assert {"test", "train"} == set(split.values())
+
+
+def test_cluster_safe_split_reduces_to_row_split_without_dups(spark):
+    # strict refinement: with no near-dups the assignment is EXACTLY the
+    # row-level train_test_split keyed on the id
+    df = spark.createDataFrame(
+        [(i, f"totally distinct text {i} {i * 13} {i * 29} {i * 31}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    a = {
+        r.doc_id: r.split
+        for r in SA.cluster_safe_split(
+            df, "text", "doc_id", test_fraction=0.3, threshold=0.9, seed=5
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in SA.train_test_split(df, "doc_id", 0.3, seed=5).collect()
+    }
+    assert a == b
