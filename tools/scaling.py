@@ -71,7 +71,8 @@ MAX_K: dict[str, int] = {}
 
 
 def scaled(df, id_col: str, k: int, text_col: str | None = None,
-           vec_col: str | None = None, id_shift: int = 10_000_000):
+           vec_col: str | None = None, id_shift: int = 10_000_000,
+           i_scale: int = 1):
     """k× the corpus with shifted ids AND distinct content per replica.
 
     A naive k-fold union makes every doc a member of a k-size exact-dup
@@ -83,10 +84,20 @@ def scaled(df, id_col: str, k: int, text_col: str | None = None,
     So each replica perturbs content deterministically: every WORD gets a
     replica suffix (all shingles distinct across replicas, natural
     within-replica dup structure preserved → constant dup rate), and
-    embeddings get a per-replica offset on one dimension."""
+    embeddings get a per-replica offset on one dimension.
+
+    ``i_scale`` multiplies each replica's perturbation index — the DOUBLING
+    path (materialize_fixture k>256) needs it: applying this function on
+    top of an already-scaled fixture with raw indices 1..3 would give the
+    outer replicas the SAME suffix/roll the base fixture's replicas 1..3
+    already carry, making every outer copy of a base-replica-0 doc an
+    EXACT duplicate of base replicas 1..3 (~3·n0 artifact dup pairs).
+    With i_scale = base_k the composed indices (256/512/768 on a 256x
+    base) collide with nothing in the base or each other."""
     parts = []
-    for i in range(k):
-        p = df.withColumn(id_col, F.col(id_col) + F.lit(i * id_shift))
+    for i_raw in range(k):
+        i = i_raw * i_scale
+        p = df.withColumn(id_col, F.col(id_col) + F.lit(i_raw * id_shift))
         if text_col is not None and i > 0:
             p = p.withColumn(
                 text_col, F.regexp_replace(F.col(text_col), r"(\S+)", f"$1x{i}")
@@ -325,7 +336,8 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
 
     out = _fixture_dir(k)
     sentinel = os.path.join(out, "_done.json")
-    want = {"sf_dir": os.path.abspath(sf_dir), "k": k}
+    # fmt 2: doubling replicas use composed perturbation indices (i_scale)
+    want = {"sf_dir": os.path.abspath(sf_dir), "k": k, "fmt": 2}
     try:
         with open(sentinel) as f:
             if json.load(f) == want:
@@ -335,20 +347,22 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
     if k > KS[-1]:
         # past the full sweep's top octave, build by DOUBLING: read the k/4
         # fixture back and scale it by 4 — a k-way union would put k
-        # regexp_replace branches in one plan. Replica suffixes compose
-        # ('foox3' -> 'foox3x1'), so all word shingles stay distinct across
-        # the new replicas; the id shift must clear the base fixture's id
-        # span (k/4 replicas x 10M).
+        # regexp_replace branches in one plan. i_scale=k//4 gives the outer
+        # replicas perturbation indices (k//4, 2k//4, 3k//4) that collide
+        # with nothing the base fixture already used (raw indices 1..3
+        # would replicate base replicas 1..3 exactly — see scaled()); the
+        # id shift must clear the base fixture's id span (k/4 replicas x
+        # 10M).
         base = materialize_fixture(spark, sf_dir, k // 4)
         docs0 = spark.read.parquet(os.path.join(base, "documents"))
         scaled(
             docs0, "doc_id", 4, text_col="text",
-            id_shift=10_000_000 * (k // 4),
+            id_shift=10_000_000 * (k // 4), i_scale=k // 4,
         ).write.mode("overwrite").parquet(os.path.join(out, "documents"))
         emb0 = spark.read.parquet(os.path.join(base, "embeddings"))
         scaled(
             emb0, "vec_id", 4, vec_col="embedding",
-            id_shift=10_000_000 * (k // 4),
+            id_shift=10_000_000 * (k // 4), i_scale=k // 4,
         ).write.mode("overwrite").parquet(os.path.join(out, "embeddings"))
     else:
         t = load_tables(spark, sf_dir, ["documents", "embeddings"])
