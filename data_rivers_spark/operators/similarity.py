@@ -11,6 +11,7 @@ trained IVF (centroid assignment), same join shape.
 
 from __future__ import annotations
 
+import math
 import random
 
 import pandas as pd
@@ -116,10 +117,11 @@ def signlsh_topk(
     vec_col: str,
     id_col: str,
     k: int,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     exclude_self: bool = True,
     multiprobe: bool = True,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
     (plus, with multiprobe, every bucket one sign-flip away — the standard
@@ -127,8 +129,25 @@ def signlsh_topk(
     neighbors).
 
     Scale: the corpus shuffles once on the 4-byte bucket key; the query side
-    (broadcast) fans out ×(num_planes+1) probes, so probe cost stays
-    ~corpus/2^planes per probe."""
+    (broadcast) fans out ×(num_planes+1) probes. A FIXED plane count makes
+    expected bucket occupancy corpus/2^planes — i.e. per-probe verify cost
+    grows LINEARLY with the corpus (the 1024x scaling octave measured the
+    fixed-depth form at a 15.9 last-octave ratio: 6.5M vectors / 16 buckets
+    flooded the verifier). ``num_planes=None`` (the default) therefore
+    AUTO-DEPTHS: one corpus count() picks planes = ceil(log2(n /
+    target_bucket_rows)) clamped to [4, 24], holding expected occupancy at
+    ~``target_bucket_rows`` regardless of corpus size — constant per-probe
+    cost, the plane-count analogue of IVF's sqrt(n) cell rule. Honest
+    tradeoff: deeper single-table buckets LOWER per-neighbor recall
+    (P(same bucket) = p^planes for per-plane agreement p; multiprobe's
+    one-flip probes recover only part of it), so auto-depth bounds cost by
+    spending recall. Pin ``num_planes`` explicitly when recall is pinned
+    (the oracle queries do), and reach for ivf_topk (trained coarse cells,
+    nprobe recall lever) or the multi-table embedding_near_dup_pairs_lsh
+    when a large corpus needs high recall."""
+    if num_planes is None:
+        n = corpus.count()
+        num_planes = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket_rows))))
     cb = signlsh_buckets(corpus, vec_col, id_col, num_planes, dim).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv"), "bucket"
     )

@@ -1397,3 +1397,32 @@ def test_kmeans_semantic_dedup_cluster_size_guard(spark, sf_dir):
     assert sorted(r.vec_id for r in loose.select("vec_id").collect()) == sorted(
         r.vec_id for r in full.select("vec_id").collect()
     )
+
+
+def test_signlsh_auto_depth_dispatch(spark):
+    """num_planes=None scales plane count with log2(corpus/target): constant
+    expected bucket occupancy, the fix for the fixed-depth bucket flooding
+    the 1024x scaling octave measured (similarity.signlsh_topk docstring)."""
+    import math as _m
+
+    from data_rivers_spark.operators import similarity as S
+
+    # the resolution rule itself (pure arithmetic, mirrors the operator)
+    def resolve(n, target=1024):
+        return max(4, min(24, _m.ceil(_m.log2(max(n, 2) / target))))
+
+    assert resolve(1_000) == 4          # small corpora floor at 4
+    assert resolve(1_600_000) == 11     # 256x-fixture scale
+    assert resolve(6_500_000) == 13     # 1024x-fixture scale
+    assert resolve(2**40) == 24         # ceiling guards the probe fan-out
+
+    # end-to-end: auto-depth must stay exact on planted twins in a small
+    # corpus (resolves to the 4-plane floor -> same regime the pinned
+    # oracle query certifies)
+    rows = [(i, [float((i * 13 + j * 7) % 17) / 17.0 for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.signlsh_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "embedding", "vec_id", 3, dim=8
+    )
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == 3 and all(r["count"] <= 3 for r in got)

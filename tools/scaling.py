@@ -57,6 +57,10 @@ OP_CONFIG: dict[str, str] = {
     "kmeans_semantic_dedup": "vec+hier-forced-r9",
     # r8's batched-dgemm pHash kernel; pre-vectorization cells dropped
     "media_dedup": "phash-vectorized-r8",
+    # r9: num_planes=None auto-depth (planes scale with log2(n), holding
+    # bucket occupancy ~constant); fixed-4-plane cells dropped — that form
+    # measured a 15.9 last-octave ratio at 1024x (bucket flooding)
+    "signlsh_topk": "auto-depth-r9",
 }
 # ops too slow to run at the top octave get capped (recorded as blank).
 # Empty since round 7: the six checkpoint-heavy composites previously
@@ -300,8 +304,14 @@ def _op_fn(name: str):
             max_cluster_size=600, vectorized=True, assign_vectorized=True,
             assign_hierarchical=True,
         ),
+        # num_planes=None → auto-depth (planes = ceil(log2(n/1024)), the r9
+        # fix): the old fixed num_planes=4 held bucket COUNT constant while
+        # the corpus grew, so per-probe verify cost grew linearly — the
+        # 1024x octave measured that form at a 15.9 last-octave ratio
+        # (6.5M vectors / 16 buckets). Auto-depth holds bucket OCCUPANCY
+        # ~constant instead; the row's history reset is in OP_CONFIG.
         "signlsh_topk": lambda e: S.signlsh_topk(
-            e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5, num_planes=4
+            e, e.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5
         ),
         "curation_pipeline": (
             _prep_lined,
