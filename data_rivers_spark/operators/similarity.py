@@ -450,8 +450,17 @@ def train_ivf_centroids(
 
     Init = the n_centroids corpus vectors with the lowest ids (deterministic,
     no RNG); each iteration assigns every vector to its nearest centroid with
-    a broadcast argmin and recomputes means with one groupBy. Lineage is cut
-    per iteration with localCheckpoint so the plan doesn't grow O(iters).
+    a broadcast argmin and recomputes means with one groupBy.
+
+    Memory posture (the r9 1024x octave found the old one, which
+    checkpointed corpus-sized frames, failing with AGGREGATE_OUT_OF_MEMORY
+    at 5.12M x 64-dim: two ~26 GB deserialized caches starved the unified
+    pool): the per-iteration ``assigned`` frame is consumed EXACTLY ONCE by
+    the means aggregation and the next iteration's plan depends only on the
+    updated driver-side centroid literals — lineage never grows through it
+    — so it is never materialized; ``vecs`` is checkpointed only when
+    iterations > 1 (a single Lloyd pass reads the column-pruned source scan
+    directly — at 100 TB a re-scan is cheaper than a corpus-sized cache).
 
     Returns [(centroid_id, vector)] — small, driver-side (n_centroids × dim)."""
     import numpy as np
@@ -465,12 +474,14 @@ def train_ivf_centroids(
         # corpus is never re-read here — materializing it would be a full
         # corpus-sized cache bought for nothing at 100 TB
         return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v")).localCheckpoint()
+    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    if iterations > 1:
+        vecs = vecs.localCheckpoint()
     for _ in range(iterations):
         assigned = _assign_to_centroids(
             vecs, "__v", cents,
             vectorized=assign_vectorized, hierarchical=assign_hierarchical,
-        ).localCheckpoint()
+        )
         means = (
             assigned.groupBy("centroid_id")
             .agg(

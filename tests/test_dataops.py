@@ -1426,3 +1426,24 @@ def test_signlsh_auto_depth_dispatch(spark):
     )
     got = out.groupBy("query_id").count().collect()
     assert len(got) == 3 and all(r["count"] <= 3 for r in got)
+
+
+def test_train_ivf_centroids_leaves_no_corpus_cache(spark):
+    """A single Lloyd pass must not materialize corpus-sized frames: the
+    per-iteration assigned frame has exactly one consumer (the means agg)
+    and lineage depends only on driver-side centroid literals, so nothing
+    here should checkpoint (the r9 1024x octave caught the old posture
+    OOMing on two ~26 GB caches at 5.12M x 64-dim)."""
+    from data_rivers_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(500)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    cents = S.train_ivf_centroids(emb, "embedding", "vec_id", 8, iterations=1)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(cents) == 8
+    assert set(after) == set(before), "iterations=1 must not persist any RDD"
+    # multi-pass DOES checkpoint the (id, vec) frame once — and only it
+    S.train_ivf_centroids(emb, "embedding", "vec_id", 8, iterations=2)
+    after2 = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after2) - len(before) <= 1

@@ -53,8 +53,10 @@ REPORT_KS = KS + (1024,)
 OP_CONFIG: dict[str, str] = {
     # r9: assign_hierarchical=True now FORCES the two-level router at every
     # octave (previously it only engaged past 256 centroids), so the whole
-    # row is one algorithm
-    "kmeans_semantic_dedup": "vec+hier-forced-r9",
+    # row is one algorithm; r9b: train_ivf_centroids stopped checkpointing
+    # corpus-sized frames (the 1024x AGGREGATE_OUT_OF_MEMORY fix), which
+    # changes the measured caching work at every octave
+    "kmeans_semantic_dedup": "vec+hier-nocorpuscache-r9b",
     # r8's batched-dgemm pHash kernel; pre-vectorization cells dropped
     "media_dedup": "phash-vectorized-r8",
     # r9: num_planes=None auto-depth (planes scale with log2(n), holding
