@@ -119,9 +119,29 @@ def scaled(df, id_col: str, k: int, text_col: str | None = None,
             # decorrelates replicas while keeping every within-replica
             # pairwise cosine bit-identical to replica 0 — constant dup
             # rate, which is how real corpora scale.
-            roll = i % 64
-            dim_i = (i * 7) % 64
-            off = float(0.37 * (1 + i // 64))
+            if i_scale > 1:
+                # DOUBLING mode: the composed indices (256/512/768) must
+                # not reuse the formula below — its offset term grows
+                # unbounded (0.37·(1+i//64) = 1.85..4.81 there), and on
+                # unit-norm embeddings a large COMMON component collapses
+                # every pairwise cosine toward 1 (measured: off 3.33 puts
+                # 100% of random pairs at cos >= 0.85, vs 0% at 0.37) —
+                # the whole replica becomes a near-dup clique and the CC
+                # edge set goes quadratic (39 GB checkpoint, the r9
+                # kmeans@1024x OOM). Fresh BOUNDED transforms instead:
+                # roll 0 + a 0.37-magnitude offset at dim i_raw (1..3).
+                # Collision-free vs the base set: a base transform at dim
+                # d forces roll = 7⁻¹·d mod 64 ≠ 0 for d in 1..3; outer∘
+                # base-m compositions carry TWO offset dims for m > 0;
+                # and the per-level epsilon keeps deeper doublings
+                # distinct from this one.
+                roll = 0
+                dim_i = i_raw
+                off = 0.37 + 0.002 * (i_scale // 256)
+            else:
+                roll = i % 64
+                dim_i = (i * 7) % 64
+                off = float(0.37 * (1 + i // 64))
             v = F.col(vec_col)
             p = p.withColumn(
                 vec_col,
@@ -348,8 +368,9 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
 
     out = _fixture_dir(k)
     sentinel = os.path.join(out, "_done.json")
-    # fmt 2: doubling replicas use composed perturbation indices (i_scale)
-    want = {"sf_dir": os.path.abspath(sf_dir), "k": k, "fmt": 2}
+    # fmt 3: doubling replicas use composed perturbation indices (i_scale)
+    # with BOUNDED embedding offsets (unbounded ones collapsed cosines)
+    want = {"sf_dir": os.path.abspath(sf_dir), "k": k, "fmt": 3}
     try:
         with open(sentinel) as f:
             if json.load(f) == want:
