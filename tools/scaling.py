@@ -872,13 +872,28 @@ CELL_NOTES: dict[str, str] = {
         "auto-dispatch past 256 centroids since r9. The rebuilt row: "
         "cells through 64x sit on the constant floor (seed-collect + "
         "one Lloyd pass of fixed job overhead at k <= 1.7k), so the "
-        "first data-dominated octave is 64x->256x at 2.82. The 1024x "
-        "cell (5.12M x 64-dim, k ~ 17k centroids) needs the heap scaled "
-        "with the data — the standing 32g setting hit GCLocker "
-        "allocation exhaustion in the assignment checkpoint on two "
-        "attempts (telemetry: 27.7 GB peak at the successful old-fixture "
-        "run); measured at 48g, the same scale-with-partitions sizing "
-        "the harness already documents for the 64x/8g case."
+        "first data-dominated octave is 64x->256x at ~3. The 1024x cell "
+        "(5.12M x 64-dim, k ~ 17k centroids) initially OOMed "
+        "(AGGREGATE_OUT_OF_MEMORY / GCLocker exhaustion, 32g AND 48g) and "
+        "the burn-down found TWO real defects behind one symptom: "
+        "(a) train_ivf_centroids localCheckpointed corpus-sized frames "
+        "that buy nothing — each Lloyd pass's assigned frame has exactly "
+        "one consumer and lineage runs through driver-side centroid "
+        "literals, not the frame (fixed in the operator, r9b config tag); "
+        "(b) the doubling FIXTURE's first form gave outer replicas "
+        "unbounded common offsets (1.85-4.81 on one dim of unit-norm "
+        "embeddings), collapsing all pairwise cosines toward 1 — half "
+        "the corpus became a near-dup clique and the CC edge set went "
+        "quadratic (~39 GB checkpoint), which no operator survives "
+        "because the OUTPUT is quadratic (fixture fmt 3 bounds the "
+        "offsets). Post-fix the cell runs at the standing 32g; the last "
+        "octave reads ~4. Growth-class honesty: under k ∝ n the router's "
+        "assignment is n·sqrt(k) = n^1.5 (8x/octave asymptote) vs the "
+        "flat path's n·k = n² (16x/octave asymptote, measured 5.9 "
+        "mid-transition in r8) — measured ~4 here because the bounded "
+        "pair stage and fixed job floors still share the bill; a deeper "
+        "tree (IVF-in-IVF) is the next rung if a future octave drifts "
+        "toward 8."
     ),
     "chunk_documents": (
         "the 1024x cell's same-window ratio (3.69 -> 17.03, ~4.6) is NOT "
@@ -903,9 +918,10 @@ CELL_NOTES: dict[str, str] = {
         "used to print a 4.27 last ratio only because its 64x cell caught "
         "one exceptionally quiet window (3.98 s) while the 256x min came "
         "from a different day. The OP_CONFIG reset rebuilt the whole row "
-        "from same-day cold-JVM envelopes: every printed cell is now from "
-        "one measured window and the last octave reads 2.7 with no "
-        "footnote needed. Both stages stay row-linear (the hamming join "
+        "from same-day cold-JVM envelopes (the burn-down's final quiet "
+        "window measured the 64x/256x PAIR together: 3.69/11.71, last "
+        "octave ~3.2, no footnote needed). Both stages stay row-linear "
+        "(the hamming join "
         "is the same Manku blocking simhash_pairs holds ~3 with; its "
         "accidental-candidate term 20N²/2³³ ≈ 3.8M rows at N=1.28M is "
         "still a cheap bit_count filter)."
