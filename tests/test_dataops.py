@@ -1447,3 +1447,33 @@ def test_train_ivf_centroids_leaves_no_corpus_cache(spark):
     S.train_ivf_centroids(emb, "embedding", "vec_id", 8, iterations=2)
     after2 = dict(spark.sparkContext._jsc.getPersistentRDDs())
     assert len(after2) - len(before) <= 1
+
+
+def test_signlsh_auto_depth_keeps_planted_twin_recall(spark):
+    """Deeper auto-depth buckets must still find EXACT-direction twins: a
+    vector and its copy agree with every hyperplane (p = 1), so they share
+    a bucket at ANY depth — recall on exact/near-exact dups is depth-proof,
+    which is what the planted-copy oracle construction relies on."""
+    from data_rivers_spark.operators import similarity as S
+
+    rows = []
+    for i in range(400):
+        # injective construction: the i/1e5 term makes every corpus vector
+        # distinct (a periodic modular pattern alone repeats every 23 ids,
+        # planting accidental exact twins)
+        v = [
+            float((i * 31 + j * 17) % 23) / 23.0 + 0.01 + (i + 1) / 1e5 * (j + 1)
+            for j in range(8)
+        ]
+        rows.append((i, v))
+        if i < 5:  # plant an exact twin for the first five queries
+            rows.append((i + 10000, list(v)))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.signlsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", 1,
+        dim=8, target_bucket_rows=32,  # 405 rows / 32 -> 4 planes by the rule
+    ).collect()
+    best = {r.query_id: (r.neighbor_id, r.sim) for r in out}
+    for q in range(5):
+        nid, sim = best[q]
+        assert nid == q + 10000 and abs(sim - 1.0) < 1e-9, (q, nid, sim)
