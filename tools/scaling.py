@@ -941,6 +941,20 @@ CELL_NOTES: dict[str, str] = {
         "bigger octaves of chunk_documents/gopher_filter instead, which "
         "share the corpus-shaped cost."
     ),
+    "curation_pipeline": (
+        "the flagship composite got a voluntary 1024x cell (801.98 s over "
+        "5.12M docs) even though its 2.01 ratio at 64x->256x did not flag "
+        "it. The 5.03 top-octave ratio is the doubling FIXTURE's char "
+        "growth, not pipeline super-linearity: outer replicas add a "
+        "4-char suffix to every word (measured corpus: 5.48 chars/word, "
+        "avg base-fixture suffix 3.56 -> per-doc chars grow x1.33 at the "
+        "top octave), so a purely char-proportional stage should read "
+        "4 x 1.33 = 5.33 — and the pipeline's char-7-gram LSH stage IS "
+        "char-proportional while its word-LSH/quality/mixture stages are "
+        "word/doc-proportional, landing the blend at 5.03, under the "
+        "pure-char bound. Normalized to input bytes the composite stays "
+        "~linear, consistent with every component row measured alone."
+    ),
     "signlsh_topk": (
         "the r9 1024x octave caught a REAL wall in the fixed-depth form "
         "this row used to measure (num_planes=4 → 16 buckets): expected "
@@ -1055,7 +1069,8 @@ def write_report(
     lines = [
         "# SCALING — measured operator scaling at "
         + " / ".join(f"{k}x" for k in KS)
-        + " corpus size (1024x for rows whose 64x->256x ratio sat >= 3.3)\n",
+        + " corpus size (1024x for rows whose 64x->256x ratio sat >= 3.3,"
+        " plus the flagship composite)\n",
         f"\nGenerated by `tools/scaling.py` on `{sf_dir}` (base corpus {n0} docs;",
         " %dx = %d docs), local[32]. Each growth column is the runtime"
         % (top_k, n0 * top_k),
