@@ -354,9 +354,27 @@ def main() -> None:
         json.dump(result, f, indent=1)
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or _round_tag()
     if tag and re.fullmatch(r"[A-Za-z0-9._-]+", tag):
-        with open(os.path.join(out_dir, f"{tag}.json"), "w") as f:
+        path = _tag_artifact_path(out_dir, tag)
+        with open(path, "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps(result))
+
+
+def _tag_artifact_path(out_dir: str, tag: str) -> str:
+    """Write-once round record: the first run of a round owns
+    bench_out/{tag}.json; later runs in the same round land at
+    {tag}.2.json, {tag}.3.json, ... instead of clobbering the committed
+    record (the r9 round-close artifact was overwritten by the driver's
+    own post-round re-run — 1,518 lines of re-sampled timings over the
+    committed numbers). $SPARK_GRAFT_BENCH_OVERWRITE=1 restores
+    last-write-wins for deliberate re-records."""
+    base = os.path.join(out_dir, f"{tag}.json")
+    if os.environ.get("SPARK_GRAFT_BENCH_OVERWRITE") == "1" or not os.path.exists(base):
+        return base
+    i = 2
+    while os.path.exists(os.path.join(out_dir, f"{tag}.{i}.json")):
+        i += 1
+    return os.path.join(out_dir, f"{tag}.{i}.json")
 
 
 def _round_tag() -> str | None:

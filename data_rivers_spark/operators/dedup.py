@@ -942,7 +942,7 @@ def simhash_near_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 20, strict: bool = True
 ) -> DataFrame:
     """Exact connected components over a near-dup pair graph: (id, component)
     where component = the minimum id reachable from the node.
@@ -954,7 +954,14 @@ def connected_components(
     per round with localCheckpoint; stops at fixpoint.
 
     Rounds needed = graph diameter (near-dup clusters are shallow; ≤5 rounds
-    in practice). Input columns: id_a, id_b."""
+    in practice). Input columns: id_a, id_b.
+
+    Non-convergence is a CORRECTNESS failure for consumers like
+    cluster_safe_split (two members of one long chain keying on different
+    representatives would straddle a train/test boundary), so exhausting
+    ``max_iterations`` with labels still moving raises by default
+    (``strict=True``); ``strict=False`` downgrades to a loud warning and
+    returns the partial labels for exploratory use."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -965,6 +972,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         msgs = (
             edges.join(labels, edges.src == labels.id)
@@ -996,7 +1004,21 @@ def connected_components(
         new_labels = new_labels.drop("__chg")
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "iterations: the pair graph has a chain with diameter > "
+            f"{max_iterations}, and the returned labels would split that "
+            "chain across components. Raise max_iterations (rounds needed = "
+            "graph diameter)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

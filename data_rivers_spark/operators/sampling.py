@@ -108,6 +108,7 @@ def cluster_safe_split(
     bands: int = 8,
     shingle_n: int = 3,
     bucket_cap: int = 1000,
+    cc_max_iterations: int = 20,
 ) -> DataFrame:
     """``train_test_split`` that also closes over NEAR-DUP clusters: every
     connected component of the verified near-dup graph lands entirely on one
@@ -125,7 +126,13 @@ def cluster_safe_split(
     and one id-keyed left join against the component frame. The assignment
     stays a deterministic md5 decision, so reruns, repartitioning, and
     incremental corpus growth never migrate an already-assigned cluster
-    unless its component representative changes."""
+    unless its component representative changes.
+
+    Guarantees: connected_components runs strict — a near-dup chain whose
+    diameter exceeds ``cc_max_iterations`` raises instead of silently
+    returning labels that would let one chain straddle the split. The
+    component frame joins under a collision-proof internal name, so a
+    caller column named 'component' survives untouched."""
     from .dedup import connected_components, minhash_lsh_verified_pairs
 
     pairs = minhash_lsh_verified_pairs(
@@ -133,15 +140,15 @@ def cluster_safe_split(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         bucket_cap=bucket_cap,
     )
-    comps = connected_components(pairs).select(
-        F.col("id").alias(id_col), "component"
+    comps = connected_components(pairs, max_iterations=cc_max_iterations).select(
+        F.col("id").alias(id_col), F.col("component").alias("__csplit_component")
     )
     tagged = df.join(comps, id_col, "left")
-    rep = F.coalesce(F.col("component"), F.col(id_col))
+    rep = F.coalesce(F.col("__csplit_component"), F.col(id_col))
     is_test = hash_bucket(rep, seed) < F.lit(fraction_threshold(test_fraction))
     return tagged.withColumn(
         out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
-    ).drop("component")
+    ).drop("__csplit_component")
 
 
 def hash_unit_int(key: Column, seed: int | str = 0) -> Column:

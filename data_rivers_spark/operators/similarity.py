@@ -122,6 +122,7 @@ def signlsh_topk(
     exclude_self: bool = True,
     multiprobe: bool = True,
     target_bucket_rows: int = 1024,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
     (plus, with multiprobe, every bucket one sign-flip away — the standard
@@ -144,9 +145,23 @@ def signlsh_topk(
     spending recall. Pin ``num_planes`` explicitly when recall is pinned
     (the oracle queries do), and reach for ivf_topk (trained coarse cells,
     nprobe recall lever) or the multi-table embedding_near_dup_pairs_lsh
-    when a large corpus needs high recall."""
+    when a large corpus needs high recall.
+
+    Cost note: auto-depth runs ONE extra Spark action — a full
+    ``corpus.count()`` pass — on every call. Callers in a loop over the
+    same corpus should pass ``corpus_count`` (any known size, e.g. from an
+    earlier action) to skip it; an explicit ``num_planes`` also skips it.
+
+    Clamp boundary: planes are clamped to [4, 24]. The upper clamp stops
+    adapting past n = 2^24 × target_bucket_rows ≈ 17B vectors (defaults) —
+    beyond it expected occupancy grows linearly again (occupancy =
+    n / 2^24). The clamp is deliberate, not an oversight: multiprobe fans
+    the query side ×(planes+1), and single-table recall decays as p^planes,
+    so past ~17B vectors deeper buckets buy occupancy with recall the
+    operator can no longer defend — shard the corpus or switch to ivf_topk
+    (√n cells keep BOTH sides sub-linear) at that scale. See SCALING.md."""
     if num_planes is None:
-        n = corpus.count()
+        n = corpus.count() if corpus_count is None else int(corpus_count)
         num_planes = max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket_rows))))
     cb = signlsh_buckets(corpus, vec_col, id_col, num_planes, dim).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv"), "bucket"

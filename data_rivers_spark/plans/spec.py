@@ -131,6 +131,10 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "quality_features": _simple(TX.quality_features),
     "deterministic_sample": _simple(SA.deterministic_sample),
     "train_test_split": _simple(SA.train_test_split),
+    # round-10: the leakage-safe split a training pipeline should actually
+    # use (near-dup clusters never straddle the boundary) — was the one
+    # curation operator the declarative layer couldn't express
+    "cluster_safe_split": _simple(SA.cluster_safe_split),
     "stratified_sample": _simple(SA.stratified_sample),
     "weighted_sample": _simple(SA.weighted_sample),
     "weighted_topk_sample": _simple(SA.weighted_topk_sample),

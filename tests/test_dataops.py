@@ -317,6 +317,32 @@ def test_connected_components_chain(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iterations with labels still moving is a correctness
+    failure (a long chain would key on two representatives — fatal for
+    cluster_safe_split's leakage contract): strict (default) raises,
+    strict=False warns loudly and returns the partial labels."""
+    import warnings
+
+    import pytest
+
+    # path graph 1-2-3-4-5-6: min-label needs 5 rounds to reach node 6
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iterations=2)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        partial = D.connected_components(pairs, max_iterations=2, strict=False)
+        partial.collect()
+    assert any("did not converge" in str(w.message) for w in rec)
+    # and with enough rounds the same graph converges silently
+    full = {r.id: r.component
+            for r in D.connected_components(pairs, max_iterations=10).collect()}
+    assert full == {i: 1 for i in range(1, 7)}
+
+
 def test_dedup_by_components(spark):
     df = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 4, 7, 9, 50]],
                                "doc_id long, text string")
@@ -1426,6 +1452,24 @@ def test_signlsh_auto_depth_dispatch(spark):
     )
     got = out.groupBy("query_id").count().collect()
     assert len(got) == 3 and all(r["count"] <= 3 for r in got)
+
+
+def test_signlsh_corpus_count_skips_count_action(spark):
+    """corpus_count lets loop callers skip auto-depth's extra corpus.count()
+    pass: passing the true size must reproduce the auto-counted result
+    exactly (same resolved plane count -> same buckets -> same top-k)."""
+    from data_rivers_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 13 + j * 7) % 17) / 17.0 for j in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    auto = S.signlsh_topk(emb, q, "embedding", "vec_id", 3, dim=8)
+    hinted = S.signlsh_topk(
+        emb, q, "embedding", "vec_id", 3, dim=8, corpus_count=60
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(map(key, hinted.collect()))
 
 
 def test_train_ivf_centroids_leaves_no_corpus_cache(spark):

@@ -317,3 +317,19 @@ def test_cluster_safe_split_reduces_to_row_split_without_dups(spark):
         for r in SA.train_test_split(df, "doc_id", 0.3, seed=5).collect()
     }
     assert a == b
+
+
+def test_cluster_safe_split_caller_component_column_survives(spark):
+    # the internal comps frame joins under __csplit_component, so a caller
+    # DataFrame that already has a 'component' column keeps it verbatim
+    df = spark.createDataFrame(
+        [(i, f"totally distinct text {i} {i * 13} {i * 29} {i * 31}", f"c{i}")
+         for i in range(20)],
+        ["doc_id", "text", "component"],
+    )
+    out = SA.cluster_safe_split(
+        df, "text", "doc_id", test_fraction=0.3, threshold=0.9, seed=5
+    )
+    assert "component" in out.columns and "split" in out.columns
+    got = {r.doc_id: r.component for r in out.collect()}
+    assert got == {i: f"c{i}" for i in range(20)}

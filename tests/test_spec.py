@@ -468,3 +468,30 @@ def test_spec_curation_round7_verbs(spark):
         source_df=docs,
     ).collect()
     assert [r["round"] for r in merges] == [1, 2]
+
+
+def test_spec_cluster_safe_split_verb(spark):
+    # round-10: the leakage-safe split is spec-addressable; the interpreted
+    # verb must equal the hand-written operator call exactly
+    from data_rivers_spark.operators import sampling as SA
+
+    rows = []
+    for i, txt in [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs before the night ends"),
+    ]:
+        rows.append((i, txt))
+        rows.append((i + 100, txt + " tail"))
+    for i in range(10, 30):
+        rows.append((i, f"unique document number {i} with its own words {i * 7}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    params = dict(
+        text_col="text", id_col="doc_id", test_fraction=0.5,
+        threshold=0.5, seed=3, num_hashes=32, bands=16,
+    )
+    spec = {"steps": [{"op": "cluster_safe_split", **params}]}
+    got = {r.doc_id: r.split for r in run_spec(spark, spec, source_df=df).collect()}
+    want = {r.doc_id: r.split for r in SA.cluster_safe_split(df, **params).collect()}
+    assert got == want
+    for i in (1, 2):  # the leakage contract holds through the spec layer
+        assert got[i] == got[i + 100]
