@@ -82,3 +82,18 @@ def test_bench_round_artifact_is_write_once(tmp_path, monkeypatch):
     assert open(p1).read() == "{}"
     monkeypatch.setenv("SPARK_GRAFT_BENCH_OVERWRITE", "1")
     assert bench._tag_artifact_path(d, "r99").endswith("r99.json")
+
+
+def test_bytes_norm_top_normalizes_char_growth():
+    # a char-proportional op whose raw top ratio is 5.3 must read ~4 once
+    # normalized to the fixture's measured byte growth
+    render = (64, 256, 1024)
+    r = {64: 1.0, 256: 4.0, 1024: 4.0 * 5.3}
+    byt = {"documents": {64: 100, 256: 400, 1024: int(400 * 5.3)}}
+    assert sc._bytes_norm_top("chunk_documents", r, render, byt) == "4.0"
+    # embeddings ops normalize against the embeddings table (exact 4x/octave)
+    r2 = {256: 1.0, 1024: 3.9}
+    byt2 = {"embeddings": {256: 100, 1024: 400}, "documents": {256: 1, 1024: 99}}
+    assert sc._bytes_norm_top("kmeans_semantic_dedup", r2, render, byt2) == "3.9"
+    # missing bytes for the top pair -> em dash, never a misleading number
+    assert sc._bytes_norm_top("exact_dedup", {4: 1.0, 16: 4.0}, (4, 16), {}) == "—"

@@ -413,7 +413,56 @@ def materialize_fixture(spark, sf_dir: str, k: int) -> str:
     # them (chunk_documents@256x measured 11.5s mid-writeback vs 3.2s on a
     # settled filesystem — a 3.6x phantom "cliff")
     os.sync()
+    _record_fixture_bytes(spark, out, sf_dir, k)
     return out
+
+
+BYTES_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools",
+    "scaling_bytes.json",
+)
+
+
+def _load_bytes() -> dict[str, dict[int, int]]:
+    """Logical input bytes per (source table, octave): sum(octet_length(text))
+    for documents, rows × dim × 8 for embeddings. The doubling fixture grows
+    per-doc CHARS ~33% per level (word suffixes), so a char-proportional op's
+    raw top-octave time ratio can read up to 4 × 1.33 ≈ 5.3 while being
+    perfectly linear in input bytes — these numbers let the report normalize
+    that out instead of arguing it in prose."""
+    try:
+        with open(BYTES_JSON) as f:
+            raw = json.load(f)
+        raw.pop("_sf_dir", None)
+        return {src: {int(k): int(v) for k, v in c.items()} for src, c in raw.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_fixture_bytes(spark, fixture: str, sf_dir: str, k: int) -> None:
+    """Measure-and-cache a fixture's logical input bytes (once per octave;
+    cells persist in tools/scaling_bytes.json like every other measurement)."""
+    hist = _load_bytes()
+    if k in hist.get("documents", {}) and k in hist.get("embeddings", {}):
+        return
+    docs_b = (
+        spark.read.parquet(os.path.join(fixture, "documents"))
+        .agg(F.sum(F.octet_length("text")))
+        .first()[0]
+    )
+    emb_b = (
+        spark.read.parquet(os.path.join(fixture, "embeddings"))
+        .agg(F.sum(F.size("embedding") * 8))
+        .first()[0]
+    )
+    hist.setdefault("documents", {})[k] = int(docs_b)
+    hist.setdefault("embeddings", {})[k] = int(emb_b)
+    with open(BYTES_JSON, "w") as f:
+        json.dump(
+            {**{s: {str(k2): v for k2, v in c.items()} for s, c in hist.items()},
+             "_sf_dir": os.path.abspath(sf_dir)},
+            f, indent=1, sort_keys=True,
+        )
 
 
 class _PeakStorageSampler:
@@ -1008,6 +1057,28 @@ def _append_telemetry(telem: dict[str, dict[int, list]]) -> None:
         json.dump(hist, f, indent=1, sort_keys=True)
 
 
+def _bytes_norm_top(
+    name: str,
+    r: dict[int, float],
+    render_ks: tuple[int, ...],
+    fixture_bytes: dict[str, dict[int, int]],
+) -> str:
+    """Top measured octave's time ratio normalized to fixture input bytes:
+    time_ratio × 4 / bytes_ratio — a linear-in-bytes op reads ~4 regardless
+    of the doubling fixture's per-doc char growth (which inflates raw
+    char-proportional ratios up to ~5.3 at the top octave)."""
+    src = "embeddings" if name in OPS_EMB else "documents"
+    byt = fixture_bytes.get(src, {})
+    pairs = [(a, b) for a, b in zip(render_ks, render_ks[1:])
+             if r.get(a) and r.get(b)]
+    if not pairs:
+        return "—"
+    a, b = pairs[-1]
+    if a not in byt or b not in byt:
+        return "—"
+    return str(round((r[b] / r[a]) * 4.0 / (byt[b] / byt[a]), 2))
+
+
 def write_report(
     results: dict[str, dict[int, float]],
     sf_dir: str,
@@ -1062,9 +1133,19 @@ def write_report(
          for k in r),
         default=KS[-1],
     )
-    header_cells = " | ".join(f"{k}x (s)" for k in REPORT_KS)
+    # render columns: the standing REPORT_KS plus any deeper voluntary cells
+    # present in the history (e.g. a 4096x octave measured for one op)
+    render_ks = tuple(sorted(set(REPORT_KS) | {
+        k for n, r in results.items() if not n.startswith("revgeo_") for k in r
+    }))
+    fixture_bytes = _load_bytes()
+
+    def _norm_top(name: str, r: dict[int, float]) -> str:
+        return _bytes_norm_top(name, r, render_ks, fixture_bytes)
+
+    header_cells = " | ".join(f"{k}x (s)" for k in render_ks)
     ratio_cells = " | ".join(
-        f"{a}x->{b}x" for a, b in zip(REPORT_KS, REPORT_KS[1:])
+        f"{a}x->{b}x" for a, b in zip(render_ks, render_ks[1:])
     )
     lines = [
         "# SCALING — measured operator scaling at "
@@ -1092,18 +1173,26 @@ def write_report(
         " ADDS time, so the lower envelope is the operator's cost. A row",
         " where a later octave still beats an earlier one marks a spike not",
         " yet burned down.\n",
-        f"\n| operator | {header_cells} | {ratio_cells} |\n",
-        "|---|" + "---|" * (2 * len(REPORT_KS) - 1) + "\n",
+        "\nThe last column normalizes the TOP measured octave to fixture",
+        " input bytes (tools/scaling_bytes.json: sum(octet_length(text)) for",
+        " document ops, rows × dim × 8 for embedding ops): time_ratio × 4 /",
+        " bytes_ratio. The doubling fixture (k > 256) suffixes every word of",
+        " its outer replicas, growing per-doc CHARS ~33% per level while docs",
+        " grow 4x — so a char-proportional op that is perfectly LINEAR in",
+        " input bytes reads a raw top ratio up to 4 × 1.33 ≈ 5.3; the",
+        " normalized column makes linear rows read ~4 without prose.\n",
+        f"\n| operator | {header_cells} | {ratio_cells} | top (bytes-norm) |\n",
+        "|---|" + "---|" * (2 * len(render_ks)) + "\n",
     ]
     for name, r in results.items():
         if name.startswith("revgeo_"):
             continue  # rendered in the crossover table below
-        vals = " | ".join(str(r.get(k, "—")) for k in REPORT_KS)
+        vals = " | ".join(str(r.get(k, "—")) for k in render_ks)
         ratios = " | ".join(
             str(round(r[b] / r[a], 2)) if r.get(a) and r.get(b) else "—"
-            for a, b in zip(REPORT_KS, REPORT_KS[1:])
+            for a, b in zip(render_ks, render_ks[1:])
         )
-        lines.append(f"| {name} | {vals} | {ratios} |\n")
+        lines.append(f"| {name} | {vals} | {ratios} | {_norm_top(name, r)} |\n")
     noted = [n for n in CELL_NOTES if n in results]
     if noted:
         lines.append(
@@ -1128,11 +1217,11 @@ def write_report(
             " disk reads, not OOM, and on a real cluster the same pipelines"
             " would checkpoint to the distributed store instead.\n",
             f"\n| pipeline | {header_cells.replace('(s)', '(MB)')} |\n",
-            "|---|" + "---|" * len(REPORT_KS) + "\n",
+            "|---|" + "---|" * len(render_ks) + "\n",
         ]
         for name in sorted(all_peaks):
             r = all_peaks[name]
-            vals = " | ".join(str(r.get(k, "—")) for k in REPORT_KS)
+            vals = " | ".join(str(r.get(k, "—")) for k in render_ks)
             lines.append(f"| {name} | {vals} |\n")
     lines += [
         "\n## Revgeo join strategy: BroadcastNestedLoopJoin vs grid-cell "
