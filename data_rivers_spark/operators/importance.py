@@ -1,0 +1,224 @@
+"""DSIR-style importance sampling: select pretraining data that LOOKS LIKE a
+target corpus, via importance weights in a hashed n-gram feature space
+(Xie et al., "Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023 — the public technique behind most "match the target
+distribution" data-selection recipes).
+
+The estimator: featurize every document as a bag of hashed word n-grams
+(unigrams + bigrams hashed into B buckets — collisions are part of the
+method, they regularize the density model); fit two smoothed bag-of-buckets
+unigram models, one on a TARGET sample (the distribution you want more of)
+and one on the SOURCE pool; each document's log importance weight is
+
+    log w(x) = sum over feature occurrences f of [log p_target(f) - log p_source(f)]
+
+and the selected subset is a Gumbel-top-k draw with those log weights —
+equivalent to sampling-without-replacement proportional to w(x).
+
+Spark-first posture: featurization is one explode + one (id, bucket)
+aggregate (map-side combinable); both densities reduce to a B-row frame
+(B ~ 10^4: broadcastable everywhere); scoring is one broadcast join + one
+doc-keyed sum; resampling is TakeOrderedAndProject (per-partition top-k
+heap, no global sort). Nothing here shuffles the corpus except the one
+feature aggregate keyed on (id, bucket) — at 100 TB the feature frame is
+the only corpus-scale intermediate, and it is ~tokens-sized, the same
+budget as any tokenize pass.
+
+Determinism: the bucket hash and the Gumbel noise both derive from md5
+(sampling.py's engine-portable hash contract), so reruns, repartitioning,
+and the DuckDB oracles reproduce decisions bit-for-bit; log-ratios are
+rounded before use so float ulp noise cannot flip a selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import words
+from .sampling import hash_unit_int
+
+_HEX_SPACE = 16**8
+
+
+def _gram_bucket(gram: Column, num_buckets: int, seed: int | str = 0) -> Column:
+    """Stable hash bucket for one n-gram: md5 prefix mod B (engine-portable:
+    DuckDB replays it as CAST(CONCAT('0x', SUBSTR(MD5(...),1,8)) AS BIGINT) % B)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), gram)), 1, 8), 16, 10
+        ).cast("long")
+        % num_buckets
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 10_000,
+    n_max: int = 2,
+    seed: int | str = 0,
+) -> DataFrame:
+    """(id, bucket, cnt) hashed n-gram OCCURRENCE counts per document —
+    DSIR's feature map. Unigrams plus word n-grams up to ``n_max`` (DSIR
+    uses unigrams+bigrams), each hashed into ``num_buckets`` buckets;
+    counts are multiset counts (a repeated gram counts every occurrence,
+    matching the product-of-feature-probabilities estimator).
+
+    Scale: grams stay inside one whole-stage-codegen explode (no UDF); the
+    only shuffle is the (id, bucket) count aggregate, map-side combined.
+    Empty/whitespace-only docs contribute no rows (restored as weight 0 by
+    dsir_importance_weights)."""
+    ws = words(F.col(text_col))
+
+    def _ngram_lambda(n: int):
+        # single-parameter lambda: PySpark's HOF bridge passes (element,
+        # index) to TWO-parameter lambdas, so binding n via a default arg
+        # would receive the index Column instead
+        return lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)])
+
+    gram_arrays = [ws]
+    for n in range(2, n_max + 1):
+        gram_arrays.append(
+            F.when(
+                F.size(ws) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(ws) - n), _ngram_lambda(n)),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    grams = F.flatten(F.array(*gram_arrays))
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .select(
+            id_col, _gram_bucket(F.col("__gram"), num_buckets, seed).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_ratios(
+    target_feats: DataFrame,
+    source_feats: DataFrame,
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """DENSE per-bucket log importance ratios from two feature frames:
+
+        log_ratio(b) = log((ct_b + α)/(Tt + αB)) - log((cs_b + α)/(Ts + αB))
+
+    (add-α smoothed bucket unigram models; Tt/Ts are total feature
+    occurrences). Dense — every bucket 0..B-1 gets a row, so scoring joins
+    never miss (a gram unseen in both corpora still gets the smoothing-only
+    ratio log(Ts+αB) - log(Tt+αB)). B rows: broadcastable at any corpus
+    size. Ratios are ROUNDED to ``ndigits`` so both engines (and reruns on
+    different partitionings) score from identical constants."""
+    spark = target_feats.sparkSession
+    tc = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("__ct"))
+    sc = source_feats.groupBy("bucket").agg(F.sum("cnt").alias("__cs"))
+    tt = tc.agg(F.sum("__ct").alias("__tt"))
+    ts = sc.agg(F.sum("__cs").alias("__ts"))
+    dense = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    ab = float(alpha) * num_buckets
+    return (
+        dense.join(tc, "bucket", "left")
+        .join(sc, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("__tt") + F.lit(ab))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("__ts") + F.lit(ab))
+                ),
+                ndigits,
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: DataFrame,
+    num_buckets: int = 10_000,
+    n_max: int = 2,
+    alpha: float = 1.0,
+    seed: int | str = 0,
+    out_col: str = "log_weight",
+    ndigits: int = 6,
+) -> DataFrame:
+    """``df`` plus a ``log_weight`` column: the DSIR log importance weight of
+    each document toward ``target`` (a DataFrame of exemplar documents with
+    the same text column — typically a quality sample or an in-domain set),
+    with ``df`` itself as the source pool.
+
+    log_weight > 0: looks more like the target than the pool; < 0: less.
+    Documents with no tokens weight 0. One corpus featurize pass each for
+    pool and target, a B-row broadcast join, one doc-keyed sum — the
+    corpus is never shuffled on anything wider than (id, bucket)."""
+    src_feats = hashed_ngram_features(df, text_col, id_col, num_buckets, n_max, seed)
+    tgt_feats = hashed_ngram_features(
+        target, text_col, id_col, num_buckets, n_max, seed
+    )
+    ratios = dsir_log_ratios(tgt_feats, src_feats, num_buckets, alpha)
+    # sum in exact integer micro-units of the (already 6dp-rounded) ratios:
+    # float summation is order-dependent, and Spark's partial aggregation
+    # order vs any other engine's flipped the 4th decimal on boundary rows
+    # (measured: 2 rows in 500) — integer sums are order-free, so the
+    # weight is a pure function of the inputs on every engine. Keep
+    # ndigits >= 6: micro/1e6 terminates at 6 decimals, so rounding there
+    # is an identity with NO .5 ties — rounding coarser (e.g. 4) re-creates
+    # exact ties like -12.56135 that decimal engines (HALF_UP on the
+    # shortest repr) and binary engines (round of the under-.5 double)
+    # break differently
+    micro = F.round(F.col("log_ratio") * F.lit(1_000_000.0)).cast("long")
+    scored = (
+        src_feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * micro) / F.lit(1_000_000.0), ndigits
+            ).alias(out_col)
+        )
+    )
+    return df.join(scored, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0.0))
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    key_col: str,
+    log_weight_col: str,
+    k: int,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Gumbel-top-k selection: keep the k documents with the largest
+    ``log_weight + Gumbel(0,1)`` — exactly sampling-without-replacement with
+    probability proportional to exp(log_weight) (the Gumbel-max trick, the
+    resampling step of DSIR). The Gumbel draw is deterministic content hash
+    (-ln(-ln(u)), u uniform from md5), so the selected set is reproducible
+    across runs, engines, and partitionings.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k heap plus a k-row driver merge; no global sort, no shuffle of the
+    corpus. Ties (possible only for equal hashes AND equal weights)
+    tiebreak on the key."""
+    u01 = (hash_unit_int(F.col(key_col), seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(_HEX_SPACE)
+    )
+    rank = F.col(log_weight_col).cast("double") - F.log(-F.log(u01))
+    return (
+        df.withColumn("__gumbel_rank", rank)
+        .orderBy(F.col("__gumbel_rank").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__gumbel_rank")
+    )

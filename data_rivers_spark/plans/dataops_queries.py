@@ -2875,3 +2875,110 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.train_test_split(mixed, "doc_id", 0.1, seed=29).select(
         "doc_id", "source", "split"
     )
+
+
+_DSIR_FEATS_SQL = """
+    d AS (
+      SELECT doc_id, lang,
+             STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents
+      WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), grams AS (
+      SELECT doc_id, lang, UNNEST(ws) AS gram FROM d
+      UNION ALL
+      SELECT doc_id, lang,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                                   j -> ws[j] || ' ' || ws[j + 1])) AS gram
+      FROM d WHERE LEN(ws) >= 2
+    ), feats AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', SUBSTR(MD5('0:' || gram), 1, 8)) AS BIGINT) % 4096
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, lang, bucket
+    ), tc AS (
+      SELECT bucket, SUM(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY bucket
+    ), sc AS (
+      SELECT bucket, SUM(cnt) AS cs FROM feats GROUP BY bucket
+    ), tt AS (SELECT SUM(ct) AS tt FROM tc),
+    ts AS (SELECT SUM(cs) AS ts FROM sc),
+    ratios AS (
+      SELECT r.range AS bucket,
+             ROUND(LN((COALESCE(tc.ct, 0) + 1.0) / (tt.tt + 4096.0))
+                   - LN((COALESCE(sc.cs, 0) + 1.0) / (ts.ts + 4096.0)), 6)
+               AS log_ratio
+      FROM RANGE(0, 4096) r
+      LEFT JOIN tc ON tc.bucket = r.range
+      LEFT JOIN sc ON sc.bucket = r.range
+      CROSS JOIN tt CROSS JOIN ts
+    ), weights AS (
+      SELECT doc.doc_id, doc.lang,
+             COALESCE(w.log_weight, 0.0) AS log_weight
+      FROM documents doc
+      LEFT JOIN (
+        -- exact integer micro-unit sum (order-free): float SUM order
+        -- differs between engines and flipped 4th-decimal boundary rows
+        SELECT f.doc_id,
+               ROUND(SUM(f.cnt * CAST(ROUND(r.log_ratio * 1000000) AS BIGINT))
+                     / 1000000.0, 6) AS log_weight
+        FROM feats f JOIN ratios r USING (bucket)
+        GROUP BY f.doc_id
+      ) w USING (doc_id)
+    )
+"""
+
+
+@query(
+    "q_dsir_weights",
+    oracle="WITH " + _DSIR_FEATS_SQL + """
+    SELECT doc_id, lang, log_weight FROM weights
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    features (4096 buckets), add-1-smoothed bucket LMs for the English
+    subset (target) vs the whole pool (source), per-doc log importance
+    weight = sum of occurrence-weighted bucket log-ratios. English docs
+    should skew positive, others negative — the 'make the mix look like
+    the target' data-selection signal. One corpus featurize pass per side,
+    a 4096-row broadcast join, one doc-keyed sum."""
+    from data_rivers_spark.operators import importance as IMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text", "lang")
+    out = IMP.dsir_importance_weights(
+        docs, "text", "doc_id", docs.filter(F.col("lang") == "en"),
+        num_buckets=4096, n_max=2, alpha=1.0, seed=0,
+    )
+    return out.select("doc_id", "lang", "log_weight")
+
+
+@query(
+    "q_dsir_resample",
+    oracle="WITH " + _DSIR_FEATS_SQL + """
+    SELECT doc_id, lang, log_weight FROM weights
+    ORDER BY log_weight
+             - LN(-LN((CAST(CONCAT('0x', SUBSTR(MD5('31:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) + 0.5) / 4294967296.0))
+             DESC,
+             doc_id
+    LIMIT 120
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling step: Gumbel-top-k over the importance weights
+    (sampling without replacement proportional to exp(log_weight)), with
+    the Gumbel draw derived from the content hash so the selected subset
+    reproduces across runs, engines, and partitionings. Compiles to
+    TakeOrderedAndProject — per-partition top-k heap, no global sort."""
+    from data_rivers_spark.operators import importance as IMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text", "lang")
+    weighted = IMP.dsir_importance_weights(
+        docs, "text", "doc_id", docs.filter(F.col("lang") == "en"),
+        num_buckets=4096, n_max=2, alpha=1.0, seed=0,
+    )
+    return IMP.dsir_resample(weighted, "doc_id", "log_weight", 120, seed=31).select(
+        "doc_id", "lang", "log_weight"
+    )

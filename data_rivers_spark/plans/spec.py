@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from data_rivers_spark.operators import chunking as CH
 from data_rivers_spark.operators import dedup as D
 from data_rivers_spark.operators import geo as G
+from data_rivers_spark.operators import importance as IM
 from data_rivers_spark.operators import relational as R
 from data_rivers_spark.operators import sampling as SA
 from data_rivers_spark.operators import similarity as SIM
@@ -135,6 +136,7 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     # use (near-dup clusters never straddle the boundary) — was the one
     # curation operator the declarative layer couldn't express
     "cluster_safe_split": _simple(SA.cluster_safe_split),
+    "dsir_resample": _simple(IM.dsir_resample),
     "stratified_sample": _simple(SA.stratified_sample),
     "weighted_sample": _simple(SA.weighted_sample),
     "weighted_topk_sample": _simple(SA.weighted_topk_sample),
@@ -198,6 +200,24 @@ def _join(df: DataFrame, params: dict, subframe) -> DataFrame:
     return df.join(right, params["on"], params.get("how", "inner"))
 
 
+def _dsir_weights(df: DataFrame, params: dict, subframe) -> DataFrame:
+    """Round-10 spec verb for DSIR data selection: ``target`` names the
+    distribution to match — a nested input (bare source / full sub-spec),
+    or ``{"from": "input", "steps": [...]}`` to derive the target from the
+    INCOMING frame itself (the usual shape: 'weight the pool toward its own
+    high-quality slice')."""
+    node = params["target"]
+    if isinstance(node, dict) and node.get("from") == "input":
+        target = run_spec(
+            df.sparkSession, {"steps": node.get("steps", [])}, source_df=df
+        )
+    else:
+        target = subframe(node)
+    return IM.dsir_importance_weights(
+        df, target=target, **{k: v for k, v in params.items() if k != "target"}
+    )
+
+
 # two-input verbs: (df, params, subframe) -> df, where ``subframe`` resolves
 # a nested input node into a DataFrame (recursively via run_spec, so the
 # second input can itself be a declarative pipeline)
@@ -207,6 +227,7 @@ CTX_OPS: dict[str, Callable] = {
         subframe(p["right"]), allowMissingColumns=bool(p.get("allow_missing"))
     ),
     "revgeo_timebound": _revgeo_timebound,
+    "dsir_importance_weights": _dsir_weights,
 }
 
 

@@ -495,3 +495,37 @@ def test_spec_cluster_safe_split_verb(spark):
     assert got == want
     for i in (1, 2):  # the leakage contract holds through the spec layer
         assert got[i] == got[i + 100]
+
+
+def test_spec_dsir_verbs(spark):
+    # round-10: DSIR selection is spec-addressable end to end — weights via
+    # the two-frame CTX verb (target = nested sub-spec), resample via the
+    # simple verb; interpreted chain == hand-written operator calls
+    from data_rivers_spark.operators import importance as IM
+
+    rows = [(i, "alpha beta gamma " * 2, "g") for i in range(15)]
+    rows += [(100 + i, "zeta eta theta " * 2, "b") for i in range(15)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "dom"])
+    spec = {
+        "steps": [
+            {
+                "op": "dsir_importance_weights",
+                "text_col": "text",
+                "id_col": "doc_id",
+                "num_buckets": 256,
+                "target": {"from": "input", "steps": [{"op": "filter", "where": "dom = 'g' AND doc_id < 5"}]},
+            },
+            {"op": "dsir_resample", "key_col": "doc_id",
+             "log_weight_col": "log_weight", "k": 10, "seed": 2},
+        ],
+    }
+    got = sorted(
+        r.doc_id for r in run_spec(spark, spec, source_df=df).collect()
+    )
+    want_w = IM.dsir_importance_weights(
+        df, "text", "doc_id", df.filter("dom = 'g' AND doc_id < 5"), num_buckets=256
+    )
+    want = sorted(
+        r.doc_id for r in IM.dsir_resample(want_w, "doc_id", "log_weight", 10, seed=2).collect()
+    )
+    assert got == want and len(got) == 10
