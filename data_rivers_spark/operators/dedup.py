@@ -340,6 +340,22 @@ def _expand_buckets(
     # bucket-group instead of self-join: a self-join would evaluate the
     # signature pipeline twice; grouping shuffles each (id, band) row once and
     # expands pairs inside the (small) bucket with array combinatorics
+    grouped = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(F.col(id_col)).alias("__ids")
+    )
+    return _expand_grouped_buckets(grouped, bucket_cap, min_id_b)
+
+
+def _expand_grouped_buckets(
+    grouped: DataFrame,
+    bucket_cap: int | None,
+    min_id_b: int | None = None,
+) -> DataFrame:
+    """Pair expansion over buckets ALREADY in inverted-index form
+    (band_idx, band_hash, __ids array) — the shared back half of
+    _expand_buckets, also fed directly by incremental_lsh_dedup's
+    pre-grouped signature store path (which assembles __ids as
+    store-members ++ batch-members without re-aggregating the store)."""
     ids = F.col("__ids")
     # the inner (greater/batch) side is prefiltered ONCE per bucket into its
     # own column — filtering inside the per-a lambda would rescan all K ids
@@ -349,12 +365,7 @@ def _expand_buckets(
         if min_id_b is None
         else F.filter(ids, lambda x: x >= F.lit(min_id_b))
     )
-    grouped = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
-        .filter(F.size(ids) > 1)
-        .withColumn("__inner", inner)
-    )
+    grouped = grouped.filter(F.size(ids) > 1).withColumn("__inner", inner)
     inner_ids = F.col("__inner")
     # The cap conditions only the OUTER iteration source: all-pairs iterates
     # every id, star iterates just [min(ids)] — since min pairs with every
@@ -547,6 +558,26 @@ def minhash_lsh_verified_pairs(
     )
 
 
+def group_banded_store(banded: DataFrame, id_col: str) -> DataFrame:
+    """Inverted-index form of a banded signature store: one row per
+    (band_idx, band_hash) bucket holding the member-id array — the shape a
+    production store should PERSIST (and incrementally maintain by
+    regrouping store ++ new-survivor rows at append time, once per batch).
+
+    Why: incremental_lsh_dedup's row-form store path unions the corpus-sized
+    store with the batch and re-aggregates the union into buckets on EVERY
+    run — the stage decomposition at the 1024x scaling octave measured that
+    expansion at 76.2 s of a 166 s cell (46%), almost all of it shuffling
+    and collect_list-ing the same master rows batch after batch. Grouping
+    once at store-write time moves that cost out of the daily run: the
+    batch run then shuffles only batch-sized frames and JOINS the grouped
+    store by bucket key (on a real cluster, a store table bucketed by
+    (band_idx, band_hash) makes that join shuffle-free on the store side)."""
+    return banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list(F.col(id_col)).alias("__ids")
+    )
+
+
 def incremental_lsh_dedup(
     batch: DataFrame,
     master_docs: DataFrame | None,
@@ -563,6 +594,7 @@ def incremental_lsh_dedup(
     run_log_source: str = "lsh_dedup",
     keep_dropped_signatures: bool = False,
     materialize: bool = True,
+    master_banded_grouped: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new batch against BOTH itself and an already-deduped corpus
     without re-mining the corpus — the shape a 100 TB pipeline actually runs
@@ -570,6 +602,18 @@ def incremental_lsh_dedup(
     (id, band_idx, band_hash — what ``minhash_lsh_verified_pairs`` builds
     internally); its text is touched ONLY for the handful of docs that share
     a bucket with a batch doc, via a semi-join.
+
+    ``master_banded_grouped`` (preferred at scale): the store in
+    ``group_banded_store``'s inverted-index form. The row-form
+    ``master_banded`` path unions the corpus-sized store into the batch's
+    bucket aggregation on every run — the 1024x stage decomposition
+    measured that re-aggregation at 46% of the cell. With the grouped
+    store, the batch groups its own (batch-sized) buckets and LEFT-JOINS
+    the store by (band_idx, band_hash); per-bucket ids are store-members ++
+    batch-members, expansion identical. Store-only buckets never enter the
+    join (they cannot emit pairs: every pair needs a batch-side greater
+    id), which the row path paid to discover per run. Pass exactly one of
+    master_banded / master_banded_grouped.
 
     Returns ``(survivors, survivor_banded)``: the batch rows that are not
     near-dups of the corpus or of a lower-id batch doc, plus their banded
@@ -617,18 +661,41 @@ def incremental_lsh_dedup(
     if batch_min_id is None:
         row = batch.agg(F.min(F.col(id_col))).first()
         batch_min_id = row[0] if row and row[0] is not None else 0
+    if master_banded is not None and master_banded_grouped is not None:
+        raise ValueError(
+            "pass exactly one of master_banded / master_banded_grouped"
+        )
     sets_b = shingle_sets(batch, text_col, id_col, shingle_n)
     if materialize:
         sets_b = sets_b.localCheckpoint(eager=True)
     banded_b = _banded_from_sets(sets_b, id_col, num_hashes, bands)
     if materialize:
         banded_b = banded_b.localCheckpoint(eager=True)
-    all_banded = (
-        banded_b
-        if master_banded is None
-        else banded_b.unionByName(master_banded)
-    )
-    cands = _expand_buckets(all_banded, id_col, bucket_cap, min_id_b=batch_min_id)
+    if master_banded_grouped is not None:
+        gb = banded_b.groupBy("band_idx", "band_hash").agg(
+            F.collect_list(F.col(id_col)).alias("__bids")
+        )
+        merged = gb.join(
+            master_banded_grouped.withColumnRenamed("__ids", "__mids"),
+            ["band_idx", "band_hash"],
+            "left",
+        ).select(
+            "band_idx",
+            "band_hash",
+            F.when(F.col("__mids").isNull(), F.col("__bids"))
+            .otherwise(F.concat(F.col("__mids"), F.col("__bids")))
+            .alias("__ids"),
+        )
+        cands = _expand_grouped_buckets(merged, bucket_cap, min_id_b=batch_min_id)
+    else:
+        all_banded = (
+            banded_b
+            if master_banded is None
+            else banded_b.unionByName(master_banded)
+        )
+        cands = _expand_buckets(
+            all_banded, id_col, bucket_cap, min_id_b=batch_min_id
+        )
     # tokenize only the corpus docs that actually share a bucket with the
     # batch (candidate id_a below the cutoff) — a semi-join-sized read
     sets = sets_b

@@ -1186,9 +1186,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_incremental_dedup",
-    oracle="""
+_INCR_DEDUP_ORACLE = """
     WITH b1 AS (
       SELECT doc_id, text FROM documents WHERE doc_id < 250
     ), b2 AS (
@@ -1224,8 +1222,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) >= 0.7
     )
     SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_b FROM p2)
-    """,
-)
+    """
+
+
+@query("q_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH dedup against a persisted signature store: batch 1
     (doc_id < 250) bootstraps the canonical corpus; batch 2 (word-dropped
@@ -2982,3 +2982,35 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return IMP.dsir_resample(weighted, "doc_id", "log_weight", 120, seed=31).select(
         "doc_id", "lang", "log_weight"
     )
+
+
+@query("q_incremental_dedup_grouped", oracle=_INCR_DEDUP_ORACLE)
+def q_incremental_dedup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_incremental_dedup replayed through the PRE-GROUPED signature store
+    path (group_banded_store's inverted-index form — the production store
+    shape since round 10): the batch groups only its own buckets and joins
+    the store by (band_idx, band_hash) instead of union+re-aggregating the
+    corpus-sized row store each run. Same oracle: the per-bucket id
+    multisets are identical by construction, so the two paths must produce
+    byte-identical survivor sets — this query pins that in the driver gate."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 250)
+    surv1, banded1 = D.incremental_lsh_dedup(
+        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
+    )
+    store = D.group_banded_store(banded1, "doc_id").localCheckpoint(eager=True)
+    copies = (
+        b1.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    novel = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    batch2 = copies.unionByName(novel)
+    surv2, _ = D.incremental_lsh_dedup(
+        batch2, surv1, None, "text", "doc_id", threshold=0.7,
+        num_hashes=32, bands=16, master_banded_grouped=store,
+    )
+    return surv2.select("doc_id")

@@ -409,6 +409,52 @@ def test_incremental_lsh_dedup_two_batches(spark, sf_dir):
     assert {r.doc_id for r in banded2.select("doc_id").distinct().collect()} == got
 
 
+def test_incremental_lsh_grouped_store_parity(spark, sf_dir):
+    """The pre-grouped (inverted-index) store path must reproduce the
+    row-form store path EXACTLY: same survivors, same surviving signature
+    rows — the per-bucket id multiset is identical by construction
+    (store-members ++ batch-members), so expansion, verify, and the
+    anti-joins see the same inputs."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    surv1, banded1 = D.incremental_lsh_dedup(
+        docs, None, None, "text", "doc_id", threshold=0.7
+    )
+    master = docs.join(surv1.select("doc_id"), "doc_id", "left_semi")
+    corpus_dups = (
+        master.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    novel = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
+    ).withColumn("doc_id", F.col("doc_id") + 10_000)
+    batch2 = corpus_dups.unionByName(novel)
+
+    row_surv, row_banded = D.incremental_lsh_dedup(
+        batch2, master, banded1, "text", "doc_id", threshold=0.7
+    )
+    store = D.group_banded_store(banded1, "doc_id")
+    grp_surv, grp_banded = D.incremental_lsh_dedup(
+        batch2, master, None, "text", "doc_id", threshold=0.7,
+        master_banded_grouped=store,
+    )
+    assert {r.doc_id for r in row_surv.collect()} == {
+        r.doc_id for r in grp_surv.collect()
+    }
+    key = lambda r: (r.doc_id, r.band_idx, r.band_hash)  # noqa: E731
+    assert sorted(map(key, row_banded.collect())) == sorted(
+        map(key, grp_banded.collect())
+    )
+    # passing both store forms is a caller error
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        D.incremental_lsh_dedup(
+            batch2, master, banded1, "text", "doc_id",
+            master_banded_grouped=store,
+        )
+
+
 def test_incremental_lsh_no_master_master_candidates(spark, sf_dir):
     """Buckets holding only corpus ids emit nothing: candidate id_b is always
     a batch id, so per-batch cost tracks the batch, not the corpus."""

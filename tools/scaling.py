@@ -63,6 +63,11 @@ OP_CONFIG: dict[str, str] = {
     # bucket occupancy ~constant); fixed-4-plane cells dropped — that form
     # measured a 15.9 last-octave ratio at 1024x (bucket flooding)
     "signlsh_topk": "auto-depth-r9",
+    # r10: pre-grouped (inverted-index) signature store — the row-form
+    # store path's union+re-aggregation of the corpus-sized store was 46%
+    # of the 1024x cell (tools/decompose_incremental.py); row-form cells
+    # dropped, the whole row remeasures under the grouped store
+    "incremental_lsh_dedup": "grouped-store-r10",
 }
 # ops too slow to run at the top octave get capped (recorded as blank).
 # Empty since round 7: the six checkpoint-heavy composites previously
@@ -244,7 +249,15 @@ def _prep_incremental(frame):
     """Untimed: split the corpus at the id midpoint into an already-deduped
     master (text + persisted banded signature store, as a previous run left
     them) and the new batch. The timed run is the daily shape: batch vs
-    store, master text touched only via the bucket-hit semi-join."""
+    store, master text touched only via the bucket-hit semi-join.
+
+    r10: the store is prepared in group_banded_store's inverted-index form
+    — the production store shape (grouped ONCE at store-write time, not
+    re-aggregated per batch). The 1024x stage decomposition of the row-form
+    cell measured the union+re-aggregation of the corpus-sized store at
+    76.2 s of a 166 s run (46%); the grouped path pays only a bucket-keyed
+    join for it. OP_CONFIG reset: the row's history under the row-form
+    store is a different algorithm."""
     from data_rivers_spark.operators import dedup as D
 
     mx = frame.agg(F.max("doc_id")).first()[0]
@@ -253,8 +266,9 @@ def _prep_incremental(frame):
     batch = frame.filter(F.col("doc_id") > mid).localCheckpoint(eager=True)
     mbanded = D._banded_from_sets(
         D.shingle_sets(master, "text", "doc_id"), "doc_id", 32, 16
-    ).localCheckpoint(eager=True)
-    return {"batch": batch, "master": master, "mbanded": mbanded, "mid": mid}
+    )
+    mstore = D.group_banded_store(mbanded, "doc_id").localCheckpoint(eager=True)
+    return {"batch": batch, "master": master, "mstore": mstore, "mid": mid}
 
 
 def _op_fn(name: str):
@@ -348,9 +362,10 @@ def _op_fn(name: str):
         "incremental_lsh_dedup": (
             _prep_incremental,
             lambda ctx: D.incremental_lsh_dedup(
-                ctx["batch"], ctx["master"], ctx["mbanded"], "text", "doc_id",
+                ctx["batch"], ctx["master"], None, "text", "doc_id",
                 threshold=0.7, num_hashes=32, bands=16,
                 batch_min_id=ctx["mid"] + 1,
+                master_banded_grouped=ctx["mstore"],
             )[0],
         ),
     }[name]
