@@ -891,13 +891,43 @@ def simhash_column(df: DataFrame, text_col: str, out_col: str = "simhash") -> Da
     return df.withColumn(out_col, _simhash_udf()(F.col(text_col)))
 
 
+def _auto_clean_blocks(n: int, max_hamming: int) -> int:
+    """Auto depth for Manku combination blocking: one extra clean block per
+    4x corpus growth past ~2M signatures, clamped to what packs into a
+    63-bit combo key. Calibration is MEASURED, not the uniform-random
+    model (real signature blocks are correlated, so accidental collisions
+    run orders of magnitude above n²/2^keybits): 3 clean blocks still won
+    at 1.28M docs (17 s vs 30 s — the 4th block's extra shuffle volume
+    outweighed 3.8M accidental candidates), but lost by ~8x at 5.12M where
+    the quadratic term (~61M candidates + their distinct) dominated the
+    1024x scaling cell. Each +1 block multiplies the combo keyspace by
+    ~2^5-2^9 — one octave of n² growth — while blocking rows grow only
+    C(t, clean)-fold. Output is INVARIANT to this choice (pigeonhole
+    recall + exact bit_count verify), so auto-depth is purely a cost
+    decision."""
+    import math
+
+    ecb = 3
+    if n > 2_000_000:
+        ecb = 3 + math.ceil(math.log(n / 2_000_000, 4))
+    # respect the 63-bit combo-key packing constraint
+    while ecb > 3:
+        t = max_hamming + ecb
+        slot = 64 // t + (1 if 64 % t else 0)
+        if ecb * slot <= 63:
+            break
+        ecb -= 1
+    return min(ecb, 6)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
     sim_col: str = "simhash",
     max_hamming: int = 3,
     materialize: bool = True,
-    extra_clean_blocks: int = 3,
+    extra_clean_blocks: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming, combination-blocked
     (Manku et al., WWW'07 §3): the 64-bit signature splits into
@@ -918,13 +948,20 @@ def simhash_near_pairs(
     collisions, which grow quadratically in corpus size: 3 clean blocks
     give ~32-bit keys, 4 give ~40-bit keys with C(7,4)=35 combos — 75%
     more blocking rows for ~16x fewer random collisions per combo.
-    MEASURED at 1.28M docs the 3-block default still wins (17s vs 30s):
+    MEASURED at 1.28M docs the 3-block setting still wins (17s vs 30s):
     its ~3.8M accidental candidates die in a cheap native bit_count
-    filter, while the 4th block pays real shuffle volume on every row —
-    keep 3 until accidental candidates (≈ 20·N²/2³³) rival the blocking
-    rows themselves (N in the tens of millions per job). Exact recall is
-    unaffected either way (the pigeonhole guarantee holds for any clean
-    count ≥ 1).
+    filter, while the 4th block pays real shuffle volume on every row.
+    But accidental candidates grow QUADRATICALLY in corpus size, and the
+    1024x scaling octave measured the fixed-3 form losing by ~8x at 5.12M
+    signatures (the ~61M-candidate stream and its distinct dominated the
+    cell) — so ``extra_clean_blocks=None`` (the default since r10)
+    AUTO-DEPTHS: one extra clean block per 4x corpus growth past ~2M
+    signatures (see _auto_clean_blocks), clamped to the 63-bit combo-key
+    packing limit. The auto path runs one count() over the (materialized)
+    signature frame; pass ``corpus_count`` or an explicit
+    ``extra_clean_blocks`` to skip it. Exact recall is unaffected at ANY
+    clean count ≥ 1 (the pigeonhole guarantee + true bit_count verify make
+    the OUTPUT invariant to this knob — it is purely a cost decision).
 
     ``materialize=True`` eagerly localCheckpoints the (id, signature)
     projection first. The signature column is usually the Arrow pandas UDF
@@ -937,10 +974,13 @@ def simhash_near_pairs(
 
     if max_hamming < 1:
         raise ValueError("max_hamming=0 is exact equality — groupBy the signature")
-    if extra_clean_blocks < 1:
+    if extra_clean_blocks is not None and extra_clean_blocks < 1:
         raise ValueError("need at least one guaranteed-clean block")
     if materialize:
         df = df.select(id_col, sim_col).localCheckpoint(eager=True)
+    if extra_clean_blocks is None:
+        n = df.count() if corpus_count is None else int(corpus_count)
+        extra_clean_blocks = _auto_clean_blocks(n, max_hamming)
     t_blocks = max_hamming + extra_clean_blocks
     widths = [64 // t_blocks + (1 if i < 64 % t_blocks else 0) for i in range(t_blocks)]
     offsets = [sum(widths[:i]) for i in range(t_blocks)]

@@ -309,6 +309,47 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall > 0.3, recall
 
 
+def test_auto_clean_blocks_rule():
+    # measured calibration: 3 wins through ~2M signatures, +1 per 4x beyond
+    assert D._auto_clean_blocks(100_000, 3) == 3
+    assert D._auto_clean_blocks(1_280_000, 3) == 3
+    assert D._auto_clean_blocks(5_120_000, 3) == 4
+    assert D._auto_clean_blocks(20_500_000, 3) == 5
+    assert D._auto_clean_blocks(82_000_000, 3) == 6
+    assert D._auto_clean_blocks(10**12, 3) == 6  # clamp
+    # packing constraint respected for small max_hamming (wide slots)
+    ecb = D._auto_clean_blocks(10**9, 1)
+    slot = 64 // (1 + ecb) + (1 if 64 % (1 + ecb) else 0)
+    assert ecb * slot <= 63
+
+
+def test_simhash_pairs_invariant_to_clean_blocks(spark):
+    """extra_clean_blocks is a pure cost knob: pigeonhole recall + exact
+    bit_count verify make the pair set identical at any setting (and under
+    the auto default)."""
+    rows = [(i, (i * 0x9E3779B97F4A7C15) % (1 << 63)) for i in range(200)]
+    rows += [(1000 + i, rows[i][1] ^ (1 << (i % 60))) for i in range(50)]  # planted
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    outs = []
+    for ecb in (3, 4, None):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in D.simhash_near_pairs(
+                df, "doc_id", max_hamming=3, extra_clean_blocks=ecb
+            ).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) >= 50
+    # corpus_count hint reproduces the auto result without the count action
+    hinted = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs(
+            df, "doc_id", max_hamming=3, corpus_count=250
+        ).collect()
+    }
+    assert hinted == outs[0]
+
+
 def test_connected_components_chain(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9), (3, 4)], "id_a long, id_b long"

@@ -57,8 +57,12 @@ OP_CONFIG: dict[str, str] = {
     # corpus-sized frames (the 1024x AGGREGATE_OUT_OF_MEMORY fix), which
     # changes the measured caching work at every octave
     "kmeans_semantic_dedup": "vec+hier-nocorpuscache-r9b",
-    # r8's batched-dgemm pHash kernel; pre-vectorization cells dropped
-    "media_dedup": "phash-vectorized-r8",
+    # r10: Manku blocking auto-depths its clean-block count with corpus
+    # size (fixed-3 lost 8x at 5.12M signatures to the quadratic
+    # accidental-candidate stream — the 1024x octave caught it); output is
+    # invariant, cost is not, so the rows remeasure under auto
+    "media_dedup": "phash-vectorized-autoblocks-r10",
+    "simhash_pairs": "manku-autoblocks-r10",
     # r9: num_planes=None auto-depth (planes scale with log2(n), holding
     # bucket occupancy ~constant); fixed-4-plane cells dropped — that form
     # measured a 15.9 last-octave ratio at 1024x (bucket flooding)
@@ -1033,7 +1037,48 @@ CELL_NOTES: dict[str, str] = {
         "220.28 → 17.17 s. The remaining last-octave ratio carries the "
         "honest log-cost of depth: each octave adds ~2 planes, so the "
         "multiprobe fan-out (planes+1 probes per query) and per-row "
-        "bucket arithmetic grow ~log(n) on top of the linear scan."
+        "bucket arithmetic grow ~log(n) on top of the linear scan. "
+        "Envelope boundary (documented in the operator since r10): the "
+        "auto-depth clamp at 24 planes stops adapting past n = 2^24 x 1024 "
+        "~ 17B vectors — beyond it expected occupancy grows linearly "
+        "again. The clamp is deliberate: multiprobe fans the query side "
+        "x(planes+1) and single-table recall decays as p^planes, so past "
+        "that scale deeper buckets buy occupancy with recall the operator "
+        "cannot defend — shard the corpus or switch to ivf_topk (sqrt(n) "
+        "cells keep both sides sub-linear). Callers in a loop can pass "
+        "corpus_count to skip auto-depth's extra count() action."
+    ),
+    "incremental_lsh_dedup": (
+        "row remeasured in round 10 under the PRE-GROUPED signature store "
+        "(OP_CONFIG grouped-store-r10). The r9 row (147.63 s at 1024x, "
+        "ratios 3.55/3.28) had no cause note; the round-10 stage "
+        "decomposition (tools/decompose_incremental.py, cold JVM on the "
+        "same 1024x fixture) named the dominant stage: shingle 41.3 s / "
+        "band 15.2 s / EXPAND 76.2 s / hits 11.4 s / verify 8.8 s / anti "
+        "13.1 s — 46% of the cell was the union+re-aggregation of the "
+        "corpus-sized row-form store into buckets, paid again on every "
+        "batch. The fix is in the OPERATOR: group_banded_store persists "
+        "the store in inverted-index form once at store-write time, and "
+        "the batch run left-joins it by (band_idx, band_hash) instead of "
+        "re-aggregating it (store-only buckets never even enter the join); "
+        "on a real cluster the store table is bucketed on those keys and "
+        "the join is shuffle-free on the store side. Exact-parity is "
+        "pinned by test (survivors AND signature rows identical to the "
+        "row path) and by q_incremental_dedup_grouped sharing the row "
+        "path's DuckDB oracle. Remaining cost is the honest batch-side "
+        "work: char-proportional shingling + minhash over the batch, "
+        "which the bytes-norm column reads as ~linear."
+    ),
+    "minhash_lsh_dedup": (
+        "bench-layer r9 mover resolved: bench_out r08->r09 showed this "
+        "query's per-iteration min regressing 1.602 -> 1.993 s (+24%) with "
+        "a provably unchanged plan (PLANS.md diff empty). Round 10 applied "
+        "the cold-JVM envelope protocol at the bench layer "
+        "(tools/rebench_one.py, 6 independent JVMs x 3 telemetry samples, "
+        "bench_out/rebench_q_minhash_lsh_dedup_r10.json): envelope min "
+        "1.522 s, gc_sec <= 0.04 on every sample, peak heap ~2 GB — the "
+        "r9 number was shared-host contention, not a code or plan cause; "
+        "the floor is at/below the r8 value."
     ),
     "bpe_round": (
         "the scaled fixture's per-replica word suffixes make the VOCABULARY "
