@@ -892,19 +892,20 @@ def simhash_column(df: DataFrame, text_col: str, out_col: str = "simhash") -> Da
 
 
 def _auto_clean_blocks(n: int, max_hamming: int) -> int:
-    """Auto depth for Manku combination blocking: one extra clean block per
-    4x corpus growth past ~2M signatures, clamped to what packs into a
-    63-bit combo key. Calibration is MEASURED, not the uniform-random
-    model (real signature blocks are correlated, so accidental collisions
-    run orders of magnitude above n²/2^keybits): 3 clean blocks still won
-    at 1.28M docs (17 s vs 30 s — the 4th block's extra shuffle volume
-    outweighed 3.8M accidental candidates), but lost by ~8x at 5.12M where
-    the quadratic term (~61M candidates + their distinct) dominated the
-    1024x scaling cell. Each +1 block multiplies the combo keyspace by
-    ~2^5-2^9 — one octave of n² growth — while blocking rows grow only
-    C(t, clean)-fold. Output is INVARIANT to this choice (pigeonhole
-    recall + exact bit_count verify), so auto-depth is purely a cost
-    decision."""
+    """OPT-IN count-based depth rule for Manku combination blocking: one
+    extra clean block per 4x corpus growth past ~2M signatures, clamped to
+    what packs into a 63-bit combo key. Each +1 block multiplies the combo
+    keyspace by ~2^5-2^9 (one octave of n² ACCIDENTAL-collision growth)
+    while blocking rows grow only C(t, clean)-fold.
+
+    NOT the default, by measurement: the r10 1024x octave showed deepening
+    LOSING 3x at 5.12M text signatures (45.5 s → 133 s) because the heavy
+    candidate stream there was TRUE pairs (a fixture artifact), which no
+    key widening removes — the extra blocking rows were pure cost. This
+    rule is correct only in the uniform-model regime where accidental
+    collisions (≈ combos·n²/2^keybits) dominate true pairs; output is
+    invariant either way (pigeonhole recall + exact bit_count verify), so
+    measure the candidate stream before opting in."""
     import math
 
     ecb = 3
@@ -926,7 +927,7 @@ def simhash_near_pairs(
     sim_col: str = "simhash",
     max_hamming: int = 3,
     materialize: bool = True,
-    extra_clean_blocks: int | None = None,
+    extra_clean_blocks: int | None = 3,
     corpus_count: int | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming, combination-blocked
@@ -948,20 +949,23 @@ def simhash_near_pairs(
     collisions, which grow quadratically in corpus size: 3 clean blocks
     give ~32-bit keys, 4 give ~40-bit keys with C(7,4)=35 combos — 75%
     more blocking rows for ~16x fewer random collisions per combo.
-    MEASURED at 1.28M docs the 3-block setting still wins (17s vs 30s):
+    MEASURED at 1.28M docs the 3-block default still wins (17s vs 30s):
     its ~3.8M accidental candidates die in a cheap native bit_count
-    filter, while the 4th block pays real shuffle volume on every row.
-    But accidental candidates grow QUADRATICALLY in corpus size, and the
-    1024x scaling octave measured the fixed-3 form losing by ~8x at 5.12M
-    signatures (the ~61M-candidate stream and its distinct dominated the
-    cell) — so ``extra_clean_blocks=None`` (the default since r10)
-    AUTO-DEPTHS: one extra clean block per 4x corpus growth past ~2M
-    signatures (see _auto_clean_blocks), clamped to the 63-bit combo-key
-    packing limit. The auto path runs one count() over the (materialized)
-    signature frame; pass ``corpus_count`` or an explicit
-    ``extra_clean_blocks`` to skip it. Exact recall is unaffected at ANY
-    clean count ≥ 1 (the pigeonhole guarantee + true bit_count verify make
-    the OUTPUT invariant to this knob — it is purely a cost decision).
+    filter, while the 4th block pays real shuffle volume on every row —
+    and REMEASURED at 5.12M text signatures the default still wins
+    (45.5 s vs 133 s): the r10 burn-down first misread a media-fixture
+    pair explosion as accidental-candidate growth, auto-deepened on
+    corpus size, and the same octave that motivated the change refuted it
+    (the candidate stream there was TRUE pairs, which no key widening
+    removes, so the 4th block's ~75% extra blocking rows were pure cost).
+    Keep 3 unless ACCIDENTAL collisions dominate — the uniform-model
+    regime (≈ combos·N²/2^keybits rivaling ~10·N) at N in the tens of
+    millions of genuinely high-entropy signatures; opt in explicitly via
+    ``extra_clean_blocks`` or ``extra_clean_blocks=None`` + corpus size
+    (``_auto_clean_blocks``'s count-based rule, with that caveat). Exact
+    recall is unaffected at ANY clean count ≥ 1 (the pigeonhole guarantee
+    + true bit_count verify make the OUTPUT invariant to this knob — it
+    is purely a cost decision, so measure before deepening).
 
     ``materialize=True`` eagerly localCheckpoints the (id, signature)
     projection first. The signature column is usually the Arrow pandas UDF

@@ -340,11 +340,13 @@ def test_simhash_pairs_invariant_to_clean_blocks(spark):
         }
         outs.append(got)
     assert outs[0] == outs[1] == outs[2] and len(outs[0]) >= 50
-    # corpus_count hint reproduces the auto result without the count action
+    # corpus_count hint reproduces the opt-in auto result without the
+    # count action (auto is opt-in via extra_clean_blocks=None since the
+    # r10 measurement showed deepening loses on true-pair-dominated streams)
     hinted = {
         (r.id_a, r.id_b, r.hamming)
         for r in D.simhash_near_pairs(
-            df, "doc_id", max_hamming=3, corpus_count=250
+            df, "doc_id", max_hamming=3, extra_clean_blocks=None, corpus_count=250
         ).collect()
     }
     assert hinted == outs[0]

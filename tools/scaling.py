@@ -57,12 +57,14 @@ OP_CONFIG: dict[str, str] = {
     # corpus-sized frames (the 1024x AGGREGATE_OUT_OF_MEMORY fix), which
     # changes the measured caching work at every octave
     "kmeans_semantic_dedup": "vec+hier-nocorpuscache-r9b",
-    # r10: Manku blocking auto-depths its clean-block count with corpus
-    # size (fixed-3 lost 8x at 5.12M signatures to the quadratic
-    # accidental-candidate stream — the 1024x octave caught it); output is
-    # invariant, cost is not, so the rows remeasure under auto
-    "media_dedup": "phash-vectorized-autoblocks-r10",
-    "simhash_pairs": "manku-autoblocks-r10",
+    # r10: media fixture rebuilt (per-doc content salt + 1% planted twins)
+    # after the 1024x octave exposed the raw-text fixture's quadratic TRUE
+    # pair growth (pHash insensitive to word suffixes: 5.42M pairs at 256x
+    # → 86.07M at 1024x); simhash row remeasured under the restored
+    # fixed-3 blocking after the auto-deepen experiment measured 3x WORSE
+    # at 5.12M (true pairs, not accidental — key widening can't help)
+    "media_dedup": "phash-salted-fixture-r10",
+    "simhash_pairs": "manku-fixed3-r10",
     # r9: num_planes=None auto-depth (planes scale with log2(n), holding
     # bucket occupancy ~constant); fixed-4-plane cells dropped — that form
     # measured a 15.9 last-octave ratio at 1024x (bucket flooding)
@@ -241,11 +243,31 @@ def _prep_lined(frame):
 
 
 def _prep_media(frame):
-    media = frame.select(
+    """Untimed media-fixture shaping. r10 artifact fix: raw fixture text is
+    NOT a valid pHash fixture — the doubling replicas' word suffixes barely
+    move byte histograms, so the fake decoder's pHash put same-base
+    replicas within hamming 3 of each other and the TRUE pair count grew
+    quadratically with k (measured 5.42M pairs at 256x → 86.07M at 1024x,
+    ratio 15.9 — the pHash analogue of the r9 embedding-offset cosine
+    collapse; no operator survives quadratic OUTPUT). Each row now gets a
+    per-doc md5 salt appended to its content (decorrelates every pHash),
+    plus planted exact twins for 1% of rows (media_id + 50M, identical
+    content) so the dedup path still has a CONSTANT-rate duplicate
+    population to find at every octave."""
+    base = frame.select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.encode(
+            F.concat(
+                F.col("text"), F.lit("|"), F.md5(F.col("doc_id").cast("string"))
+            ),
+            "UTF-8",
+        ).alias("content"),
         F.lit("image").alias("media_type"),
-    ).localCheckpoint(eager=True)
+    )
+    twins = base.filter(F.col("media_id") % 100 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(50_000_000_000)
+    )
+    media = base.unionByName(twins).localCheckpoint(eager=True)
     return {"media": media}
 
 
@@ -990,9 +1012,23 @@ CELL_NOTES: dict[str, str] = {
         "window measured the 64x/256x PAIR together: 3.69/11.71, last "
         "octave ~3.2, no footnote needed). Both stages stay row-linear "
         "(the hamming join "
-        "is the same Manku blocking simhash_pairs holds ~3 with; its "
-        "accidental-candidate term 20N²/2³³ ≈ 3.8M rows at N=1.28M is "
-        "still a cheap bit_count filter)."
+        "is the same Manku blocking simhash_pairs holds ~3 with). "
+        "r10: the voluntary 1024x cell found a real, reproducible blowup "
+        "(118-225 s across four cold JVMs in two windows, gc <= 3 s) and "
+        "the burn-down went through a WRONG fix before the right one: "
+        "(1) hypothesis 'quadratic accidental candidates' → auto-deepened "
+        "the clean-block count on corpus size → measured WORSE (161.8 s; "
+        "and 3x worse on text simhash), refuting it; (2) direct "
+        "decomposition then measured the truth — the pHash stage was FLAT "
+        "(17.0 → 18.8 s for 4x data), signature entropy was fine (93% "
+        "distinct), but TRUE verified pairs grew 5.42M → 86.07M (ratio "
+        "15.9): the doubling fixture's word suffixes barely move byte "
+        "histograms, so same-base replicas all land within hamming 3 — "
+        "quadratic OUTPUT, the pHash analogue of the r9 embedding-offset "
+        "cosine collapse, and a FIXTURE artifact, not an operator wall. "
+        "Fixed in the fixture (per-doc content salt + 1% planted exact "
+        "twins for a constant dup rate; OP_CONFIG phash-salted-fixture-"
+        "r10), row rebuilt same-window."
     ),
     "duplicate_spans": (
         "the 16x->64x step (3.29 -> 13.14, ratio 3.99) is real, not a "
@@ -1047,6 +1083,18 @@ CELL_NOTES: dict[str, str] = {
         "cannot defend — shard the corpus or switch to ivf_topk (sqrt(n) "
         "cells keep both sides sub-linear). Callers in a loop can pass "
         "corpus_count to skip auto-depth's extra count() action."
+    ),
+    "simhash_pairs": (
+        "row remeasured in round 10 under the RESTORED fixed-3 blocking "
+        "(OP_CONFIG manku-fixed3-r10) after serving as the control for "
+        "the media burn-down: the auto-deepen experiment (4 clean blocks "
+        "at 5.12M signatures) measured 132.98/147.34 s vs fixed-3's "
+        "45.53 s — the 4th block's ~75% extra blocking rows are pure cost "
+        "when the candidate stream is true pairs rather than accidental "
+        "collisions. The deeper rule remains available as an explicit "
+        "opt-in for the uniform-model regime (combos·n²/2^keybits ≳ 10n "
+        "of genuinely high-entropy signatures); output is invariant "
+        "either way (pinned by test)."
     ),
     "incremental_lsh_dedup": (
         "row remeasured in round 10 under the PRE-GROUPED signature store "
