@@ -55,12 +55,23 @@ FEATURE_SCHEMA = T.StructType(
 
 def fake_decode(content: bytes, media_type: str) -> dict:
     """Deterministic stand-in for a codec: derives a pseudo 'decoded' payload
-    from the byte content alone, so pipeline tests are hermetic and stable."""
+    from the byte content alone, so pipeline tests are hermetic and stable.
+
+    The payload is a FULL 32x32 grid of shake_256 bytes (1024 pixels), not
+    a short digest: the original 16-pixel form tiled cyclically through the
+    pHash DCT, collapsing the 63 hash bits onto ~16 independent values —
+    two UNRELATED contents then landed within hamming 3 at a measured rate
+    of ~6.6e-9 per pair (six orders of magnitude above a uniform 64-bit
+    hash's ~2.4e-15), which made near-dup pair counts quadratic in corpus
+    size for ANY input (the r10 1024x scaling octave measured 86M pairs on
+    5.12M distinct documents before this fix). A full-entropy grid restores
+    the property real images have: distinct contents separate, exact byte
+    duplicates still collide under any decoder."""
     import hashlib
 
     h = hashlib.sha256(content or b"").digest()
     return {
-        "pixels": list(h[:16]),
+        "pixels": list(hashlib.shake_256(content or b"").digest(1024)),
         "width": 1 + h[0] % 64,
         "height": 1 + h[1] % 64,
     }

@@ -63,7 +63,7 @@ OP_CONFIG: dict[str, str] = {
     # → 86.07M at 1024x); simhash row remeasured under the restored
     # fixed-3 blocking after the auto-deepen experiment measured 3x WORSE
     # at 5.12M (true pairs, not accidental — key widening can't help)
-    "media_dedup": "phash-salted-fixture-r10",
+    "media_dedup": "phash-fullentropy-decode-r10",
     "simhash_pairs": "manku-fixed3-r10",
     # r9: num_planes=None auto-depth (planes scale with log2(n), holding
     # bucket occupancy ~constant); fixed-4-plane cells dropped — that form
