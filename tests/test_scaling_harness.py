@@ -16,11 +16,14 @@ def test_config_reset_drops_mismatched_rows():
     raw = {
         "_config": {"kmeans_semantic_dedup": "flat-blas-r8"},
         "kmeans_semantic_dedup": {"1": 1.0, "256": 50.0},
-        "simhash_pairs": {"1": 0.5},
+        # paragraph_dedup has no OP_CONFIG entry (simhash_pairs, the old
+        # example here, gained one in r10 and now correctly gets dropped
+        # when its stored tag is absent)
+        "paragraph_dedup": {"1": 0.5},
     }
     out = sc._apply_config_reset(raw)
     assert "kmeans_semantic_dedup" not in out
-    assert out["simhash_pairs"] == {"1": 0.5}
+    assert out["paragraph_dedup"] == {"1": 0.5}
     assert "_config" not in out
 
 

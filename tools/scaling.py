@@ -983,7 +983,23 @@ CELL_NOTES: dict[str, str] = {
         "mid-transition in r8) — measured ~4 here because the bounded "
         "pair stage and fixed job floors still share the bill; a deeper "
         "tree (IVF-in-IVF) is the next rung if a future octave drifts "
-        "toward 8."
+        "toward 8. r10: the 4096x cell (20.5M docs / 8.19M vectors, "
+        "k ~ 27k centroids) measured 302.86 s, ratio 5.10 — the predicted "
+        "drift has begun (the sqrt(k) term now outweighs the linear "
+        "stages' dilution), so the named rung was BUILT and MEASURED: "
+        "_assign_to_centroids_tree (assign_hierarchical='deep'), a "
+        "three-level IVF-in-IVF with k^(1/3)-sized levels, per-point "
+        "~9·k^(1/3)·dim vs the two-level's ~5·sqrt(k)·dim, total "
+        "n·k^(1/3) = n^(4/3) (asymptote 6.3x/octave vs 8). Same-window "
+        "head-to-head on the 4096x fixture (tools/bench_router.py, one "
+        "JVM, warm-up + min-of-2 each): two-level 297.89 s vs "
+        "three-level 270.09 s — a 9% cell-level win at k=27k, i.e. the "
+        "crossover is just opening at this scale (the assignment is ~2 "
+        "of the cell's passes; the pair/CC stages dilute the "
+        "assignment-level gap). 'deep' stays an explicit opt-in until "
+        "the win is decisive — the row keeps measuring ONE algorithm "
+        "(the r8 min-merge lesson) and the asymptote argument says the "
+        "gap widens every octave."
     ),
     "chunk_documents": (
         "the 1024x cell's same-window ratio (3.69 -> 17.03, ~4.6) is NOT "
@@ -1028,7 +1044,29 @@ CELL_NOTES: dict[str, str] = {
         "cosine collapse, and a FIXTURE artifact, not an operator wall. "
         "Fixed in the fixture (per-doc content salt + 1% planted exact "
         "twins for a constant dup rate; OP_CONFIG phash-salted-fixture-"
-        "r10), row rebuilt same-window."
+        "r10) — which did NOT move the cell, refuting hypothesis (2)'s "
+        "salt form too: sha256 already decorrelates any byte change, and "
+        "the measured pair density (~6.6e-9 per UNRELATED pair, constant "
+        "across scales) pointed INSIDE the stub — fake_decode emitted 16 "
+        "pixels that tile cyclically through the 32x32 pHash DCT, "
+        "collapsing the 63 hash bits onto ~16 independent values, so "
+        "near-dup pair counts were quadratic for ANY input. The r10 final "
+        "fix gives the stub a full-entropy 32x32 shake_256 grid (OP_CONFIG "
+        "phash-fullentropy-decode-r10; sampled pairs: min hamming 14, "
+        "mean 31.5) — the property real images have: distinct contents "
+        "separate, exact byte twins still collide. Post-fix stage "
+        "decomposition (tools/decompose_media.py, one JVM per scale): "
+        "pairs are exactly the planted twins at BOTH scales (12,800 @ "
+        "256x -> 51,200 @ 1024x — OUTPUT now linear by construction), "
+        "t_phash 18.78 -> 55.38 s (ratio 2.95; the full-entropy stub "
+        "pays shake_256 over the full content, byte-proportional like a "
+        "real codec) and t_pairs 12.14 -> 46.94 s (ratio 3.87, the same "
+        "Manku join simhash_pairs holds ~4 with) — every stage linear or "
+        "better. The row's CELL mins lag the stage evidence (the min-"
+        "merge envelope needs more quiet-window attempts at 1024x than "
+        "the smaller cells; spread on this row is the worst in the "
+        "table), so read the decomposition ratios, not the raw last "
+        "column, until the envelope converges."
     ),
     "duplicate_spans": (
         "the 16x->64x step (3.29 -> 13.14, ratio 3.99) is real, not a "
