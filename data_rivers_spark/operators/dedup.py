@@ -1060,19 +1060,25 @@ def connected_components(
 
     minhash_lsh_dedup's greedy min-id drop is a single-pass approximation; CC
     is the exact closure (a chain a~b~c collapses to one survivor even when
-    a and c never paired directly). Iterative min-label propagation: each
-    round every node takes min(own label, neighbors' labels); lineage is cut
-    per round with localCheckpoint; stops at fixpoint.
-
-    Rounds needed = graph diameter (near-dup clusters are shallow; ≤5 rounds
-    in practice). Input columns: id_a, id_b.
+    a and c never paired directly). Each round does min-label propagation
+    (every node takes min(own label, neighbors' labels)) followed by a
+    POINTER-JUMPING shortcut (component ← label(component), the
+    path-compression step of classic PRAM CC): propagation alone needs
+    diameter rounds — a 100-link paraphrase chain (observed: the sf0.1
+    embedding graph at threshold 0.3 exceeds 20) would need 100 — while the
+    shortcut squares the covered distance per round, so ``max_iterations``
+    rounds reach components of diameter ~2^max_iterations. Lineage is cut
+    per round with localCheckpoint; stops at fixpoint. Input columns:
+    id_a, id_b.
 
     Non-convergence is a CORRECTNESS failure for consumers like
     cluster_safe_split (two members of one long chain keying on different
     representatives would straddle a train/test boundary), so exhausting
     ``max_iterations`` with labels still moving raises by default
     (``strict=True``); ``strict=False`` downgrades to a loud warning and
-    returns the partial labels for exploratory use."""
+    returns the partial labels for exploratory use. With the shortcut step
+    the default cap covers ~10^6-diameter chains, so a strict raise now
+    genuinely means a pathological graph, not a long one."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -1090,7 +1096,7 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        prop = (
             labels.join(msgs, labels.id == msgs.dst, "left")
             .select(
                 "id",
@@ -1109,6 +1115,36 @@ def connected_components(
                     != F.col("component")
                 ).alias("__chg"),
             )
+            .localCheckpoint()
+        )
+        # pointer-jumping shortcut: component ← label(component). Squares
+        # the distance covered per round, turning diameter-bound
+        # convergence into log-diameter — the step that lets a 20-round cap
+        # absorb the >20-link chains the sf0.1 embedding graph produces.
+        # `prop` is checkpointed above so the self-join reads it once; the
+        # frame is pair-graph-node-sized, never corpus-sized.
+        ptr = prop.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+        )
+        new_labels = (
+            prop.join(ptr, prop.component == ptr.__pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__pcomp"), F.col("component"))
+                ).alias("__ncomp"),
+                (
+                    F.col("__chg")
+                    | (
+                        F.least(
+                            F.col("component"),
+                            F.coalesce(F.col("__pcomp"), F.col("component")),
+                        )
+                        != F.col("component")
+                    )
+                ).alias("__chg"),
+            )
+            .withColumnRenamed("__ncomp", "component")
             .localCheckpoint()
         )
         changed = len(new_labels.filter(F.col("__chg")).take(1))

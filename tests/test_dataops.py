@@ -1661,3 +1661,15 @@ def test_tree_assignment_routes_exact_points_home(spark):
     )
     ids = [r.vec_id for r in out.select("vec_id").collect()]
     assert len(ids) == len(set(ids)) and 0 < len(ids) <= k
+
+
+def test_connected_components_long_chain_converges_in_default_cap(spark):
+    """The pointer-jumping shortcut makes convergence log-diameter: a
+    120-link path graph (which pure min-label propagation would need 120
+    rounds for — the failure the sf0.1 embedding graph hit at >20) must
+    converge to ONE component within the default 20-round cap."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 121)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comps == {i: 1 for i in range(1, 122)}
