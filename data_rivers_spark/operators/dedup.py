@@ -1061,9 +1061,11 @@ def connected_components(
     minhash_lsh_dedup's greedy min-id drop is a single-pass approximation; CC
     is the exact closure (a chain a~b~c collapses to one survivor even when
     a and c never paired directly). Each round does min-label propagation
-    (every node takes min(own label, neighbors' labels)) followed by a
-    POINTER-JUMPING shortcut (component ← label(component), the
-    path-compression step of classic PRAM CC): propagation alone needs
+    (every node takes min(own label, neighbors' labels)); from the THIRD
+    round — i.e. only for graphs still moving after the shallow common case
+    is done — each round adds a POINTER-JUMPING shortcut (component ←
+    label(component), the path-compression step of classic PRAM CC):
+    propagation alone needs
     diameter rounds — a 100-link paraphrase chain (observed: the sf0.1
     embedding graph at threshold 0.3 exceeds 20) would need 100 — while the
     shortcut squares the covered distance per round, so ``max_iterations``
@@ -1090,7 +1092,7 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
@@ -1121,32 +1123,41 @@ def connected_components(
         # the distance covered per round, turning diameter-bound
         # convergence into log-diameter — the step that lets a 20-round cap
         # absorb the >20-link chains the sf0.1 embedding graph produces.
-        # `prop` is checkpointed above so the self-join reads it once; the
-        # frame is pair-graph-node-sized, never corpus-sized.
-        ptr = prop.select(
-            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
-        )
-        new_labels = (
-            prop.join(ptr, prop.component == ptr.__pid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__pcomp"), F.col("component"))
-                ).alias("__ncomp"),
-                (
-                    F.col("__chg")
-                    | (
-                        F.least(
-                            F.col("component"),
-                            F.coalesce(F.col("__pcomp"), F.col("component")),
-                        )
-                        != F.col("component")
-                    )
-                ).alias("__chg"),
+        # ADAPTIVE: the first two rounds skip it — near-dup clusters are
+        # usually diameter ≤ 3, and for them the jump's extra join +
+        # checkpoint per round is pure cost (q_cluster_safe_split measured
+        # +27% bench-to-bench with the unconditional form); from round 3 a
+        # still-moving graph is genuinely deep and the squaring pays for
+        # itself. `prop` is checkpointed above so the self-join reads it
+        # once; the frame is pair-graph-node-sized, never corpus-sized.
+        if it < 2:
+            new_labels = prop
+        else:
+            ptr = prop.select(
+                F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
             )
-            .withColumnRenamed("__ncomp", "component")
-            .localCheckpoint()
-        )
+            new_labels = (
+                prop.join(ptr, prop.component == ptr.__pid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__pcomp"), F.col("component")),
+                    ).alias("__ncomp"),
+                    (
+                        F.col("__chg")
+                        | (
+                            F.least(
+                                F.col("component"),
+                                F.coalesce(F.col("__pcomp"), F.col("component")),
+                            )
+                            != F.col("component")
+                        )
+                    ).alias("__chg"),
+                )
+                .withColumnRenamed("__ncomp", "component")
+                .localCheckpoint()
+            )
         changed = len(new_labels.filter(F.col("__chg")).take(1))
         new_labels = new_labels.drop("__chg")
         labels = new_labels
