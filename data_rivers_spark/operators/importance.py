@@ -154,6 +154,7 @@ def dsir_importance_weights(
     seed: int | str = 0,
     out_col: str = "log_weight",
     ndigits: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """``df`` plus a ``log_weight`` column: the DSIR log importance weight of
     each document toward ``target`` (a DataFrame of exemplar documents with
@@ -163,8 +164,18 @@ def dsir_importance_weights(
     log_weight > 0: looks more like the target than the pool; < 0: less.
     Documents with no tokens weight 0. One corpus featurize pass each for
     pool and target, a B-row broadcast join, one doc-keyed sum — the
-    corpus is never shuffled on anything wider than (id, bucket)."""
+    corpus is never shuffled on anything wider than (id, bucket).
+
+    ``materialize`` (default True) eagerly localCheckpoints the pool's
+    feature frame: it has TWO consumers (the source LM aggregate and the
+    per-doc scoring join), and Catalyst does not common-subexpression the
+    n-gram explode across joins, so without it the corpus featurize pass
+    runs twice. The frame is (id, bucket, cnt) — token-set-sized, the same
+    posture as the LSH dedups' shared shingle frame. Pass False when the
+    input is tiny or the caller manages its own persistence."""
     src_feats = hashed_ngram_features(df, text_col, id_col, num_buckets, n_max, seed)
+    if materialize:
+        src_feats = src_feats.localCheckpoint(eager=True)
     tgt_feats = hashed_ngram_features(
         target, text_col, id_col, num_buckets, n_max, seed
     )

@@ -1062,11 +1062,13 @@ CELL_NOTES: dict[str, str] = {
         "pays shake_256 over the full content, byte-proportional like a "
         "real codec) and t_pairs 12.14 -> 46.94 s (ratio 3.87, the same "
         "Manku join simhash_pairs holds ~4 with) — every stage linear or "
-        "better. The row's CELL mins lag the stage evidence (the min-"
-        "merge envelope needs more quiet-window attempts at 1024x than "
-        "the smaller cells; spread on this row is the worst in the "
-        "table), so read the decomposition ratios, not the raw last "
-        "column, until the envelope converges."
+        "better. The envelope converged after 7 attempts across 4 windows "
+        "(1024x spread 88.5-411 s — the worst-variance row in the table): "
+        "a SAME-WINDOW 256x/1024x pair measured 38.18 -> 88.54 s, ratio "
+        "2.32, and the 88.54 also set the row's 1024x min. The raw last "
+        "column divides a quiet-window 256x min by this 1024x min "
+        "(cross-window, reads ~5.6); the bytes-norm column and the "
+        "decomposition are the honest exponent: linear."
     ),
     "duplicate_spans": (
         "the 16x->64x step (3.29 -> 13.14, ratio 3.99) is real, not a "
