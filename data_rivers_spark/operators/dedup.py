@@ -1167,10 +1167,11 @@ def connected_components(
     if not converged:
         msg = (
             f"connected_components did not converge in {max_iterations} "
-            "iterations: the pair graph has a chain with diameter > "
-            f"{max_iterations}, and the returned labels would split that "
-            "chain across components. Raise max_iterations (rounds needed = "
-            "graph diameter)."
+            "iterations. With pointer-jumping each round roughly doubles the "
+            "reachable distance, so this means the pair graph has diameter "
+            f"> ~2^{max_iterations} — a pathological graph (or adversarial "
+            "chain), not a long-but-normal one. Inspect the pair generation "
+            "before raising max_iterations; each +1 doubles coverage."
         )
         if strict:
             raise RuntimeError(msg)

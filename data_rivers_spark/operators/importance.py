@@ -113,33 +113,45 @@ def dsir_log_ratios(
     never miss (a gram unseen in both corpora still gets the smoothing-only
     ratio log(Ts+αB) - log(Tt+αB)). B rows: broadcastable at any corpus
     size. Ratios are ROUNDED to ``ndigits`` so both engines (and reruns on
-    different partitionings) score from identical constants."""
+    different partitionings) score from identical constants.
+
+    Each feature frame's lineage appears EXACTLY ONCE in the returned plan:
+    the totals Tt/Ts are window sums over the joined B-row dense frame
+    (deliberately single-partition — B ~ 10^4 bucket rows, the same
+    group-cardinality posture as unimax_allocation), not separate
+    re-aggregations of the corpus-scale featurize lineage. Counts are
+    longs, so the window totals are exact integers — identical to the
+    re-aggregated form on every engine."""
+    from pyspark.sql import Window
+
     spark = target_feats.sparkSession
     tc = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("__ct"))
     sc = source_feats.groupBy("bucket").agg(F.sum("cnt").alias("__cs"))
-    tt = tc.agg(F.sum("__ct").alias("__tt"))
-    ts = sc.agg(F.sum("__cs").alias("__ts"))
     dense = spark.range(num_buckets).select(F.col("id").alias("bucket"))
     ab = float(alpha) * num_buckets
-    return (
+    w = Window.partitionBy()
+    joined = (
         dense.join(tc, "bucket", "left")
         .join(sc, "bucket", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(ts))
         .select(
             "bucket",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(alpha)))
-                    / (F.col("__tt") + F.lit(ab))
-                )
-                - F.log(
-                    (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(float(alpha)))
-                    / (F.col("__ts") + F.lit(ab))
-                ),
-                ndigits,
-            ).alias("log_ratio"),
+            F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct"),
+            F.coalesce(F.col("__cs"), F.lit(0)).alias("__cs"),
         )
+    )
+    return joined.select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("__ct") + F.lit(float(alpha)))
+                / (F.sum("__ct").over(w) + F.lit(ab))
+            )
+            - F.log(
+                (F.col("__cs") + F.lit(float(alpha)))
+                / (F.sum("__cs").over(w) + F.lit(ab))
+            ),
+            ndigits,
+        ).alias("log_ratio"),
     )
 
 
@@ -154,7 +166,7 @@ def dsir_importance_weights(
     seed: int | str = 0,
     out_col: str = "log_weight",
     ndigits: int = 6,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """``df`` plus a ``log_weight`` column: the DSIR log importance weight of
     each document toward ``target`` (a DataFrame of exemplar documents with
@@ -166,13 +178,19 @@ def dsir_importance_weights(
     pool and target, a B-row broadcast join, one doc-keyed sum — the
     corpus is never shuffled on anything wider than (id, bucket).
 
-    ``materialize`` (default True) eagerly localCheckpoints the pool's
-    feature frame: it has TWO consumers (the source LM aggregate and the
-    per-doc scoring join), and Catalyst does not common-subexpression the
-    n-gram explode across joins, so without it the corpus featurize pass
-    runs twice. The frame is (id, bucket, cnt) — token-set-sized, the same
-    posture as the LSH dedups' shared shingle frame. Pass False when the
-    input is tiny or the caller manages its own persistence."""
+    ``materialize`` (default False) keeps plan construction side-effect-free:
+    the pool's feature frame has TWO consumers (the source LM aggregate and
+    the per-doc scoring join) and Catalyst does not common-subexpression the
+    n-gram explode across joins, so the featurize pass runs twice — but the
+    MEASURED default is recompute: an interleaved cold-JVM A/B at sf0.1
+    (bench_out/rebench_dsir_materialize_r11.json; 3 rounds × 3 samples per
+    arm) put the eager localCheckpoint round-trip at 13.8 s envelope min vs
+    10.6 s for recompute (~23% slower) — writing + re-reading the
+    (id, bucket, cnt) frame costs more than re-running the codegen'd
+    explode+agg. Pass True only for corpora whose text column is wide enough
+    that a second scan dominates the checkpoint round-trip (cluster jobs
+    reading remote storage, not local warm-cache parquet), or when the
+    caller wants the eager pin for its own reuse."""
     src_feats = hashed_ngram_features(df, text_col, id_col, num_buckets, n_max, seed)
     if materialize:
         src_feats = src_feats.localCheckpoint(eager=True)

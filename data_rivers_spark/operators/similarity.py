@@ -127,15 +127,22 @@ def sq8_topk(
 
     Output: (query_id, neighbor_id, sim, rank) — sim is the quantized
     cosine, within ~1e-3 of the float cosine at 64 dims (recall vs the
-    exact top-k is pinned in tests/test_dataops.py)."""
+    exact top-k is pinned in tests/test_sampling.py.
+
+    Zero-norm vectors are FILTERED from both sides: a zero vector quantizes
+    to all-zero codes, cosine would divide 0/0 = NaN, and Spark sorts NaN
+    above every double — an unguarded zero corpus row would rank as the #1
+    neighbor of every query. No direction → no cosine neighbors, on either
+    engine (the DuckDB oracle carries the same zero-norm filter)."""
+    nonzero = F.array_max(F.transform(_as_double(F.col(vec_col)), F.abs)) > 0
     qq = quantize_int8(_as_double(F.col(vec_col)))
     q = F.broadcast(
-        queries.select(
+        queries.filter(nonzero).select(
             F.col(id_col).alias("query_id"),
             _as_double(qq["codes"]).alias("__qc"),
         )
     )
-    c = corpus.select(
+    c = corpus.filter(nonzero).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(qq["codes"]).alias("__cc"),
     )
@@ -1103,6 +1110,12 @@ def _assign_to_centroids_tree(
                 V[rows] @ mid[idx].T
             )
         probes_mid = np.argpartition(dm, min(p2, n_mid - 1), axis=1)[:, :p2]
+        # mask probes whose scattered distance is still +inf (the row's
+        # probed top cells own fewer than p2 mid children in total):
+        # without this, argpartition hands back arbitrary never-scattered
+        # mid cells and the fine scan silently exceeds the documented
+        # (1 + nprobe_top + nprobe_mid)·k^(1/3) probe budget
+        probes_mid[np.take_along_axis(dm, probes_mid, axis=1) == np.inf] = -1
         best_d = np.full(b, np.inf)
         best_i = np.full(b, np.iinfo(np.int32).max, dtype=np.int64)
         for j in range(n_mid):

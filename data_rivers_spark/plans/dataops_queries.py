@@ -1944,10 +1944,59 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_curation_pipeline",
-    oracle=f"""
-    WITH {_LINES_CTE}
+def _curation_pdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark prefix of the curation composites: fixture construction
+    (multi-line corpus + planted near-dup copies) → C4 line cleaning →
+    MinHash-LSH doc dedup at 0.7 → corpus-global paragraph dedup. Returns
+    the cleaned corpus (doc_id, text), one row per surviving document —
+    q_curation_pipeline's stages 1-3, reused verbatim by
+    q_curation_select_mix so the two composites price the same prefix."""
+    from data_rivers_spark.session import fan_out
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
+    # the fixture + C4 chain below is ~3s of interpreted HOFs per scan
+    # split — spread a narrow parquet scan across cores first (fan_out is a
+    # no-op once the input has natural splits)
+    docs = fan_out(docs)
+    lined = _synth_lines(docs)
+    arr = F.split(F.col("text"), "\n")
+    dotted = F.array_join(
+        F.transform(arr, lambda x: F.concat(x, F.lit("."))), "\n"
+    )
+    base = lined.select("doc_id", dotted.alias("text"))
+    copies = (
+        base.filter(F.col("doc_id") % 6 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
+    )
+    aug = base.unionByName(copies)
+    c4 = TX.c4_quality_filter(aug, "text", "doc_id")
+    kept = c4.filter(F.col("keep")).select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    # the synthetic fixture + C4 expression chain is the expensive map here
+    # (~3 s of interpreted HOFs at sf0.1) and three later stages consume
+    # `kept`; one doc-scale checkpoint pays it once — exactly what a real
+    # pipeline does by materializing the cleaned batch
+    kept = kept.localCheckpoint(eager=True)
+    dd = D.minhash_lsh_dedup(
+        kept, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
+    )
+    para = D.paragraph_dedup(dd, "text", "doc_id")
+    return (
+        para.filter(F.col("n_kept") > 0)
+        .select("doc_id", F.col("dedup_text").alias("text"))
+    )
+
+
+# Shared oracle prefix of the curation composites (q_curation_pipeline,
+# q_curation_select_mix): fixture construction → C4 line cleaning →
+# MinHash-LSH doc dedup (exact-Jaccard form, guarded — see the banding
+# PRECONDITION note inside q_curation_pipeline's oracle) → corpus-global
+# paragraph dedup. Ends at ``pdocs`` (doc_id, text, n_kept); ``pj1`` stays
+# visible for the aggregate-miss guard.
+_CURATION_PREFIX_SQL = f"""{_LINES_CTE}
     , dotted AS (
       SELECT doc_id, LIST_TRANSFORM(lines, x -> x || '.') AS lines FROM lines2
     ), based AS (
@@ -2002,7 +2051,14 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                              CHR(10)) AS text,
              COUNT(*) FILTER (WHERE rn = 1) AS n_kept
       FROM prn GROUP BY doc_id
-    ), toked AS (
+    )"""
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH {_CURATION_PREFIX_SQL}
+    , toked AS (
       SELECT doc_id,
              CASE WHEN SUBSTR(MD5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)
                        < '19999999'
@@ -2055,48 +2111,173 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, split, n_tok, chunk_idx) per surviving document."""
     from data_rivers_spark.operators import sampling as SA
-    from data_rivers_spark.session import fan_out
 
-    t = load_tables(spark, sf_dir, ["documents"])
-    docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
-    # the fixture + C4 chain below is ~3s of interpreted HOFs per scan
-    # split — spread a narrow parquet scan across cores first (fan_out is a
-    # no-op once the input has natural splits)
-    docs = fan_out(docs)
-    lined = _synth_lines(docs)
-    arr = F.split(F.col("text"), "\n")
-    dotted = F.array_join(
-        F.transform(arr, lambda x: F.concat(x, F.lit("."))), "\n"
-    )
-    base = lined.select("doc_id", dotted.alias("text"))
-    copies = (
-        base.filter(F.col("doc_id") % 6 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 100000)
-        .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
-    )
-    aug = base.unionByName(copies)
-    c4 = TX.c4_quality_filter(aug, "text", "doc_id")
-    kept = c4.filter(F.col("keep")).select(
-        "doc_id", F.col("kept_text").alias("text")
-    )
-    # the synthetic fixture + C4 expression chain is the expensive map here
-    # (~3 s of interpreted HOFs at sf0.1) and three later stages consume
-    # `kept`; one doc-scale checkpoint pays it once — exactly what a real
-    # pipeline does by materializing the cleaned batch
-    kept = kept.localCheckpoint(eager=True)
-    dd = D.minhash_lsh_dedup(
-        kept, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
-    )
-    para = D.paragraph_dedup(dd, "text", "doc_id")
-    pdocs = (
-        para.filter(F.col("n_kept") > 0)
-        .select("doc_id", F.col("dedup_text").alias("text"))
-    )
+    pdocs = _curation_pdocs(spark, sf_dir)
     split = SA.train_test_split(pdocs, "doc_id", 0.1, seed="cur")
     toked = split.select(
         "doc_id", "split", TX.token_count_ws(F.col("text")).alias("n_tok")
     )
     return TX.sequential_pack(toked, "n_tok", "doc_id", 512, "split")
+
+
+@query(
+    "q_curation_select_mix",
+    oracle=f"""
+    WITH {_CURATION_PREFIX_SQL}
+    , corpus AS (
+      SELECT p.doc_id, COALESCE(d.lang, 'und') AS lang, p.text,
+             CASE WHEN REGEXP_REPLACE(p.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(p.text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tok
+      FROM pdocs p LEFT JOIN documents d USING (doc_id)
+      WHERE p.n_kept > 0
+    ), dw AS (
+      SELECT doc_id, lang,
+             STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM corpus WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), dgrams AS (
+      SELECT doc_id, lang, UNNEST(ws) AS gram FROM dw
+      UNION ALL
+      SELECT doc_id, lang,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+                                   j -> ws[j] || ' ' || ws[j + 1])) AS gram
+      FROM dw WHERE LEN(ws) >= 2
+    ), dfeats AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', SUBSTR(MD5('0:' || gram), 1, 8)) AS BIGINT) % 4096
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM dgrams GROUP BY doc_id, lang, bucket
+    ), dtc AS (
+      SELECT bucket, SUM(cnt) AS ct FROM dfeats WHERE lang = 'en' GROUP BY bucket
+    ), dsc AS (
+      SELECT bucket, SUM(cnt) AS cs FROM dfeats GROUP BY bucket
+    ), dtt AS (SELECT SUM(ct) AS tt FROM dtc),
+    dts AS (SELECT SUM(cs) AS ts FROM dsc),
+    dratios AS (
+      SELECT r.range AS bucket,
+             ROUND(LN((COALESCE(dtc.ct, 0) + 1.0) / (dtt.tt + 4096.0))
+                   - LN((COALESCE(dsc.cs, 0) + 1.0) / (dts.ts + 4096.0)), 6)
+               AS log_ratio
+      FROM RANGE(0, 4096) r
+      LEFT JOIN dtc ON dtc.bucket = r.range
+      LEFT JOIN dsc ON dsc.bucket = r.range
+      CROSS JOIN dtt CROSS JOIN dts
+    ), weighted AS (
+      SELECT c.doc_id, c.lang, c.n_tok, COALESCE(w.log_weight, 0.0) AS log_weight
+      FROM corpus c LEFT JOIN (
+        SELECT f.doc_id,
+               ROUND(SUM(f.cnt * CAST(ROUND(r.log_ratio * 1000000) AS BIGINT))
+                     / 1000000.0, 6) AS log_weight
+        FROM dfeats f JOIN dratios r USING (bucket)
+        GROUP BY f.doc_id
+      ) w USING (doc_id)
+    ), selected AS (
+      SELECT doc_id, lang, n_tok, log_weight FROM weighted
+      ORDER BY log_weight
+               - LN(-LN((CAST(CONCAT('0x', SUBSTR(MD5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 0.5) / 4294967296.0))
+               DESC, doc_id
+      LIMIT 300
+    ), mcounts AS (
+      SELECT lang, CAST(SUM(n_tok) AS DOUBLE) AS n FROM selected GROUP BY lang
+    ), msized AS (
+      SELECT lang, n, n * 4.0 AS cap,
+             ROW_NUMBER() OVER (ORDER BY n * 4.0 ASC, lang ASC) AS r,
+             SUM(n * 4.0) OVER (ORDER BY n * 4.0 ASC, lang ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             COUNT(*) OVER () AS L
+      FROM mcounts
+    ), mflag AS (
+      SELECT *, cap * CAST(L - r + 1 AS DOUBLE) <= 40000.0 - (cum - cap) AS sat
+      FROM msized
+    ), mlev AS (
+      SELECT *,
+             SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS p,
+             COALESCE(SUM(CASE WHEN sat THEN cap END) OVER (), 0.0) AS cumsat
+      FROM mflag
+    ), malloc AS (
+      SELECT lang, n,
+             CASE WHEN sat THEN cap
+                  ELSE (40000.0 - cumsat) / CAST(L - p AS DOUBLE) END AS a
+      FROM mlev
+    ), mrates AS (
+      SELECT lang, CAST(FLOOR(ROUND(a, 6) / n) AS INT) AS fullep,
+             ROUND(a, 6) - CAST(FLOOR(ROUND(a, 6) / n) AS DOUBLE) * n AS rem
+      FROM malloc
+    ), mcum AS (
+      SELECT s.doc_id, s.lang, s.n_tok, s.log_weight, r.fullep, r.rem,
+             SUM(CAST(s.n_tok AS DOUBLE)) OVER (
+               PARTITION BY s.lang
+               ORDER BY SUBSTR(MD5('43:' || CAST(s.doc_id AS VARCHAR)), 1, 8), s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM selected s JOIN mrates r ON s.lang = r.lang
+    ), mnc AS (
+      SELECT doc_id, lang, n_tok, log_weight,
+             fullep + CASE WHEN c <= rem THEN 1 ELSE 0 END AS n_copies
+      FROM mcum
+    )
+    SELECT doc_id, lang, log_weight, n_tok,
+           UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS epoch
+    FROM mnc
+    WHERE n_copies > 0
+      -- same aggregate LSH miss-budget guard as q_curation_pipeline: this
+      -- composite shares the banded-dedup prefix, so a new sf_dir whose
+      -- above-threshold pairs could slip the 16x2 banding must fail LOUDLY
+      -- here too, not hash-flake
+      AND 1 = (SELECT CASE
+                 WHEN COALESCE(SUM(POWER(1 - j * j, 16)), 0) < 0.001 THEN 1
+                 ELSE error('aggregate LSH miss budget exceeded in '
+                            || 'q_curation_select_mix''s shared prefix')
+               END FROM pj1 WHERE j >= 0.7)
+    """,
+)
+def q_curation_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation composite's SELECTION + MIXING tail (round 11): the
+    cleaned, deduplicated corpus from q_curation_pipeline's shared prefix is
+    (4) DSIR-weighted toward its English subset (hashed unigram+bigram
+    features, 4096 buckets — Xie et al. 2023), (5) resampled to the 300
+    highest Gumbel-top-k documents (sampling without replacement
+    proportional to exp(log_weight)), and (6) materialized as a UniMax
+    epoch-capped training mix across languages (Chung et al. 2023; 40k-token
+    budget, 4-epoch cap) — clean → dedup → select → mix, the full
+    pretraining data-curation pipeline as ONE driver-checked program.
+
+    Scale posture: the prefix is the priced q_curation_pipeline chain; the
+    cleaned corpus is checkpointed ONCE at the stage boundary (doc-scale,
+    the materialize-the-cleaned-batch posture) so the DSIR featurize's two
+    consumers and the final weight join replay a cached frame, not the
+    dedup lineage; the selected 300-row frame is checkpointed before UniMax
+    (whose allocation aggregate + broadcast join would otherwise replay the
+    whole selection twice). Output: one row per (selected doc, epoch)."""
+    from data_rivers_spark.operators import importance as IMP
+    from data_rivers_spark.operators import sampling as SA
+
+    pdocs = _curation_pdocs(spark, sf_dir)
+    langs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id", "lang")
+    )
+    corpus = pdocs.join(langs, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang"), "text"
+    )
+    # stage-boundary materialization: three downstream consumers (pool
+    # featurize x2 under materialize=False, final weight join) — same
+    # posture as the prefix's `kept` checkpoint
+    corpus = corpus.localCheckpoint(eager=True)
+    weighted = IMP.dsir_importance_weights(
+        corpus, "text", "doc_id", corpus.filter(F.col("lang") == "en"),
+        num_buckets=4096, n_max=2, alpha=1.0, seed=0,
+    )
+    sel = IMP.dsir_resample(weighted, "doc_id", "log_weight", 300, seed="mix")
+    toks = sel.select(
+        "doc_id", "lang", "log_weight",
+        TX.token_count_ws(F.col("text")).alias("n_tok"),
+    ).localCheckpoint(eager=True)  # 300 rows; unimax consumes it twice
+    mixed = SA.unimax_sample(
+        toks, "doc_id", "lang", "n_tok",
+        total_budget=40_000.0, epoch_cap=4.0, seed=43,
+    )
+    return mixed.select("doc_id", "lang", "log_weight", "n_tok", "epoch")
 
 
 @query(
@@ -3025,6 +3206,9 @@ def q_incremental_dedup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CAST(ROUND(x / (LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) / 127.0), 0) AS INT)
              )::DOUBLE[] AS c
       FROM embeddings
+      -- zero-norm guard mirrored from sq8_topk: a zero vector would divide
+      -- by scale 0 here and produce NaN cosines there
+      WHERE LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], y -> ABS(y))) > 0
     ), q AS (
       SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 20
     ), pairs AS (
@@ -3046,7 +3230,7 @@ def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-dim dot ≤ 2^20 ≪ 2^53 keep every intermediate EXACT in IEEE double
     regardless of summation order, which is why this oracle can hash-match
     instead of tolerance-match. Recall vs the exact float top-k is pinned in
-    tests/test_dataops.py."""
+    tests/test_sampling.py::test_sq8_topk_recall_vs_exact."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
     out = S.sq8_topk(emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", 5)

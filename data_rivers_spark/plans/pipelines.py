@@ -201,6 +201,12 @@ def corpus_curation_pipeline(
     test_fraction: float = 0.05,
     pack_budget: int = 2048,
     seed: int | str = 0,
+    dsir_target=None,
+    select_k: int | None = None,
+    mix_budget: float | None = None,
+    mix_group=None,
+    epoch_cap: float = 4.0,
+    dsir_buckets: int = 4096,
 ) -> DataFrame:
     """The full training-corpus preparation chain, composed from the
     oracled building blocks in the order the modern pipelines run them
@@ -217,10 +223,21 @@ def corpus_curation_pipeline(
     6. Content-hash sampling + leakage-safe split.
     7. Token counting + per-split sequence packing.
 
+    Round-11 SELECTION/MIXING tail (replaces steps 6-7 when enabled —
+    q_curation_select_mix is the oracled query form): pass ``select_k``
+    (+ ``dsir_target``, a DataFrame of exemplar docs or a callable applied
+    to the cleaned corpus) to DSIR-weight the deduped corpus toward the
+    target and keep the Gumbel-top-k; pass ``mix_budget`` (+ ``mix_group``,
+    a group Column/column name) to materialize the selected set as a UniMax
+    epoch-capped training mix — clean → dedup → select → mix end to end.
+    Stage boundaries are localCheckpointed at doc scale (cleaned corpus)
+    and at k rows (selected set), the materialize-the-batch posture.
+
     Each stage is the operator already verified by its own driver oracle;
     this function pins the COMPOSITION (column contracts between stages),
     which the end-to-end test exercises. Output: one row per surviving doc
-    with (id, text, n_tokens, split, chunk_idx)."""
+    with (id, text, n_tokens, split, chunk_idx) — or, in select/mix mode,
+    one row per (selected doc, epoch)."""
     from data_rivers_spark.operators import dedup as D
     from data_rivers_spark.operators import sampling as SA
     from data_rivers_spark.operators import textstats as TX
@@ -248,6 +265,32 @@ def corpus_curation_pipeline(
     if benchmark is not None:
         flagged = TX.flag_contaminated(deduped, benchmark, text_col, id_col)
         deduped = flagged.filter(~F.col("contaminated")).select(id_col, text_col)
+    if select_k is not None:
+        from data_rivers_spark.operators import importance as IMP
+
+        # stage boundary: the DSIR featurize has three consumers of the
+        # cleaned corpus (pool featurize x2 under the measured
+        # materialize=False default, final weight join)
+        deduped = deduped.localCheckpoint(eager=True)
+        target = dsir_target(deduped) if callable(dsir_target) else dsir_target
+        weighted = IMP.dsir_importance_weights(
+            deduped, text_col, id_col, target,
+            num_buckets=dsir_buckets, seed=seed,
+        )
+        selected = IMP.dsir_resample(weighted, id_col, "log_weight", select_k, seed)
+        if mix_budget is not None:
+            grp = F.col(mix_group) if isinstance(mix_group, str) else mix_group
+            toks = selected.select(
+                F.col(id_col),
+                grp.alias("__grp"),
+                F.col("log_weight"),
+                TX.token_count_ws(F.col(text_col)).alias("n_tokens"),
+            ).localCheckpoint(eager=True)  # k rows; unimax consumes it twice
+            return SA.unimax_sample(
+                toks, id_col, "__grp", "n_tokens",
+                total_budget=float(mix_budget), epoch_cap=epoch_cap, seed=seed,
+            ).withColumnRenamed("__grp", "mix_group")
+        return selected
     sampled = SA.deterministic_sample(deduped, id_col, sample_fraction, seed)
     split = SA.train_test_split(sampled, id_col, test_fraction, seed)
     counted = split.withColumn("n_tokens", TX.token_count_ws(F.col(text_col)))

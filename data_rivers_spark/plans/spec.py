@@ -39,7 +39,8 @@ localCheckpoint their vocabulary-sized LM frame so the scoring join and
 the corpus-total aggregate share one cached copy instead of re-deriving
 the tokenize subtree per consumer, and ``bpe_encode`` eagerly
 localCheckpoints its encoded vocabulary every ``checkpoint_every`` merges
-for the same plan-depth reason.
+for the same plan-depth reason, and the generic ``materialize`` verb IS an
+eager localCheckpoint by definition (a declarative stage boundary).
 """
 
 from __future__ import annotations
@@ -84,6 +85,14 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "with_column": lambda df, p: df.withColumn(p["name"], F.expr(p["expr"])),
     "distinct": lambda df, p: df.distinct(),
     "limit": lambda df, p: df.limit(int(p["n"])),
+    # declarative stage boundary: eagerly localCheckpoint the frame so the
+    # steps above run ONCE even when later steps consume the frame more
+    # than once (unimax_sample's allocation aggregate + join, DSIR's
+    # featurize consumers). An execute-at-interpretation-time verb — see
+    # the EXCEPTIONS note in the module docstring.
+    "materialize": lambda df, p: df.localCheckpoint(
+        eager=bool(p.get("eager", True))
+    ),
     # shared transform library (SURVEY §2.1/2.2)
     "columns_camel_to_snake_case": _simple(T.columns_camel_to_snake_case),
     "columns_to_lower_case": _simple(T.columns_to_lower_case),
@@ -137,6 +146,11 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     # curation operator the declarative layer couldn't express
     "cluster_safe_split": _simple(SA.cluster_safe_split),
     "dsir_resample": _simple(IM.dsir_resample),
+    # round-11: the UniMax mixing tail (select via dsir_* → mix via unimax_*)
+    # and the quantized ANN search mode — the last round-10 operators the
+    # declarative layer couldn't spell
+    "unimax_allocation": _simple(SA.unimax_allocation),
+    "unimax_sample": _simple(SA.unimax_sample),
     "stratified_sample": _simple(SA.stratified_sample),
     "weighted_sample": _simple(SA.weighted_sample),
     "weighted_topk_sample": _simple(SA.weighted_topk_sample),
@@ -176,6 +190,9 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "embedding_near_dup_pairs": _simple(SIM.embedding_near_dup_pairs),
     "embedding_near_dup_pairs_lsh": _simple(SIM.embedding_near_dup_pairs_lsh),
     "cosine_topk_self": lambda df, p: SIM.cosine_topk(
+        df, df.filter(p["query_where"]), p["vec_col"], p["id_col"], int(p["k"])
+    ),
+    "sq8_topk_self": lambda df, p: SIM.sq8_topk(
         df, df.filter(p["query_where"]), p["vec_col"], p["id_col"], int(p["k"])
     ),
 }

@@ -440,6 +440,102 @@ def q_spec_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_spec(spark, spec, sf_dir)
 
 
+def _spec_select_mix_oracle() -> str:
+    # reuse q_dsir_weights' verified feature/weight CTE chain verbatim, then
+    # bolt on the Gumbel-top-120 selection and the UniMax mixing tail —
+    # the oracle mirrors the spec step-for-step
+    from data_rivers_spark.plans.dataops_queries import _DSIR_FEATS_SQL
+
+    return "WITH " + _DSIR_FEATS_SQL + """
+    SELECT doc_id, lang, log_weight, epoch FROM (
+      WITH selw AS (
+        SELECT w.doc_id, w.lang, w.log_weight, d.n_chars
+        FROM weights w JOIN documents d USING (doc_id)
+        ORDER BY w.log_weight
+                 - LN(-LN((CAST(CONCAT('0x', SUBSTR(MD5('sm:' || CAST(w.doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 0.5) / 4294967296.0))
+                 DESC, w.doc_id
+        LIMIT 120
+      ), mcounts AS (
+        SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS n FROM selw GROUP BY lang
+      ), msized AS (
+        SELECT lang, n, n * 4.0 AS cap,
+               ROW_NUMBER() OVER (ORDER BY n * 4.0 ASC, lang ASC) AS r,
+               SUM(n * 4.0) OVER (ORDER BY n * 4.0 ASC, lang ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               COUNT(*) OVER () AS L
+        FROM mcounts
+      ), mflag AS (
+        SELECT *, cap * CAST(L - r + 1 AS DOUBLE) <= 100000.0 - (cum - cap) AS sat
+        FROM msized
+      ), mlev AS (
+        SELECT *,
+               SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS p,
+               COALESCE(SUM(CASE WHEN sat THEN cap END) OVER (), 0.0) AS cumsat
+        FROM mflag
+      ), malloc AS (
+        SELECT lang, n,
+               CASE WHEN sat THEN cap
+                    ELSE (100000.0 - cumsat) / CAST(L - p AS DOUBLE) END AS a
+        FROM mlev
+      ), mrates AS (
+        SELECT lang, CAST(FLOOR(ROUND(a, 6) / n) AS INT) AS fullep,
+               ROUND(a, 6) - CAST(FLOOR(ROUND(a, 6) / n) AS DOUBLE) * n AS rem
+        FROM malloc
+      ), mcum AS (
+        SELECT s.doc_id, s.lang, s.log_weight, s.n_chars, r.fullep, r.rem,
+               SUM(CAST(s.n_chars AS DOUBLE)) OVER (
+                 PARTITION BY s.lang
+                 ORDER BY SUBSTR(MD5('47:' || CAST(s.doc_id AS VARCHAR)), 1, 8), s.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM selw s JOIN mrates r ON s.lang = r.lang
+      ), mnc AS (
+        SELECT doc_id, lang, log_weight,
+               fullep + CASE WHEN c <= rem THEN 1 ELSE 0 END AS n_copies
+        FROM mcum
+      )
+      SELECT doc_id, lang, log_weight,
+             UNNEST(GENERATE_SERIES(0, n_copies - 1)) AS epoch
+      FROM mnc WHERE n_copies > 0
+    )
+    """
+
+
+@query("q_spec_select_mix", oracle=_spec_select_mix_oracle())
+def q_spec_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10/11 data-selection close-out as ONE declarative spec:
+    DSIR importance weights toward the English subset (target derived from
+    the input frame itself), Gumbel-top-120 resampling, a materialize
+    stage boundary, then a UniMax epoch-capped mix over languages —
+    select → mix chained through run_spec's verb dispatch, under the
+    driver's hash gate. The spec is plain JSON-shaped data: a deployment
+    could version and review this exact pipeline."""
+    from data_rivers_spark.plans.spec import run_spec
+
+    spec = {
+        "source": {"table": "documents"},
+        "steps": [
+            {"op": "select", "columns": ["doc_id", "lang", "n_chars", "text"]},
+            {"op": "dsir_importance_weights",
+             "target": {"from": "input",
+                        "steps": [{"op": "filter", "where": "lang = 'en'"}]},
+             "text_col": "text", "id_col": "doc_id",
+             "num_buckets": 4096, "seed": 0},
+            {"op": "dsir_resample", "key_col": "doc_id",
+             "log_weight_col": "log_weight", "k": 120, "seed": "sm"},
+            # stage boundary: unimax_sample consumes the selected frame
+            # twice (allocation aggregate + broadcast join) — without this
+            # the whole DSIR subtree above would replay per consumer
+            {"op": "materialize"},
+            {"op": "unimax_sample", "key_col": "doc_id", "group_col": "lang",
+             "tokens_col": "n_chars", "total_budget": 100000.0,
+             "epoch_cap": 4.0, "seed": 47},
+        ],
+        "select": ["doc_id", "lang", "log_weight", "epoch"],
+    }
+    return run_spec(spark, spec, sf_dir)
+
+
 @query(
     "q_spec_bpe",
     oracle="""

@@ -810,6 +810,63 @@ def test_corpus_curation_pipeline_end_to_end(spark):
         assert r.split in ("train", "test") and r.chunk_idx >= 0 and r.n_tokens > 0
 
 
+def test_corpus_curation_pipeline_select_mix_mode(spark):
+    """Round-11 tail: select_k + mix_budget switch the pipeline into
+    clean → dedup → DSIR-select → UniMax-mix mode; the composed result
+    equals the hand-written operator chain on the same cleaned corpus, and
+    the mix respects the epoch cap."""
+    from data_rivers_spark.operators import importance as IM
+    from data_rivers_spark.operators import sampling as SA
+    from data_rivers_spark.plans.pipelines import corpus_curation_pipeline
+
+    rows = []
+    for i in range(40):
+        # 3 healthy '.'-terminated lines of mostly-unique tokens (every
+        # 2-gram unique within a doc → Gopher-safe; i-dependent tokens →
+        # LSH/paragraph-safe across docs); one family marker word per line
+        # gives DSIR a real target signal separating even from odd ids
+        fam = ("alpha", "beta", "gamma") if i % 2 == 0 else ("omega", "psi", "chi")
+        rows.append((
+            i,
+            "\n".join(
+                f"{w} token{i}x{j} value{i}y{j} item{i}z{j} mark{i}w{j}."
+                for j, w in enumerate(fam)
+            ),
+        ))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = lambda d: d.filter(F.col("doc_id") % 2 == 0)  # noqa: E731
+    grp = F.pmod(F.col("doc_id"), 3).cast("string")
+    out = corpus_curation_pipeline(
+        df, dedup_threshold=0.6, dsir_target=target, select_k=12,
+        mix_budget=400.0, mix_group=grp, epoch_cap=2.0, dsir_buckets=256,
+        seed=5,
+    ).collect()
+    assert set(out[0].asDict()) == {
+        "doc_id", "mix_group", "log_weight", "n_tokens", "epoch"
+    }
+    ids = {r.doc_id for r in out}
+    assert 0 < len(ids) <= 12
+    # epoch cap: no doc repeats more than ceil(epoch_cap) times
+    from collections import Counter
+
+    copies = Counter(r.doc_id for r in out)
+    assert max(copies.values()) <= 2
+    # even-id (target-family) docs should dominate the selection
+    assert sum(1 for i in ids if i % 2 == 0) > len(ids) / 2
+    # parity with the hand-written chain on the same cleaned corpus
+    cleaned = corpus_curation_pipeline(
+        df, dedup_threshold=0.6, sample_fraction=1.0, test_fraction=0.0,
+        pack_budget=10**9, seed=5,
+    ).select("doc_id")
+    w = IM.dsir_importance_weights(
+        df.join(cleaned, "doc_id", "left_semi"), "text", "doc_id",
+        target(df.join(cleaned, "doc_id", "left_semi")),
+        num_buckets=256, seed=5,
+    )
+    sel = IM.dsir_resample(w, "doc_id", "log_weight", 12, seed=5)
+    assert {r.doc_id for r in sel.collect()} == ids
+
+
 def test_char_shingles_cjk_and_reflow(spark):
     """Char shingles differentiate unspaced (CJK-like) texts that word
     tokenization collapses to single tokens, and are whitespace-reflow

@@ -444,3 +444,22 @@ def test_sq8_topk_recall_vs_exact(spark):
     got = S.sq8_topk(df.unionByName(twin), qs, "embedding", "vec_id", 5)
     top1 = {r.query_id: r.neighbor_id for r in got.filter(F.col("rank") == 1).collect()}
     assert top1 == {i: i + 1000 for i in range(15)}
+
+
+def test_sq8_topk_zero_vector_guard(spark):
+    # r11 ADVICE fix: a zero vector quantizes to all-zero codes and cosine
+    # would be 0/0 = NaN — Spark sorts NaN ABOVE every double, so an
+    # unguarded zero corpus row would rank #1 for every query. The guard
+    # filters zero-norm rows from both sides instead.
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(20)]
+    rows.append((99, [0.0] * 8))  # zero-norm corpus row
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id").isin(0, 99))
+    got = S.sq8_topk(df, qs, "embedding", "vec_id", 3).collect()
+    # the zero corpus row is never a neighbor, the zero query emits no rows
+    assert all(r.neighbor_id != 99 for r in got)
+    assert {r.query_id for r in got} == {0}
+    assert all(not (r.sim != r.sim) for r in got)  # no NaNs survive

@@ -529,3 +529,47 @@ def test_spec_dsir_verbs(spark):
         r.doc_id for r in IM.dsir_resample(want_w, "doc_id", "log_weight", 10, seed=2).collect()
     )
     assert got == want and len(got) == 10
+
+
+def test_spec_unimax_sq8_and_materialize_verbs(spark):
+    # round-11: the UniMax mixing tail and the quantized ANN search are
+    # spec-addressable; `materialize` is a semantic no-op stage boundary
+    from data_rivers_spark.operators import sampling as SA
+    from data_rivers_spark.operators import similarity as SIM
+
+    rows = [(i, "en" if i < 12 else "de", 50 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    alloc_spec = {"steps": [
+        {"op": "unimax_allocation", "group_col": "lang",
+         "total_budget": 800.0, "epoch_cap": 2.0, "weight_col": "n_chars"},
+    ]}
+    got = {r.lang: r.allocated
+           for r in run_spec(spark, alloc_spec, source_df=df).collect()}
+    want = {r.lang: r.allocated for r in SA.unimax_allocation(
+        df, "lang", 800.0, 2.0, weight_col="n_chars").collect()}
+    assert got == want
+
+    mix_spec = {"steps": [
+        {"op": "materialize"},  # stage boundary: also pins verb dispatch
+        {"op": "unimax_sample", "key_col": "doc_id", "group_col": "lang",
+         "tokens_col": "n_chars", "total_budget": 800.0, "epoch_cap": 2.0,
+         "seed": 9},
+    ]}
+    got_m = sorted((r.doc_id, r.epoch)
+                   for r in run_spec(spark, mix_spec, source_df=df).collect())
+    want_m = sorted((r.doc_id, r.epoch) for r in SA.unimax_sample(
+        df, "doc_id", "lang", "n_chars", 800.0, 2.0, seed=9).collect())
+    assert got_m == want_m and len(got_m) > 0
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(10)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    sq8_spec = {"steps": [
+        {"op": "sq8_topk_self", "query_where": "vec_id < 3",
+         "vec_col": "embedding", "id_col": "vec_id", "k": 2},
+    ]}
+    got_s = sorted((r.query_id, r.neighbor_id, r.rank)
+                   for r in run_spec(spark, sq8_spec, source_df=emb).collect())
+    want_s = sorted((r.query_id, r.neighbor_id, r.rank) for r in SIM.sq8_topk(
+        emb, emb.filter("vec_id < 3"), "embedding", "vec_id", 2).collect())
+    assert got_s == want_s and len(got_s) == 6

@@ -218,6 +218,10 @@ OPS_DOC = (
     "chunk_pack",
     "nfc_normalize",
     "chunk_sentences",
+    # round-11: the full clean → dedup → DSIR-select → UniMax-mix composite
+    # (q_curation_select_mix's pipeline form) — prices the selection/mixing
+    # tail on top of the curation prefix
+    "curation_select_mix",
 )
 OPS_EMB = ("signlsh_topk", "kmeans_semantic_dedup")
 
@@ -240,6 +244,18 @@ def _prep_lined(frame):
         .localCheckpoint(eager=True)
     )
     return {"docs": docs}
+
+
+def _prep_select_mix(frame):
+    """Untimed prep for the select/mix composite: the lined corpus (same as
+    curation_pipeline's prep) plus size-proportional selection constants —
+    k = 10% of input docs, budget = 100 tokens x k (the constants scale
+    with the octave so every cell selects/mixes the same FRACTION; a fixed
+    k would make the tail vanish at large octaves)."""
+    ctx = _prep_lined(frame)
+    n = ctx["docs"].count()
+    k = max(10, n // 10)
+    return {**ctx, "k": k, "budget": float(100 * k)}
 
 
 def _prep_media(frame):
@@ -379,6 +395,19 @@ def _op_fn(name: str):
             _prep_lined,
             lambda ctx: P.corpus_curation_pipeline(
                 ctx["docs"], dedup_threshold=0.7
+            ),
+        ),
+        # round-11 composite: the same prefix + DSIR selection toward a
+        # deterministic 20% id-slice target + UniMax mix over 7 synthetic
+        # id-derived groups (the fixture has no lang column; mixing cost
+        # depends on group COUNT, not labels)
+        "curation_select_mix": (
+            _prep_select_mix,
+            lambda ctx: P.corpus_curation_pipeline(
+                ctx["docs"], dedup_threshold=0.7,
+                dsir_target=lambda d: d.filter(F.col("doc_id") % 5 == 0),
+                select_k=ctx["k"], mix_budget=ctx["budget"],
+                mix_group=F.pmod(F.col("doc_id"), 7).cast("string"),
             ),
         ),
         "media_dedup": (
