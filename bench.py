@@ -130,6 +130,11 @@ HEADLINE = [
     "q_dsir_weights",
     "q_dsir_resample",
     "q_incremental_dedup_grouped",
+    # round 11: the curation composite's selection/mixing tail (shared
+    # clean+dedup prefix -> DSIR select -> UniMax mix) — prices the full
+    # pretraining-curation close-out next to q_curation_pipeline's
+    # split+pack tail
+    "q_curation_select_mix",
 ]
 
 

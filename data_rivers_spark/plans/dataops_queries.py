@@ -2026,7 +2026,7 @@ _CURATION_PREFIX_SQL = f"""{_LINES_CTE}
                        LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(ARRAY_TO_STRING(kept, CHR(10))), '^\\s+|\\s+$', '', 'g'), '\\s+')) - 2, 1))) AS i
               FROM c4kept)
       ) GROUP BY doc_id
-    ), pj1 AS (
+    ), pj1 AS MATERIALIZED (
       SELECT b.doc_id AS id_b,
              LEN(LIST_INTERSECT(a.gs, b.gs)) * 1.0 /
              LEN(LIST_DISTINCT(LIST_CONCAT(a.gs, b.gs))) AS j
@@ -2124,7 +2124,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_curation_select_mix",
     oracle=f"""
     WITH {_CURATION_PREFIX_SQL}
-    , corpus AS (
+    , corpus AS MATERIALIZED (
       SELECT p.doc_id, COALESCE(d.lang, 'und') AS lang, p.text,
              CASE WHEN REGEXP_REPLACE(p.text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
                   ELSE LEN(STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(p.text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tok
@@ -2141,15 +2141,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
                                    j -> ws[j] || ' ' || ws[j + 1])) AS gram
       FROM dw WHERE LEN(ws) >= 2
-    ), dfeats AS (
+    ), dfeats AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(CONCAT('0x', SUBSTR(MD5('0:' || gram), 1, 8)) AS BIGINT) % 4096
                AS bucket,
              COUNT(*) AS cnt
       FROM dgrams GROUP BY doc_id, lang, bucket
-    ), dtc AS (
+    ), dtc AS MATERIALIZED (
       SELECT bucket, SUM(cnt) AS ct FROM dfeats WHERE lang = 'en' GROUP BY bucket
-    ), dsc AS (
+    ), dsc AS MATERIALIZED (
       SELECT bucket, SUM(cnt) AS cs FROM dfeats GROUP BY bucket
     ), dtt AS (SELECT SUM(ct) AS tt FROM dtc),
     dts AS (SELECT SUM(cs) AS ts FROM dsc),
@@ -2171,7 +2171,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dfeats f JOIN dratios r USING (bucket)
         GROUP BY f.doc_id
       ) w USING (doc_id)
-    ), selected AS (
+    ), selected AS MATERIALIZED (
       SELECT doc_id, lang, n_tok, log_weight FROM weighted
       ORDER BY log_weight
                - LN(-LN((CAST(CONCAT('0x', SUBSTR(MD5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -3059,7 +3059,7 @@ def q_curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DSIR_FEATS_SQL = """
-    d AS (
+    d AS MATERIALIZED (
       SELECT doc_id, lang,
              STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
       FROM documents
@@ -3071,15 +3071,15 @@ _DSIR_FEATS_SQL = """
              UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
                                    j -> ws[j] || ' ' || ws[j + 1])) AS gram
       FROM d WHERE LEN(ws) >= 2
-    ), feats AS (
+    ), feats AS MATERIALIZED (
       SELECT doc_id, lang,
              CAST(CONCAT('0x', SUBSTR(MD5('0:' || gram), 1, 8)) AS BIGINT) % 4096
                AS bucket,
              COUNT(*) AS cnt
       FROM grams GROUP BY doc_id, lang, bucket
-    ), tc AS (
+    ), tc AS MATERIALIZED (
       SELECT bucket, SUM(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY bucket
-    ), sc AS (
+    ), sc AS MATERIALIZED (
       SELECT bucket, SUM(cnt) AS cs FROM feats GROUP BY bucket
     ), tt AS (SELECT SUM(ct) AS tt FROM tc),
     ts AS (SELECT SUM(cs) AS ts FROM sc),

@@ -448,7 +448,7 @@ def _spec_select_mix_oracle() -> str:
 
     return "WITH " + _DSIR_FEATS_SQL + """
     SELECT doc_id, lang, log_weight, epoch FROM (
-      WITH selw AS (
+      WITH selw AS MATERIALIZED (
         SELECT w.doc_id, w.lang, w.log_weight, d.n_chars
         FROM weights w JOIN documents d USING (doc_id)
         ORDER BY w.log_weight
