@@ -580,6 +580,13 @@ def cmat_rows(cmat):
     return list(enumerate(cmat))
 
 
+# auto-dispatch boundary for the three-level tree router: under SemDeDup's
+# k = n/300 coupling this is n ≈ 7.4M, just under the r10 head-to-head's
+# measured 9% deep win at k=27k/n=8.2M (see _assign_to_centroids docstring
+# for the full evidence chain and the small-n caveat)
+_DEEP_CROSSOVER = 24576
+
+
 def _assign_to_centroids(
     df: DataFrame,
     vec_col: str,
@@ -603,17 +610,33 @@ def _assign_to_centroids(
     throughput callers force True and eat the FP-rounding caveat; the
     expression form exists for oracle-exact replay.
 
-    ``hierarchical`` follows the same None-means-auto protocol: past 256
-    centroids the flat BLAS matrix is n·k work — QUADRATIC when k grows
-    ∝ n (SemDeDup's bounded-cluster-size regime; SCALING.md measured the
-    flat path at octave ratio 5.9 vs 3.36 hierarchical) — so the default
-    auto-dispatches the two-level IVF router there. Explicit False keeps
-    the flat/exact kernel (oracle replay); explicit True forces the
-    router below the crossover; the string ``"deep"`` opts into the
-    three-level IVF-in-IVF tree (_assign_to_centroids_tree) — n·k^(1/3)
-    assignment, the measured-before-switching rung for codebooks past
-    ~100k centroids (see its docstring for the crossover reasoning)."""
-    if hierarchical == "deep" and len(cents) > 1:
+    ``hierarchical`` follows the same None-means-auto protocol, now covering
+    all THREE rungs with measured boundaries: past 256 centroids the flat
+    BLAS matrix is n·k work — QUADRATIC when k grows ∝ n (SemDeDup's
+    bounded-cluster-size regime; SCALING.md measured the flat path at
+    octave ratio 5.9 vs 3.36 hierarchical) — so auto takes the two-level
+    IVF router there; past _DEEP_CROSSOVER centroids auto takes the
+    three-level IVF-in-IVF tree (n·k^(1/3) assignment). Explicit False
+    keeps the flat/exact kernel (oracle replay), True forces the two-level
+    router everywhere, "deep" forces the tree everywhere.
+
+    The deep boundary's evidence: the r10 full-cell head-to-head at
+    k=27k/n=8.2M (SemDeDup coupling k=n/300) measured deep 9% faster
+    end-to-end (270.09 vs 297.89 s), and the r11 assignment-stage-only
+    scan (tools/bench_router.py --assign-only, n=2.05M) measured deep 31%
+    faster at k=32768 (9.3 vs 13.4 s). CAVEAT measured in the same scan:
+    the tree's driver-side BUILD is ~k^(5/3) (Lloyd over all k fine
+    centroids) and n-independent, so at k=65536 on only n=2.05M the build
+    inverted the win (46.05 vs 19.96 s) — a regime that violates the
+    k ∝ n/300 coupling by 10x. Auto assumes the coupled regime; a caller
+    running a huge codebook over a small corpus (n ≲ 100·k) should force
+    True. Named next rung if the build ever dominates at coupled scale:
+    subsample the tree's Lloyd to ~16k centroids (build drops ~k^(5/3) →
+    k·k^(1/3), the final full scatter pass is unavoidable either way)."""
+    if len(cents) > 1 and (
+        hierarchical == "deep"
+        or (hierarchical is None and len(cents) >= _DEEP_CROSSOVER)
+    ):
         return _assign_to_centroids_tree(df, vec_col, cents)
     use_hier = hierarchical if hierarchical is not None else len(cents) > 256
     if use_hier and len(cents) > 1:

@@ -1025,10 +1025,32 @@ CELL_NOTES: dict[str, str] = {
         "three-level 270.09 s — a 9% cell-level win at k=27k, i.e. the "
         "crossover is just opening at this scale (the assignment is ~2 "
         "of the cell's passes; the pair/CC stages dilute the "
-        "assignment-level gap). 'deep' stays an explicit opt-in until "
-        "the win is decisive — the row keeps measuring ONE algorithm "
-        "(the r8 min-merge lesson) and the asymptote argument says the "
-        "gap widens every octave."
+        "assignment-level gap). r11 PROMOTED 'deep' into the auto-dispatch "
+        "past 24576 centroids (similarity._DEEP_CROSSOVER) on an "
+        "assignment-stage-only scan (tools/bench_router.py --assign-only, "
+        "n=2.05M, bench_out/assign_only_scan_r11.txt): deep 31% faster at "
+        "k=32768 (9.3 vs 13.4 s), inverted at k=65536 on THIS small n "
+        "(46.05 vs 19.96 s — the tree's k^(5/3) driver-side Lloyd build is "
+        "n-independent and dominates when the k=n/300 coupling is violated "
+        "10x; the caveat and the named build-cost mitigation live in the "
+        "dispatch docstring). This row keeps FORCING the two-level router "
+        "(OP_CONFIG unchanged) so its cells stay ONE algorithm — the r8 "
+        "min-merge lesson; a future 16384x cell should reset the row to "
+        "the promoted auto."
+    ),
+    "curation_select_mix": (
+        "round-11 composite (clean -> LSH dedup -> DSIR-select 10% -> "
+        "UniMax-mix over 7 groups; q_curation_select_mix's pipeline form): "
+        "one fresh same-window sweep, ratios 1.37/1.38/2.37/3.71 — "
+        "constant-dominated through 16x, top octave under 4 despite the "
+        "fixture's per-word suffix char growth (same bound discussion as "
+        "curation_pipeline). The delta over the curation_pipeline row "
+        "(159 -> 350 s at 256x) prices the selection tail itself: the DSIR "
+        "featurize runs twice over the cleaned corpus by MEASURED choice "
+        "(materialize=False, bench_out/rebench_dsir_materialize_r11.json) "
+        "plus one target pass — all three are the same explode+agg whose "
+        "per-octave ratio the q_dsir rows already pin; selection and mix "
+        "are k-row-sized past the one TakeOrderedAndProject."
     ),
     "chunk_documents": (
         "the 1024x cell's same-window ratio (3.69 -> 17.03, ~4.6) is NOT "
@@ -1097,7 +1119,12 @@ CELL_NOTES: dict[str, str] = {
         "2.32, and the 88.54 also set the row's 1024x min. The raw last "
         "column divides a quiet-window 256x min by this 1024x min "
         "(cross-window, reads ~5.6); the bytes-norm column and the "
-        "decomposition are the honest exponent: linear."
+        "decomposition are the honest exponent: linear. r11 confirmation: "
+        "an independent same-window pair in a LOADED window measured "
+        "91.73 -> 262.17 s (both ~5.8x the envelope mins — external host "
+        "contention hits all 32 pHash workers multiplicatively), ratio "
+        "2.86: the exponent reproduces regardless of window quality, "
+        "which is what pair-wise measurement is for."
     ),
     "duplicate_spans": (
         "the 16x->64x step (3.29 -> 13.14, ratio 3.99) is real, not a "
