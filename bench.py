@@ -133,8 +133,11 @@ HEADLINE = [
     # round 11: the curation composite's selection/mixing tail (shared
     # clean+dedup prefix -> DSIR select -> UniMax mix) — prices the full
     # pretraining-curation close-out next to q_curation_pipeline's
-    # split+pack tail
+    # split+pack tail; and classifier TRAINING (2 GD epochs = 2 corpus
+    # passes over the checkpointed feature frame + model-sized collects —
+    # the DCLM/FineWeb-Edu quality-scorer recipe)
     "q_curation_select_mix",
+    "q_quality_classifier_train",
 ]
 
 

@@ -1002,7 +1002,10 @@ def make_hashed_weights(
     bucket's content hash. In production this table is the classifier's
     learned coefficients exported to parquet; everything downstream
     (featurize → broadcast join → average → sigmoid) is the real serving
-    path and is exercised against the oracle with these weights."""
+    path and is exercised against the oracle with these weights. Serving
+    and training now featurize via hashed_feature_rows (codegen explode);
+    hashed_features below remains the array-form featurizer for callers
+    that need per-doc feature arrays."""
     from data_rivers_spark.operators.sampling import hash_unit_int
 
     return spark.range(num_buckets).select(
@@ -1038,6 +1041,47 @@ def hashed_features(text: Column, num_buckets: int, seed: int | str = "w") -> Co
     )
 
 
+def hashed_feature_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 1024,
+    seed: int | str = "w",
+) -> DataFrame:
+    """(id, bucket): one row per hashed unigram/bigram OCCURRENCE — the
+    CODEGEN form of hashed_features. Two measured walls shaped this:
+    (1) the md5 bucketing must run on a plain column AFTER the explode —
+    inside the array HOF (hashed_features' form) it runs interpreted per
+    element, 93 s for the 5k-doc sf0.1 featurize vs ~3 s exploded (the
+    same HOF-vs-codegen wall as dedup.word_shingle_rows); (2) NO sibling
+    column may reference the feature array next to the generator — a
+    size(feats) projected alongside explode(feats) re-evaluates the whole
+    interpreted gram construction PER OUTPUT ROW (measured 53 s for what
+    the explode alone does in 2.6 s), so per-doc totals are left to the
+    consumer to re-aggregate (hashed_feature_fracs' window). Docs with
+    zero features emit no rows (explode of an empty array)."""
+    ws = words(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = F.concat(ws, bigrams)
+    return df.select(F.col(id_col), F.explode(feats).alias("__f")).select(
+        id_col,
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("__f"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(num_buckets),
+        ).alias("bucket"),
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     text_col: str,
@@ -1058,19 +1102,193 @@ def hashed_linear_score(
     id, combiner-friendly (partial sum/count per map task). No Python UDF
     anywhere; the featurizer uses transform/zip_with, which are interpreted
     (CodegenFallback) HOFs — acceptable here because the per-doc feature
-    array is O(words) with trivial per-element work, unlike the shingle hot
-    path (dedup.word_shingle_rows) which needed the codegen explode
-    pipeline. Docs with zero features score sigmoid(bias)."""
-    feat = df.select(
-        F.col(id_col), F.explode_outer(hashed_features(F.col(text_col), num_buckets, seed)).alias("bucket")
-    )
+    array is O(words) with trivial per-element work. r11: the md5 bucketing
+    itself was NOT trivial per-element — on the interpreted HOF path it
+    measured 93 s for the 5k-doc sf0.1 featurize — so serving now rides
+    hashed_feature_rows' codegen explode (identical buckets, identical
+    scores; q_quality_classifier re-hash-verified across the swap). Docs
+    with zero features score sigmoid(bias)."""
+    feat = hashed_feature_rows(df, text_col, id_col, num_buckets, seed)
     joined = feat.join(F.broadcast(weights), "bucket", "left")
     agg = joined.groupBy(id_col).agg(
         F.sum("weight").alias("__sw"), F.count("weight").alias("__nw")
     )
-    margin = F.lit(bias) + F.when(F.col("__nw") > 0, F.col("__sw") / F.col("__nw")).otherwise(F.lit(0.0))
+    margin = F.lit(bias) + F.when(
+        F.col("__nw") > 0, F.col("__sw") / F.col("__nw")
+    ).otherwise(F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    return agg.select(F.col(id_col), score.alias(out_col))
+    return df.select(F.col(id_col)).join(
+        agg.select(F.col(id_col), score.alias(out_col)), id_col, "left"
+    ).withColumn(
+        out_col,
+        F.coalesce(
+            F.col(out_col),
+            F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-bias))),
+        ),
+    )
+
+
+def hashed_feature_fracs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_buckets: int = 1024,
+    seed: int | str = "w",
+    ndigits: int = 6,
+) -> DataFrame:
+    """(id, bucket, frac): the document's hashed unigram+bigram multiset as
+    NORMALIZED counts, frac = round(count_b / total_features, ndigits) —
+    mean-pooled featurization (fastText's pooling) quantized so every
+    engine trains/scores from identical rationals. Featurization rides
+    hashed_feature_rows' codegen explode (see its HOF-vs-codegen and
+    generator-sibling notes); the per-doc feature total is a window sum
+    over the AGGREGATED (id, bucket, cnt) frame — one id-keyed exchange of
+    a bucket-cardinality frame, far cheaper than re-evaluating the gram
+    array next to the generator. Empty/whitespace-only docs contribute no
+    rows."""
+    from pyspark.sql import Window
+
+    exploded = hashed_feature_rows(df, text_col, id_col, num_buckets, seed)
+    counts = exploded.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(id_col)
+    return counts.select(
+        id_col,
+        "bucket",
+        F.round(F.col("__cnt") / F.sum("__cnt").over(w), ndigits).alias("frac"),
+    )
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    num_buckets: int = 1024,
+    iterations: int = 2,
+    lr: float = 5.0,
+    seed: int | str = "w",
+    ndigits: int = 6,
+):
+    """TRAIN the hashed linear quality classifier — the learning half of
+    hashed_linear_score's serving path, and the public recipe behind
+    classifier-based pretraining-data selection (fastText-style quality
+    scorers: DCLM-baseline's fastText filter, FineWeb-Edu's edu-quality
+    classifier — a linear model over hashed text features, trained on a
+    labeled exemplar set, then swept over the corpus to score every doc).
+
+    Full-batch logistic regression by gradient descent on mean-pooled
+    hashed features: z_d = bias + Σ_b frac_db·w_b, p_d = σ(z_d),
+    ∂L/∂w_b = Σ_d (p_d − y_d)·frac_db, w ← w − lr·g/N. Every corpus-side
+    sum is an exact integer in micro-units (frac and (p−y) are rounded to
+    ``ndigits`` and scaled to integers before multiplying), so gradients —
+    and therefore the whole training trajectory — are order-free and
+    bit-reproducible on any engine: the DuckDB oracle replays training
+    iteration-for-iteration (the dsir_importance_weights determinism
+    contract, importance.py:183-193, applied to a training loop).
+
+    Scale: each GD iteration is one broadcast join + two id/bucket-keyed
+    aggregates over the token-scale feature frame — a corpus pass per
+    epoch, which is what batch GD is; the feature frame is checkpointed
+    once and reused every iteration (the BPE-training posture). The model
+    (B weights + bias) is collected per iteration — model-sized by
+    definition. Labels: ``label_col`` is cast to int 0/1.
+
+    Returns (weights DataFrame (bucket, weight) dense over 0..B-1, bias)."""
+    spark = df.sparkSession
+    mu = 10**ndigits
+    feats = (
+        hashed_feature_fracs(df, text_col, id_col, num_buckets, seed, ndigits)
+        .withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("int").alias("__y")
+    ).localCheckpoint(eager=True)
+    n_docs = labels.count()
+    w = [0.0] * num_buckets
+    bias = 0.0
+    for _ in range(int(iterations)):
+        wf = spark.createDataFrame(
+            [(b, int(round(w[b] * mu))) for b in range(num_buckets)],
+            "bucket int, __wm long",
+        )
+        z = feats.join(F.broadcast(wf), "bucket").groupBy(id_col).agg(
+            (F.sum(F.col("__fm") * F.col("__wm")) / F.lit(float(mu * mu))).alias(
+                "__z"
+            )
+        )
+        scored = labels.join(z, id_col, "left").select(
+            id_col,
+            "__y",
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.coalesce(F.col("__z"), F.lit(0.0)) + F.lit(bias)))
+                )
+                - F.col("__y"),
+                ndigits,
+            ).alias("__pmy"),
+        )
+        pmy = scored.select(
+            id_col, F.round(F.col("__pmy") * mu).cast("long").alias("__pm")
+        )
+        gb = pmy.agg(F.sum("__pm").alias("s")).collect()[0]["s"] or 0
+        grows = (
+            feats.join(pmy, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("__fm") * F.col("__pm")).alias("gm"))
+            .collect()
+        )
+        g = {r["bucket"]: r["gm"] / (mu * mu) for r in grows}
+        w = [
+            round(w[b] - lr * g.get(b, 0.0) / n_docs, ndigits)
+            for b in range(num_buckets)
+        ]
+        bias = round(bias - lr * (gb / mu) / n_docs, ndigits)
+    weights = spark.createDataFrame(
+        [(b, w[b]) for b in range(num_buckets)], "bucket int, weight double"
+    )
+    return weights, bias
+
+
+def score_hashed_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    bias: float = 0.0,
+    num_buckets: int = 1024,
+    seed: int | str = "w",
+    ndigits: int = 6,
+    out_col: str = "clf_score",
+    out_digits: int = 4,
+) -> DataFrame:
+    """Serve train_hashed_classifier's model with ITS quantization contract
+    (micro-unit frac·weight sums → identical doubles on every engine) —
+    score = σ(bias + Σ frac_b·w_b), rounded to ``out_digits``. Same plan
+    shape as hashed_linear_score: broadcast B-row weights, explode+count
+    features, one id-keyed aggregate. Zero-feature docs score σ(bias)."""
+    mu = 10**ndigits
+    feats = hashed_feature_fracs(
+        df, text_col, id_col, num_buckets, seed, ndigits
+    ).withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
+    wq = weights.select(
+        "bucket", F.round(F.col("weight") * mu).cast("long").alias("__wm")
+    )
+    z = feats.join(F.broadcast(wq), "bucket").groupBy(id_col).agg(
+        (F.sum(F.col("__fm") * F.col("__wm")) / F.lit(float(mu * mu))).alias("__z")
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("__z"), F.lit(0.0)) + F.lit(bias)))),
+        out_digits,
+    )
+    return df.join(z, id_col, "left").select(
+        *[F.col(c) for c in df.columns], score.alias(out_col)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2575,6 +2575,120 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_quality_classifier_train",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), feats AS (
+      SELECT doc_id, ws[i] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i FROM w)
+      UNION ALL
+      SELECT doc_id, ws[i] || '_' || ws[i + 1] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i FROM w)
+    ), fcnt AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5('w:' || f), 1, 8)) AS BIGINT) % 1024
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM feats GROUP BY doc_id, bucket
+    ), ftot AS (
+      SELECT doc_id, SUM(cnt) AS nf FROM fcnt GROUP BY doc_id
+    ), fb AS MATERIALIZED (
+      -- normalized counts quantized to integer micro-units: every gradient
+      -- below is an exact integer sum (order-free on both engines)
+      SELECT f.doc_id, f.bucket,
+             CAST(ROUND(ROUND(f.cnt * 1.0 / t.nf, 6) * 1000000) AS BIGINT) AS fm
+      FROM fcnt f JOIN ftot t USING (doc_id)
+    ), labels AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+    ), nn AS (SELECT COUNT(*) * 1.0 AS n FROM labels),
+    -- GD iteration 1: w0 = 0, bias0 = 0 -> p = 0.5 for every document
+    pm1 AS MATERIALIZED (
+      SELECT doc_id, CAST(ROUND(ROUND(0.5 - y, 6) * 1000000) AS BIGINT) AS pm
+      FROM labels
+    ), w1 AS MATERIALIZED (
+      SELECT r.range AS bucket,
+             ROUND(0.0 - 5.0 * (COALESCE(g.gm, 0) / 1000000000000.0) / nn.n, 6)
+               AS wv
+      FROM RANGE(0, 1024) r
+      LEFT JOIN (SELECT f.bucket, SUM(f.fm * p.pm) AS gm
+                 FROM fb f JOIN pm1 p USING (doc_id) GROUP BY f.bucket) g
+        ON g.bucket = r.range
+      CROSS JOIN nn
+    ), b1 AS (
+      SELECT ROUND(0.0 - 5.0 * (SUM(pm) / 1000000.0) / (SELECT n FROM nn), 6) AS b
+      FROM pm1
+    ),
+    -- GD iteration 2
+    z2 AS (
+      SELECT f.doc_id,
+             SUM(f.fm * CAST(ROUND(w1.wv * 1000000) AS BIGINT))
+               / 1000000000000.0 AS z
+      FROM fb f JOIN w1 USING (bucket) GROUP BY f.doc_id
+    ), pm2 AS MATERIALIZED (
+      SELECT l.doc_id,
+             CAST(ROUND(ROUND(1.0 / (1.0 + EXP(-(COALESCE(z2.z, 0.0) + b1.b)))
+                              - l.y, 6) * 1000000) AS BIGINT) AS pm
+      FROM labels l LEFT JOIN z2 ON l.doc_id = z2.doc_id CROSS JOIN b1
+    ), w2 AS MATERIALIZED (
+      SELECT w1.bucket,
+             ROUND(w1.wv - 5.0 * (COALESCE(g.gm, 0) / 1000000000000.0) / nn.n, 6)
+               AS wv
+      FROM w1
+      LEFT JOIN (SELECT f.bucket, SUM(f.fm * p.pm) AS gm
+                 FROM fb f JOIN pm2 p USING (doc_id) GROUP BY f.bucket) g
+        ON g.bucket = w1.bucket
+      CROSS JOIN nn
+    ), b2 AS (
+      SELECT ROUND(b1.b - 5.0 * (SUM(pm) / 1000000.0) / (SELECT n FROM nn), 6)
+               AS b
+      FROM pm2 CROSS JOIN b1 GROUP BY b1.b
+    ), zf AS (
+      SELECT f.doc_id,
+             SUM(f.fm * CAST(ROUND(w2.wv * 1000000) AS BIGINT))
+               / 1000000000000.0 AS z
+      FROM fb f JOIN w2 USING (bucket) GROUP BY f.doc_id
+    )
+    SELECT l.doc_id, l.y AS label,
+           ROUND(1.0 / (1.0 + EXP(-(COALESCE(zf.z, 0.0) + b2.b))), 4)
+             AS clf_score
+    FROM labels l LEFT JOIN zf ON l.doc_id = zf.doc_id CROSS JOIN b2
+    """,
+)
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING the quality classifier, not just serving it — the public
+    recipe behind classifier-based data selection (DCLM-baseline's fastText
+    quality filter, FineWeb-Edu's edu-score classifier): full-batch logistic
+    regression over mean-pooled hashed unigram+bigram features (1024
+    buckets), 2 gradient-descent iterations at lr=5 on a language-derived
+    binary label (en vs rest — the stand-in for an LLM-graded quality
+    label), then one scoring sweep with the learned weights.
+
+    The ORACLE REPLAYS TRAINING ITERATION-FOR-ITERATION: fracs and per-doc
+    residuals are quantized to integer micro-units before every corpus-side
+    sum (gradients are exact integers, order-free on both engines — the
+    dsir_importance_weights determinism contract applied to a training
+    loop), weights round to 6 dp per step, so Spark and DuckDB walk the
+    identical trajectory and the final per-doc scores hash-match. Each GD
+    iteration is one broadcast join + two keyed aggregates over the
+    checkpointed token-scale feature frame; the model (1024 weights + bias)
+    is the only thing the driver ever holds."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    wts, bias = TX.train_hashed_classifier(
+        docs, "text", "doc_id", "label",
+        num_buckets=1024, iterations=2, lr=5.0, seed="w",
+    )
+    out = TX.score_hashed_classifier(
+        docs, "text", "doc_id", wts, bias, num_buckets=1024, seed="w"
+    )
+    return out.select("doc_id", "label", "clf_score")
+
+
+@query(
     "q_semantic_dedup_kmeans",
     oracle="""
     WITH RECURSIVE seeds AS (

@@ -463,3 +463,29 @@ def test_sq8_topk_zero_vector_guard(spark):
     assert all(r.neighbor_id != 99 for r in got)
     assert {r.query_id for r in got} == {0}
     assert all(not (r.sim != r.sim) for r in got)  # no NaNs survive
+
+
+def test_train_hashed_classifier_separates_and_is_partition_invariant(spark):
+    # r11: the learning half of the hashed classifier (DCLM/FineWeb-Edu
+    # recipe). Two checks: (a) 2 GD iterations separate an easy binary
+    # label; (b) the integer-micro-unit gradient contract makes the whole
+    # trajectory partitioning-invariant (order-free sums).
+    rows = [(i, ("good clean prose here " * 3) + f"doc {i}", 1) if i % 2 == 0
+            else (i, ("spam buy now click " * 3) + f"doc {i}", 0)
+            for i in range(40)]
+    rows.append((99, "   ", 1))  # blank doc: no features, scores sigmoid(bias)
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w1, b1 = TX.train_hashed_classifier(
+        df, "text", "doc_id", "y", num_buckets=64, iterations=2, lr=5.0)
+    w2, b2 = TX.train_hashed_classifier(
+        df.repartition(13), "text", "doc_id", "y",
+        num_buckets=64, iterations=2, lr=5.0)
+    assert b1 == b2
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    out = {r.doc_id: r.clf_score for r in TX.score_hashed_classifier(
+        df, "text", "doc_id", w1, b1, num_buckets=64).collect()}
+    pos = [v for k, v in out.items() if k % 2 == 0 and k != 99]
+    neg = [v for k, v in out.items() if k % 2 == 1]
+    assert sum(pos) / len(pos) > 0.5 > sum(neg) / len(neg)
+    import math
+    assert abs(out[99] - round(1.0 / (1.0 + math.exp(-b1)), 4)) < 1e-9
