@@ -422,6 +422,77 @@ def lsh_bucket_stats(
     )
 
 
+def lsh_plan(
+    threshold: float,
+    num_hashes: int = 32,
+    miss_budget: float = 1e-4,
+    margin: float = 0.1,
+    fp_budget: float | None = None,
+) -> dict:
+    """Choose the (bands, rows) banding for a MinHash-LSH run at a target
+    Jaccard ``threshold`` — the standard S-curve analysis (Leskovec/
+    Rajaraman/Ullman, Mining of Massive Datasets §3.4, public math): a pair
+    at similarity J collides in at least one band with probability
+    1 − (1 − J^r)^b, so the planner scans every factorization b·r =
+    num_hashes and keeps those whose MISS probability at the threshold,
+    (1 − t^r)^b, is within ``miss_budget``; among those it picks the one
+    with the LOWEST false-candidate rate (collision probability at the
+    sub-threshold margin point t − ``margin``) — recall is a hard
+    constraint, verify cost is what's minimized (every false candidate
+    pays an exact-Jaccard verification in the bucket join).
+
+    Driver-side pure arithmetic over the ≤ d(num_hashes) factorizations —
+    call it once when configuring a dedup, pass the result to
+    minhash_lsh_dedup(bands=...). Returns {bands, rows, miss_at_threshold,
+    fp_at_margin, candidates} with `candidates` the full scanned table for
+    audit. Recall alone is ALWAYS satisfiable by rows=1 at high thresholds
+    (every hash its own band — but then nearly everything collides and the
+    verify stage drowns), so pass ``fp_budget`` to also bound the margin
+    collision rate; the planner raises when no split meets BOTH — the
+    'raise num_hashes and/or widen margin' signal. Honesty note the raise
+    encodes: a sharp cutoff is exponentially expensive — the S-curve's
+    transition width shrinks like 1/rows, so holding miss ≤ 1e-4 at t AND
+    fp ≤ 0.5 at t−margin needs rows ≥ ln(13.3)/ln(t/(t−margin)) and
+    bands ≥ 9.2/t^rows: at t=0.5 a 0.1 margin costs ~450k hashes (don't),
+    a 0.3 margin ~220 (e.g. 74×3 at num_hashes=222).
+
+    This codifies the repo's standing choices: the curation pipelines'
+    16 bands × 2 rows at t=0.7 (miss (1−0.49)^16 ≈ 2.1e-5) is exactly what
+    the planner returns for (0.7, 32, 1e-4)."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    cands = []
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        miss = (1.0 - threshold**rows) ** bands
+        lo = max(threshold - margin, 1e-9)
+        fp = 1.0 - (1.0 - lo**rows) ** bands
+        cands.append(
+            {"bands": bands, "rows": rows, "miss_at_threshold": miss,
+             "fp_at_margin": fp}
+        )
+    ok = [
+        c for c in cands
+        if c["miss_at_threshold"] <= miss_budget
+        and (fp_budget is None or c["fp_at_margin"] <= fp_budget)
+    ]
+    if not ok:
+        best = min(cands, key=lambda c: c["miss_at_threshold"])
+        raise ValueError(
+            f"no (bands, rows) split of {num_hashes} hashes holds miss <= "
+            f"{miss_budget}"
+            + (f" and fp <= {fp_budget}" if fp_budget is not None else "")
+            + f" at threshold {threshold} (lowest-miss split: "
+            f"{best['bands']}x{best['rows']}, miss "
+            f"{best['miss_at_threshold']:.2e}, fp {best['fp_at_margin']:.3f})"
+            "; raise num_hashes"
+        )
+    pick = min(ok, key=lambda c: (c["fp_at_margin"], c["rows"]))
+    return {**pick, "candidates": cands}
+
+
 def jaccard_words(text_a: Column, text_b: Column) -> Column:
     """Jaccard similarity of distinct word sets."""
     wa = F.array_distinct(words(text_a))

@@ -39,8 +39,10 @@ localCheckpoint their vocabulary-sized LM frame so the scoring join and
 the corpus-total aggregate share one cached copy instead of re-deriving
 the tokenize subtree per consumer, and ``bpe_encode`` eagerly
 localCheckpoints its encoded vocabulary every ``checkpoint_every`` merges
-for the same plan-depth reason, and the generic ``materialize`` verb IS an
-eager localCheckpoint by definition (a declarative stage boundary).
+for the same plan-depth reason, the generic ``materialize`` verb IS an
+eager localCheckpoint by definition (a declarative stage boundary), and
+``quality_classifier_filter`` runs its gradient-descent training loop
+(model-sized collects per iteration) when the spec is interpreted.
 """
 
 from __future__ import annotations
@@ -151,6 +153,12 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     # declarative layer couldn't spell
     "unimax_allocation": _simple(SA.unimax_allocation),
     "unimax_sample": _simple(SA.unimax_sample),
+    # round-11: classifier-based quality selection (DCLM/FineWeb-Edu
+    # recipe): train the hashed logistic scorer ON the incoming frame's
+    # label column, score every row, keep rows above the threshold.
+    # Training EXECUTES at spec-interpretation time (GD iterations =
+    # model-sized collects — see the module EXCEPTIONS note).
+    "quality_classifier_filter": lambda df, p: _quality_classifier_filter(df, p),
     "stratified_sample": _simple(SA.stratified_sample),
     "weighted_sample": _simple(SA.weighted_sample),
     "weighted_topk_sample": _simple(SA.weighted_topk_sample),
@@ -196,6 +204,25 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
         df, df.filter(p["query_where"]), p["vec_col"], p["id_col"], int(p["k"])
     ),
 }
+
+
+def _quality_classifier_filter(df: DataFrame, p: dict) -> DataFrame:
+    """Train-then-filter quality selection (textstats.train_hashed_classifier
+    + score_hashed_classifier): the spec spelling of 'train a fastText-style
+    scorer on the labeled batch and keep what scores above threshold'."""
+    from data_rivers_spark.operators import textstats as TX
+
+    nb = int(p.get("num_buckets", 1024))
+    w, b = TX.train_hashed_classifier(
+        df, p["text_col"], p["id_col"], p["label_col"],
+        num_buckets=nb, iterations=int(p.get("iterations", 2)),
+        lr=float(p.get("lr", 5.0)), seed=p.get("seed", "w"),
+    )
+    scored = TX.score_hashed_classifier(
+        df, p["text_col"], p["id_col"], w, b, num_buckets=nb,
+        seed=p.get("seed", "w"),
+    )
+    return scored.filter(F.col("clf_score") >= float(p["keep_threshold"]))
 
 
 def _revgeo_timebound(df: DataFrame, params: dict, subframe) -> DataFrame:

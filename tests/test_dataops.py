@@ -1730,3 +1730,24 @@ def test_connected_components_long_chain_converges_in_default_cap(spark):
     )
     comps = {r.id: r.component for r in D.connected_components(pairs).collect()}
     assert comps == {i: 1 for i in range(1, 122)}
+
+
+def test_lsh_plan_codifies_standing_banding():
+    # r11: the MMDS S-curve planner. The curation pipelines' 16x2 at t=0.7
+    # must be exactly what the planner picks; shallow-curve configs raise.
+    import pytest
+
+    p = D.lsh_plan(0.7, 32, miss_budget=1e-4)
+    assert (p["bands"], p["rows"]) == (16, 2)
+    assert p["miss_at_threshold"] < 2.2e-5
+    with pytest.raises(ValueError, match="raise num_hashes"):
+        D.lsh_plan(0.5, 32, miss_budget=1e-4, fp_budget=0.5)
+    # the docstring's honesty-note example: t=0.5 with a 0.3 margin is
+    # reachable at 222 hashes (74 bands x 3 rows)
+    p222 = D.lsh_plan(0.5, 222, miss_budget=1e-4, margin=0.3, fp_budget=0.5)
+    assert (p222["bands"], p222["rows"]) == (74, 3)
+    assert p222["fp_at_margin"] <= 0.5
+    with pytest.raises(ValueError):
+        D.lsh_plan(0.05, 32)  # recall itself unreachable at 32 hashes
+    with pytest.raises(ValueError):
+        D.lsh_plan(1.5, 32)

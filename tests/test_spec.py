@@ -573,3 +573,28 @@ def test_spec_unimax_sq8_and_materialize_verbs(spark):
     want_s = sorted((r.query_id, r.neighbor_id, r.rank) for r in SIM.sq8_topk(
         emb, emb.filter("vec_id < 3"), "embedding", "vec_id", 2).collect())
     assert got_s == want_s and len(got_s) == 6
+
+
+def test_spec_quality_classifier_filter_verb(spark):
+    # r11: train-then-filter quality selection through the interpreter ==
+    # the hand-written train + score + filter chain
+    from data_rivers_spark.operators import textstats as TX
+
+    rows = [(i, ("good clean prose here " * 3) + f"doc {i}", 1) if i % 2 == 0
+            else (i, ("spam buy now click " * 3) + f"doc {i}", 0)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    spec = {"steps": [
+        {"op": "quality_classifier_filter", "text_col": "text",
+         "id_col": "doc_id", "label_col": "y", "num_buckets": 64,
+         "iterations": 2, "lr": 5.0, "keep_threshold": 0.5},
+    ]}
+    got = sorted(r.doc_id for r in run_spec(spark, spec, source_df=df).collect())
+    w, b = TX.train_hashed_classifier(
+        df, "text", "doc_id", "y", num_buckets=64, iterations=2, lr=5.0)
+    want = sorted(
+        r.doc_id for r in TX.score_hashed_classifier(
+            df, "text", "doc_id", w, b, num_buckets=64
+        ).filter("clf_score >= 0.5").collect()
+    )
+    assert got == want and len(got) > 0

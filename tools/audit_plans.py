@@ -112,6 +112,9 @@ EXPLAINED = {
     "q_incremental_dedup_grouped": "batch + novel-docs fixture from one table (same fixture class as q_incremental_dedup; the signature STORE side is checkpointed and scan-free)",
     "q_sq8_topk": "query rows + corpus rows from one table (same shape as q_cosine_topk)",
     "q_unimax_sample": "allocation aggregate + admission join pass (same class as q_domain_mixture_sample: rates derived from the corpus itself)",
+    # round-11 classifier family:
+    "q_quality_classifier": "feature explode + id join-back so zero-feature docs score sigmoid(bias) (r11 codegen-explode serving form)",
+    "q_quality_classifier_train": "scoring sweep only: feature explode + id join-back — the GD iterations run eagerly via model-sized collects and never appear in the final plan",
 }
 
 
