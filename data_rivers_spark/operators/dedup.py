@@ -493,6 +493,19 @@ def lsh_plan(
     return {**pick, "candidates": cands}
 
 
+def _resolve_bands(threshold: float, num_hashes: int, bands: int | None) -> int:
+    """``bands=None`` → planner-derived banding (r12, closing the r11
+    'planner is advisory-only' gap): lsh_plan picks the recall-constrained,
+    verify-cost-minimal split for (threshold, num_hashes) at the standard
+    1e-4 miss budget — so an entry-point caller who states only intent
+    (threshold) gets the derived config instead of folklore. An explicit
+    int passes through untouched (the standing 16×2-at-0.7 pipelines are
+    the planner's own answer; test-pinned)."""
+    if bands is not None:
+        return bands
+    return lsh_plan(threshold, num_hashes)["bands"]
+
+
 def jaccard_words(text_a: Column, text_b: Column) -> Column:
     """Jaccard similarity of distinct word sets."""
     wa = F.array_distinct(words(text_a))
@@ -522,7 +535,7 @@ def minhash_lsh_dedup(
     id_col: str,
     threshold: float = 0.8,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = 8,
     shingle_n: int = 3,
     verify: str = "shingle",
     bucket_cap: int = 1000,
@@ -531,6 +544,10 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
     survivors (docs that are not a higher-id duplicate of any kept doc).
+
+    ``bands=None`` derives the banding from (threshold, num_hashes) via
+    lsh_plan — the S-curve planner picks the recall-constrained,
+    verify-cost-minimal split (r12).
 
     verify='shingle' (default) checks candidates with the n-gram shingle
     Jaccard that MinHash approximates — the internally-consistent choice;
@@ -553,6 +570,7 @@ def minhash_lsh_dedup(
     is dropped if it pairs above threshold with ANY lower id) — the standard
     single-pass approximation of connected components; use
     ``dedup_by_components`` for the exact closure."""
+    bands = _resolve_bands(threshold, num_hashes, bands)
     if verify == "shingle":
         verified = minhash_lsh_verified_pairs(
             df,
@@ -588,7 +606,7 @@ def minhash_lsh_verified_pairs(
     id_col: str,
     threshold: float = 0.8,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = 8,
     shingle_n: int = 3,
     bucket_cap: int = 1000,
     materialize: bool = True,
@@ -596,7 +614,8 @@ def minhash_lsh_verified_pairs(
 ) -> DataFrame:
     """Exact-Jaccard-verified near-dup pairs (id_a < id_b) with ONE tokenize
     pass: signatures and verification both derive from the same
-    distinct-shingle-set frame.
+    distinct-shingle-set frame. ``bands=None`` → lsh_plan-derived banding
+    (see minhash_lsh_dedup).
 
     ``shingle_mode='char'`` shingles on character n-grams instead of word
     n-grams (char_shingle_sets) — the tokenizer-free path for CJK and
@@ -616,6 +635,7 @@ def minhash_lsh_verified_pairs(
 
     Feed the result to the greedy min-id drop (minhash_lsh_dedup) or to
     dedup_by_components for the exact closure."""
+    bands = _resolve_bands(threshold, num_hashes, bands)
     if shingle_mode == "char":
         sets = char_shingle_sets(df, text_col, id_col, shingle_n)
     else:
@@ -657,7 +677,7 @@ def incremental_lsh_dedup(
     id_col: str,
     threshold: float = 0.8,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = 8,
     shingle_n: int = 3,
     bucket_cap: int = 1000,
     batch_min_id: int | None = None,
@@ -724,7 +744,10 @@ def incremental_lsh_dedup(
     documents scan replicated 62×). All three frames are batch-sized by the
     operator's own premise, and a production pipeline writes the banded
     frame to the store table anyway. Pass False when staging every
-    intermediate through tables yourself."""
+    intermediate through tables yourself. ``bands=None`` → lsh_plan-derived
+    banding (see minhash_lsh_dedup); an incremental store's banding must of
+    course stay FIXED across runs — derive once, persist the config."""
+    bands = _resolve_bands(threshold, num_hashes, bands)
     if batch_min_id is None and run_log is not None:
         stored = run_log.last_successful_run(run_log_source)
         if stored is not None:

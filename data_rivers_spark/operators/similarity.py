@@ -555,10 +555,16 @@ def train_ivf_centroids(
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
     if iterations > 1:
         vecs = vecs.localCheckpoint()
+    n_hint = None
+    if assign_hierarchical is None and n_centroids >= _DEEP_CROSSOVER:
+        # count once here so the auto-deep coupling check (n >= 100·k,
+        # see _assign_to_centroids) doesn't re-count per Lloyd iteration
+        n_hint = vecs.count()
     for _ in range(iterations):
         assigned = _assign_to_centroids(
             vecs, "__v", cents,
             vectorized=assign_vectorized, hierarchical=assign_hierarchical,
+            n_hint=n_hint,
         )
         means = (
             assigned.groupBy("centroid_id")
@@ -585,6 +591,13 @@ def cmat_rows(cmat):
 # measured 9% deep win at k=27k/n=8.2M (see _assign_to_centroids docstring
 # for the full evidence chain and the small-n caveat)
 _DEEP_CROSSOVER = 24576
+# auto-deep additionally requires the coupled regime n >= _DEEP_COUPLING·k:
+# the tree's driver-side Lloyd build is ~k^(5/3) and n-INDEPENDENT, so a
+# huge codebook over a small corpus inverts the win (measured: k=65536 on
+# n=2.05M ran 46.05 s deep vs 19.96 s two-level —
+# bench_out/assign_only_scan_r11.txt; n/k there was 31, a 10x violation of
+# the k ≈ n/300 coupling the crossover assumes)
+_DEEP_COUPLING = 100
 
 
 def _assign_to_centroids(
@@ -593,6 +606,7 @@ def _assign_to_centroids(
     cents,
     vectorized: bool | None = None,
     hierarchical: bool | str | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """argmin centroid by squared L2. Up to 64 centroids: array_min over
     (distance, id) structs — linear expression size, fully JVM-side,
@@ -628,16 +642,28 @@ def _assign_to_centroids(
     the tree's driver-side BUILD is ~k^(5/3) (Lloyd over all k fine
     centroids) and n-independent, so at k=65536 on only n=2.05M the build
     inverted the win (46.05 vs 19.96 s) — a regime that violates the
-    k ∝ n/300 coupling by 10x. Auto assumes the coupled regime; a caller
-    running a huge codebook over a small corpus (n ≲ 100·k) should force
-    True. Named next rung if the build ever dominates at coupled scale:
-    subsample the tree's Lloyd to ~16k centroids (build drops ~k^(5/3) →
-    k·k^(1/3), the final full scatter pass is unavoidable either way)."""
-    if len(cents) > 1 and (
-        hierarchical == "deep"
-        or (hierarchical is None and len(cents) >= _DEEP_CROSSOVER)
-    ):
+    k ∝ n/300 coupling by 10x. Auto therefore VERIFIES the coupling before
+    taking the tree (r12, closing the r11 advice): it requires
+    n ≥ _DEEP_COUPLING·k, with n taken from ``n_hint`` when the caller
+    already knows it, else one df.count() — at k ≥ 24576 a count is noise
+    next to the n·k^(1/3) assignment it prices. A decoupled call falls back
+    to the two-level router; ``hierarchical="deep"`` still forces the tree
+    unconditionally. Named next rung if the build ever dominates at coupled
+    scale: subsample the tree's Lloyd to ~16k centroids (build drops
+    ~k^(5/3) → k·k^(1/3), the final full scatter pass is unavoidable
+    either way)."""
+    if len(cents) > 1 and hierarchical == "deep":
         return _assign_to_centroids_tree(df, vec_col, cents)
+    if (
+        len(cents) > 1
+        and hierarchical is None
+        and len(cents) >= _DEEP_CROSSOVER
+    ):
+        n = n_hint if n_hint is not None else df.count()
+        if n >= _DEEP_COUPLING * len(cents):
+            return _assign_to_centroids_tree(df, vec_col, cents)
+        # decoupled regime: fall through to the two-level router (the
+        # len(cents) > 256 rule below is satisfied here by construction)
     use_hier = hierarchical if hierarchical is not None else len(cents) > 256
     if use_hier and len(cents) > 1:
         # two-level IVF routing: the flat BLAS matrix is n·k — quadratic

@@ -261,10 +261,13 @@ def sequential_pack(
     chunk_idx = floor((cumsum(tokens) - tokens) / budget) over (group, id)
     order: pure integer window arithmetic, reproducible on any engine.
 
-    Scale note: the cumulative sum is a per-group sorted window, so packing
-    an entire 100 TB corpus as ONE group would serialize; real pipelines pack
+    Scale note: the cumulative sum is a per-group sorted window — each GROUP
+    packs in a single task, so an entire 100 TB corpus as ONE group (or a
+    handful of split/language groups) would serialize. Real pipelines pack
     within natural shards (language × source × date, or an explicit
-    hash-bucket column) — pass that as ``group_col``. Chunks never span
+    hash-bucket column) — pass that as ``group_col`` — or use
+    ``sequential_pack_scalable`` (identical output, two-pass
+    per-partition-prefix, no per-group serialization). Chunks never span
     groups, which is also what you want semantically (no cross-language
     context windows)."""
     from pyspark.sql import Window
@@ -273,6 +276,73 @@ def sequential_pack(
     w = part.orderBy(F.asc(id_col))
     start = F.sum(F.col(token_count_col)).over(w) - F.col(token_count_col)
     return df.withColumn("chunk_idx", F.floor(start / F.lit(budget)))
+
+
+def sequential_pack_scalable(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str,
+    budget: int,
+    group_col: str | None = None,
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Scale-safe twin of ``sequential_pack``: identical chunk_idx output
+    without the one-sort-task-per-group window (a per-group cumsum window
+    serializes each GROUP into a single task — with group = language or
+    split that is corpus/7 or corpus/2 rows per task at 100 TB).
+
+    Two-pass per-partition-prefix plan (the global_row_number_scalable
+    pattern, relational.py, applied to a running SUM): (1) range-repartition
+    on (group, id) so each partition holds a contiguous slice of every
+    group's id order; (2) a LOCAL cumsum window partitioned on
+    (spark_partition_id, group) — every task sorts only its own slice;
+    (3) per-(group, partition) token totals (a groups × partitions row
+    aggregate) become per-group cumulative offsets via a tiny window, then
+    broadcast-join back: start = local_start + offset,
+    chunk_idx = floor(start / budget). Two full-width shuffles (range +
+    pid·group hash) and one broadcast replace the per-group serialization.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the locally
+    cumsum'd frame so the totals branch and the output branch read ONE
+    computed RDD — offset correctness REQUIRES both branches to see the
+    same partition assignment, and Catalyst compiles them as two separate
+    range exchanges otherwise (the global_row_number_scalable plan-audit
+    finding; same reasoning, same default)."""
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order = ([F.col(group_col)] if group_col else []) + [F.col(id_col)]
+    ranged = df.repartitionByRange(parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_keys = ["__pid"] + ([group_col] if group_col else [])
+    local_w = Window.partitionBy(*local_keys).orderBy(F.asc(id_col))
+    numbered = ranged.withColumn(
+        "__lstart",
+        F.sum(F.col(token_count_col)).over(local_w) - F.col(token_count_col),
+    )
+    if materialize:
+        numbered = numbered.localCheckpoint(eager=True)
+    tot_keys = ([group_col] if group_col else []) + ["__pid"]
+    totals = numbered.groupBy(*tot_keys).agg(
+        F.sum(F.col(token_count_col)).alias("__tot")
+    )
+    off_part = (
+        Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    )
+    off_w = off_part.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0))
+    ).select(*tot_keys, "__off")
+    return (
+        numbered.join(F.broadcast(offsets), tot_keys)
+        .withColumn(
+            "chunk_idx",
+            F.floor((F.col("__lstart") + F.col("__off")) / F.lit(budget)),
+        )
+        .select(*df.columns, "chunk_idx")
+    )
 
 
 def corpus_report(
@@ -1193,7 +1263,10 @@ def train_hashed_classifier(
     epoch, which is what batch GD is; the feature frame is checkpointed
     once and reused every iteration (the BPE-training posture). The model
     (B weights + bias) is collected per iteration — model-sized by
-    definition. Labels: ``label_col`` is cast to int 0/1.
+    definition. Labels: ``label_col`` is cast to int 0/1; a NULL label (or
+    one the cast nulls out) raises — a NULL __y would silently drop the row
+    from both gradient sums while n_docs still counted it, quietly training
+    the model on a different effective dataset (r11 advice).
 
     Returns (weights DataFrame (bucket, weight) dense over 0..B-1, bias)."""
     spark = df.sparkSession
@@ -1207,6 +1280,15 @@ def train_hashed_classifier(
         F.col(id_col), F.col(label_col).cast("int").alias("__y")
     ).localCheckpoint(eager=True)
     n_docs = labels.count()
+    n_null = labels.filter(F.col("__y").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"train_hashed_classifier: {n_null}/{n_docs} rows have a NULL "
+            f"label in {label_col!r} (or a value the int cast nulls out); "
+            "a NULL label silently drops the row from the gradient sums "
+            "while n_docs still counts it — coalesce the label to an "
+            "explicit 0/1 upstream (e.g. F.when(cond, 1).otherwise(0))"
+        )
     w = [0.0] * num_buckets
     bias = 0.0
     for _ in range(int(iterations)):
@@ -1288,6 +1370,55 @@ def score_hashed_classifier(
     )
     return df.join(z, id_col, "left").select(
         *[F.col(c) for c in df.columns], score.alias(out_col)
+    )
+
+
+def evaluate_classifier_thresholds(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Held-out threshold-sweep evaluation for a trained scorer — the table
+    the FineWeb-Edu recipe reads to CHOOSE its filter threshold (train on
+    labeled exemplars, score a held-out set, pick the operating point):
+    one row per threshold with the confusion counts and precision / recall
+    / F1 at ``score >= threshold``.
+
+    One corpus pass regardless of grid size: the threshold grid is a
+    plan-embedded literal array exploded per row, and the confusion counts
+    aggregate map-side per threshold (a |grid|-group shuffle — model-sized).
+    Every ratio is computed from the INTEGER counts (F1 from the closed
+    form 2·tp/(2·tp+fp+fn), never from the rounded precision/recall), so
+    the table is oracle-exact under the same determinism contract as
+    train_hashed_classifier: scores are 4-dp-rounded doubles on both
+    engines, threshold literals are the same doubles, and integer-count
+    ratios round identically. Undefined ratios (zero denominator) are NULL,
+    not 0 — a grid point past every score should read as 'no operating
+    point', not 'perfectly bad'."""
+    grid = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    base = scored.select(
+        F.col(label_col).alias("__y"), F.col(score_col).alias("__s"), grid
+    )
+    pred = F.col("__s") >= F.col("threshold")
+    agg = base.groupBy("threshold").agg(
+        F.sum(F.when(pred & (F.col("__y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & (F.col("__y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & (F.col("__y") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pred & (F.col("__y") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, F.round(tp / (tp + fp), 6))
+    rec = F.when(tp + fn > 0, F.round(tp / (tp + fn), 6))
+    f1 = F.when(
+        F.lit(2) * tp + fp + fn > 0,
+        F.round(F.lit(2.0) * tp / (F.lit(2) * tp + fp + fn), 6),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        prec.alias("prec"), rec.alias("rec"), f1.alias("f1"),
     )
 
 

@@ -385,8 +385,12 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.regexp_replace(F.col("text"), r"^\S+\s*", ""))
     )
     aug = docs.unionByName(copies)
+    # bands=None (r12): the banding is PLANNER-DERIVED at run time —
+    # lsh_plan(0.7, 32) returns the 16×2 split this query always used (the
+    # docstring's recall math is the planner's own S-curve analysis), so
+    # the oracle's exact all-pairs replay certifies the derived config
     return D.minhash_lsh_dedup(
-        aug, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
+        aug, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
     ).select("doc_id")
 
 
@@ -1153,7 +1157,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", "lang", TX.token_count_ws(F.col("text")).alias("n_tok")
     )
-    return TX.sequential_pack(toks, "n_tok", "doc_id", 512, "lang")
+    # scalable pack (r12): per-language packing via the two-pass
+    # per-partition-prefix twin — the window form would sort each language
+    # in ONE task (corpus/7 rows at scale); the oracle stays the window SQL,
+    # so the gate hash-certifies the equivalence every round
+    return TX.sequential_pack_scalable(toks, "n_tok", "doc_id", 512, "lang")
 
 
 @query(
@@ -2117,7 +2125,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = split.select(
         "doc_id", "split", TX.token_count_ws(F.col("text")).alias("n_tok")
     )
-    return TX.sequential_pack(toked, "n_tok", "doc_id", 512, "split")
+    # scalable pack (r12): identical chunk_idx to the window form the
+    # oracle spells, without one-task-per-split serialization
+    return TX.sequential_pack_scalable(toked, "n_tok", "doc_id", 512, "split")
 
 
 @query(
@@ -2675,8 +2685,11 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed token-scale feature frame; the model (1024 weights + bias)
     is the only thing the driver ever holds."""
     t = load_tables(spark, sf_dir, ["documents"])
+    # when/otherwise (NOT a bare boolean cast): NULL lang must label 0 like
+    # the oracle's CASE, and train_hashed_classifier raises on NULL labels
     docs = t["documents"].select(
-        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+        "doc_id", "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
     )
     wts, bias = TX.train_hashed_classifier(
         docs, "text", "doc_id", "label",
@@ -2686,6 +2699,149 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", wts, bias, num_buckets=1024, seed="w"
     )
     return out.select("doc_id", "label", "clf_score")
+
+
+@query(
+    "q_classifier_eval",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id, text,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CASE WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '19999999'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ), w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM docs2 WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), feats AS (
+      SELECT doc_id, ws[i] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i FROM w)
+      UNION ALL
+      SELECT doc_id, ws[i] || '_' || ws[i + 1] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i FROM w)
+    ), fcnt AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5('w:' || f), 1, 8)) AS BIGINT) % 1024
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM feats GROUP BY doc_id, bucket
+    ), ftot AS (
+      SELECT doc_id, SUM(cnt) AS nf FROM fcnt GROUP BY doc_id
+    ), fb AS MATERIALIZED (
+      SELECT f.doc_id, f.bucket,
+             CAST(ROUND(ROUND(f.cnt * 1.0 / t.nf, 6) * 1000000) AS BIGINT) AS fm
+      FROM fcnt f JOIN ftot t USING (doc_id)
+    ), labels AS MATERIALIZED (
+      -- training sees ONLY the train split; test docs contribute no
+      -- gradient (the held-out contract)
+      SELECT doc_id, y FROM docs2 WHERE split = 'train'
+    ), nn AS (SELECT COUNT(*) * 1.0 AS n FROM labels),
+    pm1 AS MATERIALIZED (
+      SELECT doc_id, CAST(ROUND(ROUND(0.5 - y, 6) * 1000000) AS BIGINT) AS pm
+      FROM labels
+    ), w1 AS MATERIALIZED (
+      SELECT r.range AS bucket,
+             ROUND(0.0 - 5.0 * (COALESCE(g.gm, 0) / 1000000000000.0) / nn.n, 6)
+               AS wv
+      FROM RANGE(0, 1024) r
+      LEFT JOIN (SELECT f.bucket, SUM(f.fm * p.pm) AS gm
+                 FROM fb f JOIN pm1 p USING (doc_id) GROUP BY f.bucket) g
+        ON g.bucket = r.range
+      CROSS JOIN nn
+    ), b1 AS (
+      SELECT ROUND(0.0 - 5.0 * (SUM(pm) / 1000000.0) / (SELECT n FROM nn), 6) AS b
+      FROM pm1
+    ), z2 AS (
+      SELECT f.doc_id,
+             SUM(f.fm * CAST(ROUND(w1.wv * 1000000) AS BIGINT))
+               / 1000000000000.0 AS z
+      FROM fb f JOIN w1 USING (bucket) GROUP BY f.doc_id
+    ), pm2 AS MATERIALIZED (
+      SELECT l.doc_id,
+             CAST(ROUND(ROUND(1.0 / (1.0 + EXP(-(COALESCE(z2.z, 0.0) + b1.b)))
+                              - l.y, 6) * 1000000) AS BIGINT) AS pm
+      FROM labels l LEFT JOIN z2 ON l.doc_id = z2.doc_id CROSS JOIN b1
+    ), w2 AS MATERIALIZED (
+      SELECT w1.bucket,
+             ROUND(w1.wv - 5.0 * (COALESCE(g.gm, 0) / 1000000000000.0) / nn.n, 6)
+               AS wv
+      FROM w1
+      LEFT JOIN (SELECT f.bucket, SUM(f.fm * p.pm) AS gm
+                 FROM fb f JOIN pm2 p USING (doc_id) GROUP BY f.bucket) g
+        ON g.bucket = w1.bucket
+      CROSS JOIN nn
+    ), b2 AS (
+      SELECT ROUND(b1.b - 5.0 * (SUM(pm) / 1000000.0) / (SELECT n FROM nn), 6)
+               AS b
+      FROM pm2 CROSS JOIN b1 GROUP BY b1.b
+    ), zf AS (
+      SELECT f.doc_id,
+             SUM(f.fm * CAST(ROUND(w2.wv * 1000000) AS BIGINT))
+               / 1000000000000.0 AS z
+      FROM fb f JOIN w2 USING (bucket) GROUP BY f.doc_id
+    ), scored AS (
+      -- score the HELD-OUT split with the learned model
+      SELECT d.doc_id, d.y,
+             ROUND(1.0 / (1.0 + EXP(-(COALESCE(zf.z, 0.0) + b2.b))), 4) AS s
+      FROM docs2 d LEFT JOIN zf ON d.doc_id = zf.doc_id CROSS JOIN b2
+      WHERE d.split = 'test'
+    ), grid AS (
+      SELECT UNNEST([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold
+    ), agg AS (
+      SELECT g.threshold,
+             SUM(CASE WHEN s >= g.threshold AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN s >= g.threshold AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN s < g.threshold AND y = 1 THEN 1 ELSE 0 END) AS fn,
+             SUM(CASE WHEN s < g.threshold AND y = 0 THEN 1 ELSE 0 END) AS tn
+      FROM scored CROSS JOIN grid g GROUP BY g.threshold
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CASE WHEN tp + fp > 0 THEN ROUND(tp * 1.0 / (tp + fp), 6) END
+             AS prec,
+           CASE WHEN tp + fn > 0 THEN ROUND(tp * 1.0 / (tp + fn), 6) END
+             AS rec,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+    FROM agg
+    """,
+)
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the trained quality classifier — the table
+    the FineWeb-Edu recipe reads to choose its filter threshold: a
+    deterministic content-hash 90/10 split (train_test_split — same md5
+    contract as q_train_test_split), full-batch GD training on the train
+    split ONLY (train_hashed_classifier, 2 iterations at lr=5 over 1024
+    hashed buckets), one scoring sweep over the held-out split, then a
+    5-point threshold sweep of confusion counts + precision/recall/F1
+    (evaluate_classifier_thresholds, one pass over the scored frame).
+
+    The ORACLE REPLAYS THE WHOLE PROTOCOL — split, training trajectory
+    (integer-micro-unit gradients, the q_quality_classifier_train
+    contract), held-out scoring, and the eval table, whose ratios both
+    engines compute from the same integer counts."""
+    from data_rivers_spark.operators import sampling as SA
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "doc_id", "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    split = SA.train_test_split(docs, "doc_id", 0.1, seed="split")
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    wts, bias = TX.train_hashed_classifier(
+        train, "text", "doc_id", "label",
+        num_buckets=1024, iterations=2, lr=5.0, seed="w",
+    )
+    scored = TX.score_hashed_classifier(
+        test, "text", "doc_id", wts, bias, num_buckets=1024, seed="w"
+    )
+    return TX.evaluate_classifier_thresholds(
+        scored, "label", "clf_score", [0.3, 0.4, 0.5, 0.6, 0.7]
+    )
 
 
 @query(

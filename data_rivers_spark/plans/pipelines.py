@@ -268,6 +268,26 @@ def corpus_curation_pipeline(
     if select_k is not None:
         from data_rivers_spark.operators import importance as IMP
 
+        # the select/mix tail REPLACES sample→split→pack (steps 6-7): a
+        # caller passing non-default values for those alongside select_k
+        # would get no effect and no signal — refuse instead (r11 advice)
+        ignored = [
+            name
+            for name, val, default in (
+                ("sample_fraction", sample_fraction, 1.0),
+                ("test_fraction", test_fraction, 0.05),
+                ("pack_budget", pack_budget, 2048),
+            )
+            if val != default
+        ]
+        if ignored:
+            raise ValueError(
+                "corpus_curation_pipeline: select_k replaces the "
+                "sample/split/pack tail, so these non-default parameters "
+                f"would be silently ignored: {', '.join(ignored)} — drop "
+                "them or drop select_k"
+            )
+
         # stage boundary: the DSIR featurize has three consumers of the
         # cleaned corpus (pool featurize x2 under the measured
         # materialize=False default, final weight join)
@@ -294,7 +314,10 @@ def corpus_curation_pipeline(
     sampled = SA.deterministic_sample(deduped, id_col, sample_fraction, seed)
     split = SA.train_test_split(sampled, id_col, test_fraction, seed)
     counted = split.withColumn("n_tokens", TX.token_count_ws(F.col(text_col)))
-    packed = TX.sequential_pack(
+    # scalable pack (r12): the window form would run ONE task per split —
+    # corpus/2 rows per task at scale; the two-pass per-partition-prefix
+    # twin produces identical chunk_idx with no per-group serialization
+    packed = TX.sequential_pack_scalable(
         counted, "n_tokens", id_col, budget=pack_budget, group_col="split"
     )
     return packed

@@ -55,7 +55,9 @@ from pyspark.sql import functions as F
 from data_rivers_spark.operators import chunking as CH
 from data_rivers_spark.operators import dedup as D
 from data_rivers_spark.operators import geo as G
+from data_rivers_spark.operators import geocode as GC
 from data_rivers_spark.operators import importance as IM
+from data_rivers_spark.operators import multimodal as MM
 from data_rivers_spark.operators import relational as R
 from data_rivers_spark.operators import sampling as SA
 from data_rivers_spark.operators import similarity as SIM
@@ -70,6 +72,21 @@ def _simple(fn: Callable) -> Callable:
 
     def run(df: DataFrame, params: dict) -> DataFrame:
         return fn(df, **params)
+
+    return run
+
+
+def _two(fn: Callable, right_param: str) -> Callable:
+    """Adapter for two-frame ops (CTX_OPS): the spec param named
+    ``right_param`` is a nested input node (bare source or full sub-spec,
+    resolved by ``subframe``); everything else passes through as keyword
+    arguments. The verb keeps the operator's own parameter name for the
+    second frame, so the spec reads like the call (r12)."""
+
+    def run(df: DataFrame, params: dict, subframe) -> DataFrame:
+        right = subframe(params[right_param])
+        rest = {k: v for k, v in params.items() if k != right_param}
+        return fn(df, right, **rest)
 
     return run
 
@@ -203,26 +220,100 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "sq8_topk_self": lambda df, p: SIM.sq8_topk(
         df, df.filter(p["query_where"]), p["vec_col"], p["id_col"], int(p["k"])
     ),
+    # ------------------------------------------------------------------
+    # r12 verb widening: every public single-frame operator is now
+    # spec-expressible (the test_spec verb-inventory test walks the
+    # operator modules and enforces this mechanically — future operators
+    # must either get a verb or an explicit exclusion with a reason)
+    # --- dedup / similarity pair, sketch, and store surfaces
+    "minhash_lsh_verified_pairs": _simple(D.minhash_lsh_verified_pairs),
+    "minhash_lsh_candidates": _simple(D.minhash_lsh_candidates),
+    "connected_components": _simple(D.connected_components),
+    "group_banded_store": _simple(D.group_banded_store),
+    "lsh_bucket_stats": _simple(D.lsh_bucket_stats),
+    "ngram_jaccard_pairs": _simple(D.ngram_jaccard_pairs),
+    "simhash_column": _simple(D.simhash_column),
+    "simhash_near_pairs": _simple(D.simhash_near_pairs),
+    "assign_kmeans_clusters": _simple(SIM.assign_kmeans_clusters),
+    "signlsh_buckets": _simple(SIM.signlsh_buckets),
+    # --- relational report / shaping verbs
+    "distinct_values_table": _simple(R.distinct_values_table),
+    "bucketed_report": lambda df, p: R.bucketed_report(
+        df, p["bucket_col"], [tuple(b) for b in p["buckets"]],
+        p["group_cols"], out_col=p.get("out_col", "bucket"),
+    ),
+    "percentage_table": _simple(R.percentage_table),
+    "flatten_hierarchy": _simple(R.flatten_hierarchy),
+    "global_row_number_scalable": _simple(R.global_row_number_scalable),
+    "linked_tickets_array": _simple(R.linked_tickets_array),
+    "salted_count": _simple(R.salted_count),
+    # --- text statistics / curation report verbs
+    "corpus_report": _simple(TX.corpus_report),
+    "fingerprint": _simple(TX.fingerprint),
+    "shingle_fingerprints": _simple(TX.shingle_fingerprints),
+    "inverted_index": _simple(TX.inverted_index),
+    "vocabulary": _simple(TX.vocabulary),
+    "tf_idf_top_terms": _simple(TX.tf_idf_top_terms),
+    "sequential_pack": _simple(TX.sequential_pack),
+    "sequential_pack_scalable": _simple(TX.sequential_pack_scalable),
+    "quantile_trim": _simple(TX.quantile_trim),
+    "quantile_trim_approx": _simple(TX.quantile_trim_approx),
+    "normalize_text": _simple(TX.normalize_text),
+    "line_repetition_stats": _simple(TX.line_repetition_stats),
+    "dup_ngram_char_fraction": _simple(TX.dup_ngram_char_fraction),
+    "top_ngram_char_fraction": _simple(TX.top_ngram_char_fraction),
+    "evaluate_classifier_thresholds": _simple(
+        TX.evaluate_classifier_thresholds
+    ),
+    # --- reference transform stragglers
+    "account_code_conversion": _simple(T.account_code_conversion),
+    "convert_geography": _simple(T.convert_geography),
+    "extract_field": _simple(T.extract_field),
+    "extract_field_with_complexity": _simple(T.extract_field_with_complexity),
+    "extract_middle_initial": _simple(T.extract_middle_initial),
+    "identify_active_permits": _simple(T.identify_active_permits),
+    "set_col_b_based_on_col_a_val": _simple(T.set_col_b_based_on_col_a_val),
+    "standardize_ethnicity_names": _simple(T.standardize_ethnicity_names),
+    "swap_two_columns": _simple(T.swap_two_columns),
+    "unnest_two_level": _simple(T.unnest_two_level),
+    "get_vals_from_crosswalk": _simple(T.get_vals_from_crosswalk),
+    # --- multimodal (decoder defaults to the documented deterministic
+    # stub; a deployment with real codecs registers its decoder via
+    # extra_ops or calls the operators directly)
+    "perceptual_hash": _simple(MM.perceptual_hash),
+    "media_stats": _simple(MM.media_stats),
+    "media_dedup": _simple(MM.media_dedup),
+    "media_near_dup_pairs": _simple(MM.media_near_dup_pairs),
+    "extract_features": _simple(MM.extract_features),
+    "resize_images": _simple(MM.resize_images),
+    "sample_video_frames": _simple(MM.sample_video_frames),
 }
 
 
 def _quality_classifier_filter(df: DataFrame, p: dict) -> DataFrame:
     """Train-then-filter quality selection (textstats.train_hashed_classifier
     + score_hashed_classifier): the spec spelling of 'train a fastText-style
-    scorer on the labeled batch and keep what scores above threshold'."""
+    scorer on the labeled batch and keep what scores above threshold'.
+
+    ``out_col`` (default clf_score) names the score column; a pre-existing
+    column of that name is dropped before scoring — score_hashed_classifier
+    appends to *df.columns, so a collision (e.g. a prior scoring step in the
+    same spec) would otherwise produce duplicate column names and an
+    ambiguous-reference failure at the filter (r11 advice)."""
     from data_rivers_spark.operators import textstats as TX
 
     nb = int(p.get("num_buckets", 1024))
+    out_col = p.get("out_col", "clf_score")
     w, b = TX.train_hashed_classifier(
         df, p["text_col"], p["id_col"], p["label_col"],
         num_buckets=nb, iterations=int(p.get("iterations", 2)),
         lr=float(p.get("lr", 5.0)), seed=p.get("seed", "w"),
     )
     scored = TX.score_hashed_classifier(
-        df, p["text_col"], p["id_col"], w, b, num_buckets=nb,
-        seed=p.get("seed", "w"),
+        df.drop(out_col), p["text_col"], p["id_col"], w, b, num_buckets=nb,
+        seed=p.get("seed", "w"), out_col=out_col,
     )
-    return scored.filter(F.col("clf_score") >= float(p["keep_threshold"]))
+    return scored.filter(F.col(out_col) >= float(p["keep_threshold"]))
 
 
 def _revgeo_timebound(df: DataFrame, params: dict, subframe) -> DataFrame:
@@ -272,6 +363,43 @@ CTX_OPS: dict[str, Callable] = {
     ),
     "revgeo_timebound": _revgeo_timebound,
     "dsir_importance_weights": _dsir_weights,
+    # r12 two-frame verb widening via _two: the second frame is a nested
+    # input node under the operator's own parameter name
+    # --- relational merge / sync family (the reference's BQ merge verbs)
+    "upsert": _two(R.upsert, "incoming"),
+    "insert_new_records": _two(R.insert_new_records, "incoming"),
+    "sync_update": _two(R.sync_update, "staging"),
+    "incremental_merge": _two(R.incremental_merge, "incoming"),
+    "full_refresh_merge": _two(R.full_refresh_merge, "old"),
+    "detect_changed_rows": _two(R.detect_changed_rows, "staging"),
+    "snapshot_append": _two(R.snapshot_append, "new"),
+    "data_quality_new_values": _two(R.data_quality_new_values, "old_ref"),
+    "merge_linked_arrays": _two(R.merge_linked_arrays, "incoming"),
+    "filter_old_values": _two(R.filter_old_values, "temp"),
+    "increment_counts": _two(R.increment_counts, "increments"),
+    "append_to_text_field": _two(R.append_to_text_field, "src"),
+    "asof_join": _two(R.asof_join, "right"),
+    "range_join_bucketed": _two(R.range_join_bucketed, "intervals"),
+    "salted_join": _two(R.salted_join, "skewed_small"),
+    # --- decontamination (benchmark set as the second frame)
+    "flag_contaminated": _two(TX.flag_contaminated, "benchmark"),
+    "remove_contaminated_spans": _two(TX.remove_contaminated_spans, "benchmark"),
+    # --- pair-consuming dedup closers
+    "dedup_by_components": _two(D.dedup_by_components, "pairs"),
+    "verify_pairs_jaccard": _two(D.verify_pairs_jaccard, "pairs"),
+    # --- ANN search with an explicit query frame (self-variants of
+    # cosine/sq8 live in OPS for the single-frame spelling)
+    "cosine_topk": _two(SIM.cosine_topk, "queries"),
+    "sq8_topk": _two(SIM.sq8_topk, "queries"),
+    "ivf_topk": _two(SIM.ivf_topk, "queries"),
+    "signlsh_topk": _two(SIM.signlsh_topk, "queries"),
+    # --- crosswalk decode with a frame-shaped crosswalk (the dict form is
+    # the get_vals_from_crosswalk OPS verb)
+    "crosswalk_join": _two(T.crosswalk_join, "crosswalk_df"),
+    # --- geo / geocode second-frame verbs
+    "parcel_centroid_join": _two(G.parcel_centroid_join, "parcels"),
+    "nearest_zone_fallback": _two(G.nearest_zone_fallback, "zones"),
+    "geocode_with_crosswalk": _two(GC.geocode_with_crosswalk, "crosswalk"),
 }
 
 

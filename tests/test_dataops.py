@@ -867,6 +867,22 @@ def test_corpus_curation_pipeline_select_mix_mode(spark):
     assert {r.doc_id for r in sel.collect()} == ids
 
 
+def test_corpus_curation_pipeline_select_k_rejects_replaced_params(spark):
+    # r12 (closing the r11 advice): select_k replaces the sample/split/pack
+    # tail — passing non-default values for those alongside it must raise,
+    # not silently no-op.
+    import pytest
+
+    from data_rivers_spark.plans.pipelines import corpus_curation_pipeline
+
+    df = spark.createDataFrame([(1, "some text.")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sample_fraction, pack_budget"):
+        corpus_curation_pipeline(
+            df, dsir_target=lambda d: d, select_k=5,
+            sample_fraction=0.5, pack_budget=128,
+        )
+
+
 def test_char_shingles_cjk_and_reflow(spark):
     """Char shingles differentiate unspaced (CJK-like) texts that word
     tokenization collapses to single tokens, and are whitespace-reflow
@@ -1511,6 +1527,46 @@ def test_hierarchical_dispatch_boundary(spark, monkeypatch):
     assert calls == [257, 256]  # explicit True forces below the crossover
 
 
+def test_deep_dispatch_requires_coupling(spark, monkeypatch):
+    """r12 (closing the r11 advice): auto-dispatch takes the three-level
+    tree only when BOTH k >= _DEEP_CROSSOVER and the coupled regime
+    n >= _DEEP_COUPLING·k hold — the tree's driver-side Lloyd build is
+    ~k^(5/3) and n-independent, so a huge codebook over a small corpus
+    inverts the win (measured 46.05 vs 19.96 s at k=65536/n=2.05M,
+    bench_out/assign_only_scan_r11.txt). Decoupled auto calls fall back to
+    the two-level router; explicit "deep" still forces the tree."""
+    import numpy as np
+
+    routed = []
+    monkeypatch.setattr(
+        S, "_assign_to_centroids_tree",
+        lambda df, vc, c: routed.append("tree")
+        or df.withColumn("centroid_id", F.lit(0)),
+    )
+    monkeypatch.setattr(
+        S, "_assign_to_centroids_hierarchical",
+        lambda df, vc, c, **kw: routed.append("two")
+        or df.withColumn("centroid_id", F.lit(0)),
+    )
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 9.0])], "vec_id long, v array<double>"
+    )
+    big = np.zeros((S._DEEP_CROSSOVER, 2))
+    # no hint: the df.count() fallback sees n=2 — decoupled, two-level
+    S._assign_to_centroids(df, "v", big)
+    # coupled via explicit hint: tree
+    S._assign_to_centroids(
+        df, "v", big, n_hint=S._DEEP_COUPLING * S._DEEP_CROSSOVER
+    )
+    # hint one below the coupling bound: two-level again
+    S._assign_to_centroids(
+        df, "v", big, n_hint=S._DEEP_COUPLING * S._DEEP_CROSSOVER - 1
+    )
+    # explicit "deep" forces the tree regardless of n
+    S._assign_to_centroids(df, "v", big, hierarchical="deep")
+    assert routed == ["two", "tree", "two", "tree"]
+
+
 def test_hierarchical_orphan_fallback_never_emits_sentinel(spark, monkeypatch):
     """Degenerate codebook: if every coarse cell a point probes is EMPTY
     (duplicate centroids can stack >= nprobe childless cells nearest it),
@@ -1751,3 +1807,25 @@ def test_lsh_plan_codifies_standing_banding():
         D.lsh_plan(0.05, 32)  # recall itself unreachable at 32 hashes
     with pytest.raises(ValueError):
         D.lsh_plan(1.5, 32)
+    # r12: the planner is wired into the entry points — bands=None resolves
+    # through lsh_plan (planner output == the standing 16x2 config), an
+    # explicit int passes through untouched
+    assert D._resolve_bands(0.7, 32, None) == 16
+    assert D._resolve_bands(0.7, 32, 8) == 8
+
+
+def test_minhash_lsh_dedup_planner_banding_matches_explicit(spark):
+    # r12: bands=None through the full dedup entry point must behave as the
+    # planner-derived split — identical survivors to the explicit 16x2 call.
+    rows = [(i, f"alpha bravo charlie delta echo foxtrot doc{i} x{i} y{i} z{i}")
+            for i in range(12)]
+    rows += [(100 + i, f"alpha bravo charlie delta echo foxtrot doc{i} x{i} y{i}")
+             for i in range(0, 12, 3)]  # near-dup copies (one word dropped)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = {r.doc_id for r in D.minhash_lsh_dedup(
+        df, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
+    ).collect()}
+    explicit = {r.doc_id for r in D.minhash_lsh_dedup(
+        df, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
+    ).collect()}
+    assert auto == explicit and len(auto) < len(rows)

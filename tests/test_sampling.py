@@ -106,6 +106,41 @@ def test_sequential_pack_invariants(spark):
             run += r.tok
 
 
+def test_sequential_pack_scalable_equals_window_form(spark):
+    # r12: the two-pass per-partition-prefix pack must equal the exact
+    # window form row-for-row — grouped, ungrouped, and under adversarial
+    # input partitioning (the range repartition owns the layout).
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, str(i % 5), rng.randint(1, 40)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, g string, tok int").repartition(13)
+    for grp in ("g", None):
+        want = {
+            (r.k): r.chunk_idx
+            for r in TX.sequential_pack(
+                df, "tok", "k", budget=64, group_col=grp
+            ).collect()
+        }
+        got_df = TX.sequential_pack_scalable(
+            df, "tok", "k", budget=64, group_col=grp, num_partitions=7
+        )
+        assert got_df.columns == ["k", "g", "tok", "chunk_idx"]
+        got = {r.k: r.chunk_idx for r in got_df.collect()}
+        assert got == want
+    # a group smaller than one range partition and single-partition input
+    tiny = spark.createDataFrame(
+        [(1, "a", 3), (2, "a", 4), (3, "b", 9)], "k long, g string, tok int"
+    ).coalesce(1)
+    got = {
+        r.k: r.chunk_idx
+        for r in TX.sequential_pack_scalable(
+            tiny, "tok", "k", budget=5, group_col="g", num_partitions=4
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
 def test_quantize_int8_roundtrip(spark):
     df = spark.createDataFrame(
         [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
@@ -489,3 +524,53 @@ def test_train_hashed_classifier_separates_and_is_partition_invariant(spark):
     assert sum(pos) / len(pos) > 0.5 > sum(neg) / len(neg)
     import math
     assert abs(out[99] - round(1.0 / (1.0 + math.exp(-b1)), 4)) < 1e-9
+
+
+def test_evaluate_classifier_thresholds(spark):
+    # r12: hand-computable confusion table; undefined ratios are NULL.
+    scored = spark.createDataFrame(
+        [(1, 0.9), (1, 0.6), (1, 0.2), (0, 0.7), (0, 0.1)],
+        "y int, s double",
+    )
+    out = {
+        r.threshold: r
+        for r in TX.evaluate_classifier_thresholds(
+            scored, "y", "s", [0.5, 0.95]
+        ).collect()
+    }
+    r5 = out[0.5]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (2, 1, 1, 1)
+    assert (r5.prec, r5.rec) == (round(2 / 3, 6), round(2 / 3, 6))
+    assert r5.f1 == round(4 / 6.0, 6)
+    r95 = out[0.95]  # no score reaches 0.95: precision undefined -> NULL
+    assert (r95.tp, r95.fp, r95.fn, r95.tn) == (0, 0, 3, 2)
+    assert r95.prec is None and r95.rec == 0.0 and r95.f1 == 0.0
+
+
+def test_train_hashed_classifier_raises_on_null_labels(spark):
+    # r12 (closing the r11 advice): a NULL label would silently drop the
+    # row from both gradient sums while n_docs still counts it — training
+    # on a different effective dataset with no signal. Raise instead.
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "good text", 1), (2, "bad text", 0), (3, "mystery text", None)],
+        "doc_id long, text string, y int",
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        TX.train_hashed_classifier(
+            df, "text", "doc_id", "y", num_buckets=16, iterations=1
+        )
+    # the advice's exact latent shape: a bare boolean cast propagates NULL
+    # through (lang == 'en').cast('int') — must raise, steering callers to
+    # when/otherwise
+    bdf = spark.createDataFrame(
+        [(1, "good text", "en"), (2, "bad text", None)],
+        "doc_id long, text string, lang string",
+    ).select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        TX.train_hashed_classifier(
+            bdf, "text", "doc_id", "y", num_buckets=16, iterations=1
+        )
