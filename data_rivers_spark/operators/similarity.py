@@ -821,9 +821,15 @@ def assign_kmeans_clusters(
     )
     cmat = np.array([c for _, c in cents], dtype=np.float64)
     prepped = corpus.withColumn("__v", _as_double(F.col(vec_col)))
+    n_hint = None
+    if assign_hierarchical is None and n_clusters >= _DEEP_CROSSOVER:
+        # pay the coupling-check count here, once, on the bare corpus scan
+        # rather than inside _assign_to_centroids on the widened frame
+        n_hint = corpus.count()
     assigned = _assign_to_centroids(
         prepped, "__v", cmat,
         vectorized=assign_vectorized, hierarchical=assign_hierarchical,
+        n_hint=n_hint,
     )
     return assigned.drop("__v").withColumnRenamed("centroid_id", "cluster_id")
 

@@ -1422,6 +1422,56 @@ def evaluate_classifier_thresholds(
     )
 
 
+def classifier_auc(
+    scored: DataFrame, label_col: str, score_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U with average-rank tie handling) for a
+    scored frame — the threshold-free half of classifier evaluation
+    (evaluate_classifier_thresholds gives the operating points; AUC ranks
+    the scorer itself). AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻).
+
+    Scale-sound rank computation: NO global row sort. Scores aggregate to
+    one (score, n_pos, n_neg) row per DISTINCT score (one map-side-combined
+    shuffle; distinct 4-dp sigmoid outputs are ≤ 10⁴-ish rows regardless of
+    corpus size), the below-ties cumulative runs over that model-sized
+    frame's window, and U folds in one aggregate:
+    U = Σ_s n_pos(s)·(cum_neg_below(s) + ½·n_neg(s)). 2·U is an exact
+    integer on any engine (order-free sums of integer counts), so the
+    DuckDB oracle replays it exactly; AUC = U/(P·N) rounds once at the end.
+    Empty classes → NULL AUC (undefined, not 0.5). Returns one row
+    (auc, n_pos, n_neg)."""
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__np"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__nn"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    # __below2 = 2·(negatives strictly below this score) + ties at it, so
+    # __u2 = Σ n_pos·__below2 = 2U stays an exact integer
+    agg = per_score.select(
+        F.col("__np"), F.col("__nn"),
+        (
+            F.lit(2) * F.coalesce(
+                F.sum("__nn").over(w).cast("long"), F.lit(0).cast("long")
+            )
+            + F.col("__nn")
+        ).alias("__below2"),
+    ).agg(
+        F.sum(F.col("__np") * F.col("__below2")).alias("__u2"),
+        F.sum("__np").alias("n_pos"),
+        F.sum("__nn").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("__u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            ndigits,
+        ),
+    )
+    return agg.select(auc.alias("auc"), "n_pos", "n_neg")
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training primitives (Sennrich et al. 2016, arXiv:1508.07909)
 # ---------------------------------------------------------------------------

@@ -2585,6 +2585,80 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_classifier_auc",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), feats AS (
+      SELECT doc_id, ws[i] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i FROM w)
+      UNION ALL
+      SELECT doc_id, ws[i] || '_' || ws[i + 1] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i FROM w)
+    ), wt AS (
+      SELECT b AS bucket,
+             (CAST(CONCAT('0x', SUBSTR(MD5('w:' || CAST(b AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0) * 2.0 - 1.0 AS weight
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 1023)) AS b)
+    ), fb AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5('w:' || f), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM feats
+    ), agg AS (
+      SELECT fb.doc_id, SUM(wt.weight) / COUNT(*) AS m
+      FROM fb JOIN wt ON fb.bucket = wt.bucket GROUP BY fb.doc_id
+    ), scored AS (
+      SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             COALESCE(ROUND(1.0 / (1.0 + EXP(-agg.m)), 4), 0.5) AS s
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    ), per_s AS (
+      SELECT s, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+      FROM scored GROUP BY s
+    ), ranked AS (
+      SELECT np, nn,
+             2 * COALESCE(SUM(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + nn
+               AS below2
+      FROM per_s
+    )
+    SELECT CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+                THEN ROUND(SUM(np * below2) * 1.0
+                           / (2.0 * SUM(np) * SUM(nn)), 6) END AS auc,
+           CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg
+    FROM ranked
+    """,
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the serving-path quality scorer against the
+    language-derived binary label — the threshold-FREE half of classifier
+    evaluation (q_classifier_eval's sweep gives the operating points; AUC
+    ranks the scorer itself). Mann-Whitney with average-rank ties: scores
+    collapse to one row per distinct 4-dp sigmoid output (model-sized), the
+    below/ties cumulative runs over that tiny frame, and 2·U is an exact
+    integer both engines sum order-free — the oracle replays the scoring
+    (q_quality_classifier's CTEs) and the exact rank-sum arithmetic."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    wts = TX.make_hashed_weights(spark, 1024, seed="w")
+    scored = TX.hashed_linear_score(
+        t["documents"], "text", "doc_id", wts, num_buckets=1024, seed="w"
+    )
+    labeled = (
+        t["documents"]
+        .select(
+            "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+        )
+        .join(scored, "doc_id")
+        .select("y", F.round("clf_score", 4).alias("s"))
+    )
+    return TX.classifier_auc(labeled, "y", "s")
+
+
+@query(
     "q_quality_classifier_train",
     oracle="""
     WITH w AS (

@@ -265,6 +265,7 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
     "evaluate_classifier_thresholds": _simple(
         TX.evaluate_classifier_thresholds
     ),
+    "classifier_auc": _simple(TX.classifier_auc),
     # --- reference transform stragglers
     "account_code_conversion": _simple(T.account_code_conversion),
     "convert_geography": _simple(T.convert_geography),

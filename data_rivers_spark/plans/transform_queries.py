@@ -397,6 +397,55 @@ def q_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_spec_two_frame_merge",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS flagged,
+             o_orderkey
+      FROM orders
+    ), g AS (
+      SELECT o_orderstatus, flagged, COUNT(DISTINCT o_orderkey) AS n
+      FROM t GROUP BY o_orderstatus, flagged
+    )
+    SELECT o_orderstatus, flagged, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / (SELECT SUM(n) FROM g), 4) AS pct
+    FROM g
+    """,
+)
+def q_spec_two_frame_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TWO-FRAME pipeline built entirely from a declarative spec (r12):
+    the upsert CTX verb resolves its ``incoming`` param as a nested
+    sub-spec (filter + derived column over the same table), replaces the
+    matching master rows, and a percentage_table step summarizes the
+    merged frame. Puts the _two adapter (nested-frame resolution + kwarg
+    passthrough) under the driver's hash gate; the oracle restates the
+    merge's net effect (every o_orderkey%7 row carries the incoming
+    flag) plus the distinct-count share table."""
+    from data_rivers_spark.plans.spec import run_spec
+
+    spec = {
+        "source": {"table": "orders"},
+        "steps": [
+            {"op": "with_column", "name": "flagged", "expr": "CAST(0 AS INT)"},
+            {"op": "upsert", "key": "o_orderkey",
+             "incoming": {
+                 "source": {"table": "orders"},
+                 "steps": [
+                     {"op": "filter", "where": "o_orderkey % 7 = 0"},
+                     {"op": "with_column", "name": "flagged",
+                      "expr": "CAST(1 AS INT)"},
+                 ],
+             }},
+            {"op": "percentage_table",
+             "group_cols": ["o_orderstatus", "flagged"],
+             "id_col": "o_orderkey"},
+        ],
+    }
+    return run_spec(spark, spec, sf_dir)
+
+
+@query(
     "q_spec_curation",
     oracle="""
     WITH ex AS (

@@ -547,6 +547,25 @@ def test_evaluate_classifier_thresholds(spark):
     assert r95.prec is None and r95.rec == 0.0 and r95.f1 == 0.0
 
 
+def test_classifier_auc_hand_computed(spark):
+    # r12: Mann-Whitney AUC with average-rank ties. pos=[0.9,0.7,0.5],
+    # neg=[0.7,0.3]: U = 2 + (1 + 0.5) + 1 = 4.5, P*N = 6 -> AUC 0.75.
+    scored = spark.createDataFrame(
+        [(1, 0.9), (1, 0.7), (1, 0.5), (0, 0.7), (0, 0.3)],
+        "y int, s double",
+    )
+    row = TX.classifier_auc(scored, "y", "s").collect()[0]
+    assert (row.auc, row.n_pos, row.n_neg) == (0.75, 3, 2)
+    # perfect separation -> 1.0; reversed -> 0.0
+    sep = spark.createDataFrame([(1, 0.9), (0, 0.1)], "y int, s double")
+    assert TX.classifier_auc(sep, "y", "s").collect()[0].auc == 1.0
+    rev = spark.createDataFrame([(1, 0.1), (0, 0.9)], "y int, s double")
+    assert TX.classifier_auc(rev, "y", "s").collect()[0].auc == 0.0
+    # a single class has no ranking to measure: NULL, not 0.5
+    onec = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y int, s double")
+    assert TX.classifier_auc(onec, "y", "s").collect()[0].auc is None
+
+
 def test_train_hashed_classifier_raises_on_null_labels(spark):
     # r12 (closing the r11 advice): a NULL label would silently drop the
     # row from both gradient sums while n_docs still counts it — training

@@ -103,7 +103,7 @@ def main() -> None:
     n = emb.count()
     results: dict[str, float] = {}
     for router in routers:
-        hier = {"hier": True, "deep": "deep", "flat": False}[router]
+        hier = {"hier": True, "deep": "deep", "flat": False, "auto": None}[router]
 
         def cell(frame):
             return S.kmeans_semantic_dedup(
