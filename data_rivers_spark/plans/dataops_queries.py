@@ -2861,7 +2861,11 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM docs2 d LEFT JOIN zf ON d.doc_id = zf.doc_id CROSS JOIN b2
       WHERE d.split = 'test'
     ), grid AS (
-      SELECT UNNEST([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold
+      -- DOUBLE[] cast: a bare decimal list UNNESTs as DECIMAL(2,1), which
+      -- the portability gate forbids (Arrow fetches decimals differently
+      -- from fetchall) and which would also compare 's >= threshold' in
+      -- decimal space instead of the engine's double space
+      SELECT UNNEST(CAST([0.3, 0.4, 0.5, 0.6, 0.7] AS DOUBLE[])) AS threshold
     ), agg AS (
       SELECT g.threshold,
              SUM(CASE WHEN s >= g.threshold AND y = 1 THEN 1 ELSE 0 END) AS tp,

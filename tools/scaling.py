@@ -1080,15 +1080,17 @@ CELL_NOTES: dict[str, str] = {
         "cells (3.52/3.72/4.18/5.07/14.95/59.35/302.86) remain the "
         "same-algorithm reference for octaves <= 1024x, where auto and "
         "forced dispatch identically; fresh-config cells carry their own "
-        "envelope. The r12 session's big cells read ~1.5-2x those "
-        "historical mins across two sweeps (1024x 141.43 then 118.66; "
-        "4096x 500.4 then 452.72) — a same-JVM control (tools/"
-        "bench_router.py 1024 hier auto) measured hier=True 72.8 s vs "
-        "auto 92.0 s min-of-2 on IDENTICAL dispatch branches (k=6.8k is "
-        "far below the deep crossover), with today's hier baseline itself "
-        "22% above the historical 59.35 — day-level host drift on a "
-        "shared box, not an algorithmic regression; min-merge keeps "
-        "lowering the envelope as quieter windows occur."
+        "envelope. The r12 session's big cells first read ~1.5-2x those "
+        "historical mins (1024x 141.43, then 118.66, then 77.65 across "
+        "three windows; 4096x 500.4/575.2/490.6 with min 452.72) — a "
+        "same-JVM control (tools/bench_router.py 1024 hier auto) measured "
+        "hier=True 72.8 s vs auto 92.0 s min-of-2 on IDENTICAL dispatch "
+        "branches (k=6.8k is far below the deep crossover), with today's "
+        "hier baseline itself 22% above the historical 59.35 — day-level "
+        "host drift on a shared box, not an algorithmic regression, and "
+        "the 1024x envelope's monotone fall across windows confirms it; "
+        "min-merge keeps lowering the envelope as quieter windows occur "
+        "(the 4096x cell's quiet-window min is the one still outstanding)."
     ),
     "quality_classifier_train": (
         "round-12 row for the classifier-training family (2 full-batch GD "
