@@ -308,7 +308,17 @@ def sequential_pack_scalable(
     computed RDD — offset correctness REQUIRES both branches to see the
     same partition assignment, and Catalyst compiles them as two separate
     range exchanges otherwise (the global_row_number_scalable plan-audit
-    finding; same reasoning, same default)."""
+    finding; same reasoning, same default). ``materialize=False`` persists
+    (MEMORY_AND_DISK) instead of checkpointing: both branches still read
+    one computed partition assignment without the eager round-trip, at the
+    (documented) risk that a cache eviction forces a recompute mid-job —
+    never a silent full-recompute of two independent range exchanges
+    (r12 advice).
+
+    NULL groups pack like any other group (the window form's partitionBy
+    semantics): the offsets join is built with eqNullSafe on the group key,
+    because a plain inner equi-join would silently DROP every NULL-group
+    row — NULL never equals NULL (r12 advice, high)."""
     from pyspark.sql import Window
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -324,6 +334,8 @@ def sequential_pack_scalable(
     )
     if materialize:
         numbered = numbered.localCheckpoint(eager=True)
+    else:
+        numbered = numbered.persist()
     tot_keys = ([group_col] if group_col else []) + ["__pid"]
     totals = numbered.groupBy(*tot_keys).agg(
         F.sum(F.col(token_count_col)).alias("__tot")
@@ -334,9 +346,15 @@ def sequential_pack_scalable(
     off_w = off_part.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "__off", F.coalesce(F.sum("__tot").over(off_w), F.lit(0))
-    ).select(*tot_keys, "__off")
+    ).select(
+        *[F.col(k).alias(f"__o_{k}") for k in tot_keys], "__off"
+    )
+    cond = numbered["__pid"] == offsets["__o___pid"]
+    if group_col:
+        # eqNullSafe: NULL-group rows must find their (NULL-group) offset
+        cond = numbered[group_col].eqNullSafe(offsets[f"__o_{group_col}"]) & cond
     return (
-        numbered.join(F.broadcast(offsets), tot_keys)
+        numbered.join(F.broadcast(offsets), cond)
         .withColumn(
             "chunk_idx",
             F.floor((F.col("__lstart") + F.col("__off")) / F.lit(budget)),
@@ -1395,7 +1413,17 @@ def evaluate_classifier_thresholds(
     engines, threshold literals are the same doubles, and integer-count
     ratios round identically. Undefined ratios (zero denominator) are NULL,
     not 0 — a grid point past every score should read as 'no operating
-    point', not 'perfectly bad'."""
+    point', not 'perfectly bad'.
+
+    NULL labels / NULL scores / labels outside {0,1} raise (one validation
+    pass first): every when(...).otherwise(0) branch evaluates NULL→0, so a
+    bad row would silently vanish from ALL four confusion counts — the same
+    different-effective-dataset failure the train-side NULL guard exists
+    for (r12 advice). Eval frames are labeled held-out sets — model-
+    selection-sized, so the extra pass is cheap by construction."""
+    _validate_label_score(
+        scored, label_col, score_col, "evaluate_classifier_thresholds"
+    )
     grid = F.explode(
         F.array(*[F.lit(float(t)) for t in thresholds])
     ).alias("threshold")
@@ -1422,8 +1450,57 @@ def evaluate_classifier_thresholds(
     )
 
 
+def _validate_label_score(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    caller: str,
+    max_distinct_scores: int | None = None,
+) -> None:
+    """Shared eval-side input guard (r12 advice + verdict): one aggregation
+    counting rows a when/otherwise confusion count would silently exclude
+    (NULL label, label outside {0,1}, NULL score) — raise with the count
+    instead of quietly evaluating a different effective dataset. When
+    ``max_distinct_scores`` is set, the same pass approx-counts distinct
+    scores and raises past the bound (classifier_auc's model-sized-window
+    contract, self-enforced)."""
+    bad = (
+        F.col(label_col).isNull()
+        | F.col(score_col).isNull()
+        | ~F.col(label_col).isin(0, 1)
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"),
+    ]
+    if max_distinct_scores is not None:
+        aggs.append(F.approx_count_distinct(score_col).alias("nds"))
+    row = scored.agg(*aggs).collect()[0]
+    if row["n_bad"]:
+        raise ValueError(
+            f"{caller}: {row['n_bad']}/{row['n']} rows have a NULL label, "
+            f"NULL score, or a {label_col!r} value outside {{0,1}} — these "
+            "would silently drop out of every confusion/rank count; clean "
+            "the frame upstream (e.g. F.when(cond, 1).otherwise(0) labels, "
+            "rounded non-null scores)"
+        )
+    if max_distinct_scores is not None and row["nds"] > max_distinct_scores:
+        raise ValueError(
+            f"{caller}: ~{row['nds']} distinct values in {score_col!r} "
+            f"exceed max_distinct_scores={max_distinct_scores}; the exact-"
+            "AUC rank window runs single-partition over one row per "
+            "DISTINCT score, which is only model-sized when scores are "
+            "quantized (e.g. F.round(score, 4)) — round the scores or "
+            "raise the bound deliberately"
+        )
+
+
 def classifier_auc(
-    scored: DataFrame, label_col: str, score_col: str, ndigits: int = 6
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    ndigits: int = 6,
+    max_distinct_scores: int = 1_000_000,
 ) -> DataFrame:
     """Exact ROC-AUC (Mann-Whitney U with average-rank tie handling) for a
     scored frame — the threshold-free half of classifier evaluation
@@ -1439,9 +1516,21 @@ def classifier_auc(
     integer on any engine (order-free sums of integer counts), so the
     DuckDB oracle replays it exactly; AUC = U/(P·N) rounds once at the end.
     Empty classes → NULL AUC (undefined, not 0.5). Returns one row
-    (auc, n_pos, n_neg)."""
+    (auc, n_pos, n_neg).
+
+    Input guard (r12 advice + verdict): NULL labels/scores and labels
+    outside {0,1} raise rather than silently dropping out of the rank
+    counts, and the single-partition rank window's model-sized contract is
+    self-enforced — a caller passing raw unrounded doubles (distinct count
+    → corpus-sized) raises at ``max_distinct_scores`` instead of silently
+    degrading to a corpus-sized one-task sort. One validation aggregation
+    (count + approx_count_distinct) up front pays for both."""
     from pyspark.sql import Window
 
+    _validate_label_score(
+        scored, label_col, score_col, "classifier_auc",
+        max_distinct_scores=max_distinct_scores,
+    )
     per_score = scored.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__np"),
         F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__nn"),
@@ -1470,6 +1559,131 @@ def classifier_auc(
         ),
     )
     return agg.select(auc.alias("auc"), "n_pos", "n_neg")
+
+
+def classifier_pr_auc(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    ndigits: int = 6,
+    max_distinct_scores: int = 1_000_000,
+) -> DataFrame:
+    """Exact average precision (PR-AUC) — the class-imbalance-honest twin
+    of classifier_auc (ROC-AUC is blind to the positive rate; PR-AUC is
+    the metric the quality-filter literature actually reports when
+    positives are the rare curated class). Step-wise AP over distinct
+    score thresholds (the sklearn average_precision_score definition):
+    AP = Σ_k ΔR_k · P_k with each distinct score one threshold block,
+    ΔR_k = np_k / P_total, P_k = cum_tp_k / cum_n_k in descending-score
+    order.
+
+    Same scale posture as classifier_auc: one map-side-combined aggregate
+    to a (score, n_pos, n_neg) row per DISTINCT score (model-sized under
+    the quantized-score contract, self-enforced by the same
+    ``max_distinct_scores`` guard), then windows over that tiny frame.
+
+    Determinism without integers: AP's per-block terms are rationals with
+    varying denominators, so unlike 2U they can't be scaled to one exact
+    integer — instead BOTH engines sum the identical IEEE doubles in the
+    identical descending-score order (a running SUM window, not an
+    unordered aggregate; terms are written `(np/P)·(cum_tp/cum_n)` so the
+    division/multiply order matches the SQL mirror token-for-token), and
+    the final AP is the running sum's last row — max() retrieves it
+    because every term is ≥ 0. Empty positive class → NULL (undefined,
+    not 0). Returns one row (pr_auc, n_pos, n_neg)."""
+    from pyspark.sql import Window
+
+    _validate_label_score(
+        scored, label_col, score_col, "classifier_pr_auc",
+        max_distinct_scores=max_distinct_scores,
+    )
+    per_score = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__np"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__nn"),
+    )
+    w = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_score.select(
+        "__s", "__np",
+        F.sum("__np").over(w).alias("__ctp"),
+        F.sum(F.col("__np") + F.col("__nn")).over(w).alias("__cn"),
+        F.sum("__np").over(tot).alias("__p"),
+        F.sum("__nn").over(tot).alias("__n"),
+    )
+    # __cn ≥ 1 on every cumulative row, but __p = 0 when the frame has no
+    # positives — guard so the (NULL-result) empty-class case doesn't trip
+    # ANSI division; the SQL mirror needs no guard (its outer CASE already
+    # yields NULL and its p>0 fixtures never divide by zero)
+    term = F.when(
+        F.col("__p") > 0,
+        (F.col("__np").cast("double") / F.col("__p"))
+        * (F.col("__ctp").cast("double") / F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    run = cum.select(
+        "__p", "__n", F.sum(term).over(w).alias("__ap_run")
+    )
+    agg = run.agg(
+        F.max("__ap_run").alias("__ap"),
+        F.max("__p").alias("n_pos"),
+        F.max("__n").alias("n_neg"),
+    )
+    ap = F.when(F.col("n_pos") > 0, F.round(F.col("__ap"), ndigits))
+    return agg.select(ap.alias("pr_auc"), "n_pos", "n_neg")
+
+
+def classifier_calibration(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    num_bins: int = 10,
+    score_digits: int = 4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer — per score bin
+    (floor(score·B), top edge clamped into the last bin): row count,
+    positive count, mean predicted score, and empirical positive rate.
+    The table a calibration check reads: a well-calibrated scorer has
+    pos_rate ≈ mean_score per bin; the gap weighted by bin mass is ECE.
+
+    One map-side-combined aggregate to B rows. Exactness contract: the
+    bin mean of DOUBLE scores would be summation-order-dependent, so
+    scores are scaled to integer units at ``score_digits`` (the serving
+    path's own output quantization) and summed as integers — both engines
+    divide the same exact integer by the same count once at the end.
+    NULL/off-domain labels and NULL scores raise (the shared eval guard)."""
+    _validate_label_score(
+        scored, label_col, score_col, "classifier_calibration"
+    )
+    mu = 10**score_digits
+    b = F.least(
+        F.floor(F.col(score_col) * num_bins).cast("int"),
+        F.lit(num_bins - 1),
+    )
+    agg = (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias(
+                "n_pos"
+            ),
+            F.sum(
+                F.round(F.col(score_col) * mu).cast("long")
+            ).alias("__ssum"),
+        )
+    )
+    return agg.select(
+        "bin", "n", "n_pos",
+        F.round(
+            F.col("__ssum") / (F.col("n") * F.lit(float(mu))), ndigits
+        ).alias("mean_score"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n"), ndigits
+        ).alias("pos_rate"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -637,7 +637,7 @@ def q_minhash_cc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(copies)
     verified = D.minhash_lsh_verified_pairs(
-        aug, "text", "doc_id", 0.7, num_hashes=32, bands=16
+        aug, "text", "doc_id", 0.7, num_hashes=32, bands=None
     )
     return D.dedup_by_components(aug, verified, "doc_id").select("doc_id")
 
@@ -1086,7 +1086,7 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = docs.unionByName(copies)
     return SA.cluster_safe_split(
         aug, "text", "doc_id", test_fraction=0.1, threshold=0.7,
-        seed="split", num_hashes=32, bands=16,
+        seed="split", num_hashes=32, bands=None,
     ).select("doc_id", "split")
 
 
@@ -1250,7 +1250,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") < 250)
     surv1, banded1 = D.incremental_lsh_dedup(
-        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
+        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
     )
     copies = (
         b1.filter(F.col("doc_id") % 7 == 0)
@@ -1263,7 +1263,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = copies.unionByName(novel)
     surv2, _ = D.incremental_lsh_dedup(
         batch2, surv1, banded1, "text", "doc_id", threshold=0.7,
-        num_hashes=32, bands=16,
+        num_hashes=32, bands=None,
     )
     return surv2.select("doc_id")
 
@@ -1989,7 +1989,7 @@ def _curation_pdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline does by materializing the cleaned batch
     kept = kept.localCheckpoint(eager=True)
     dd = D.minhash_lsh_dedup(
-        kept, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
+        kept, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
     )
     para = D.paragraph_dedup(dd, "text", "doc_id")
     return (
@@ -2372,7 +2372,13 @@ def q_char_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — char-grams need r=4 because the natural char-similarity tail
     is fat (see the oracle's precondition note: r=2 produced 1.36M
     candidates for 871 true pairs, a 37s verify; r=4 produces 6.8k for
-    the same 871, verified in 2.4s). The oracle carries the aggregate
+    the same 871, verified in 2.4s). This is the repo's one deliberate
+    divergence from the default-budget planner (which would take 32×2 at
+    miss ≤ 1e-4 — exactly the candidate explosion measured above);
+    lsh_plan(0.8, 64, miss_budget=3e-4) returns 16×4, so the literal is
+    the planner's own answer at the measured-safe budget (test-pinned),
+    kept literal rather than bands=None because _resolve_bands fixes the
+    1e-4 budget. The oracle carries the aggregate
     banded-miss budget guard (Σ(1-J⁴)¹⁶ over J≥0.8 pairs < 1e-3) — loud
     refusal on fixtures where banded recall is genuinely at risk, while
     a lone J~0.80 pair (sf0.1 has exactly one) certifies."""
@@ -2459,7 +2465,7 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = docs.unionByName(copies)
     verified = D.minhash_lsh_verified_pairs(
-        aug, "text", "doc_id", 0.7, num_hashes=32, bands=16
+        aug, "text", "doc_id", 0.7, num_hashes=32, bands=None
     )
     comps = D.connected_components(verified)
     hist = (
@@ -2642,12 +2648,50 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     below/ties cumulative runs over that tiny frame, and 2·U is an exact
     integer both engines sum order-free — the oracle replays the scoring
     (q_quality_classifier's CTEs) and the exact rank-sum arithmetic."""
+    return TX.classifier_auc(_serving_path_scored(spark, sf_dir), "y", "s")
+
+
+_SCORED_CTES = """
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
+      FROM documents WHERE REGEXP_REPLACE(text, '^\\s+|\\s+$', '', 'g') != ''
+    ), feats AS (
+      SELECT doc_id, ws[i] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS i FROM w)
+      UNION ALL
+      SELECT doc_id, ws[i] || '_' || ws[i + 1] AS f
+      FROM (SELECT doc_id, ws, UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i FROM w)
+    ), wt AS (
+      SELECT b AS bucket,
+             (CAST(CONCAT('0x', SUBSTR(MD5('w:' || CAST(b AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0) * 2.0 - 1.0 AS weight
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, 1023)) AS b)
+    ), fb AS (
+      SELECT doc_id,
+             CAST(CONCAT('0x', SUBSTR(MD5('w:' || f), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+      FROM feats
+    ), agg AS (
+      SELECT fb.doc_id, SUM(wt.weight) / COUNT(*) AS m
+      FROM fb JOIN wt ON fb.bucket = wt.bucket GROUP BY fb.doc_id
+    ), scored AS (
+      SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             COALESCE(ROUND(1.0 / (1.0 + EXP(-agg.m)), 4), 0.5) AS s
+      FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    )"""
+
+
+def _serving_path_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Spark half of _SCORED_CTES: serving-path quality score
+    (fixed hashed weights, no training) against the language-derived
+    binary label — (y, s) with s the 4-dp sigmoid."""
     t = load_tables(spark, sf_dir, ["documents"])
     wts = TX.make_hashed_weights(spark, 1024, seed="w")
     scored = TX.hashed_linear_score(
         t["documents"], "text", "doc_id", wts, num_buckets=1024, seed="w"
     )
-    labeled = (
+    return (
         t["documents"]
         .select(
             "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
@@ -2655,7 +2699,77 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(scored, "doc_id")
         .select("y", F.round("clf_score", 4).alias("s"))
     )
-    return TX.classifier_auc(labeled, "y", "s")
+
+
+@query(
+    "q_classifier_pr_auc",
+    oracle=_SCORED_CTES + """
+    , per_s AS (
+      SELECT s, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+      FROM scored GROUP BY s
+    ), cum AS (
+      SELECT s, np,
+             SUM(np) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+             SUM(np + nn) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             SUM(np) OVER () AS p, SUM(nn) OVER () AS n
+      FROM per_s
+    ), ap AS (
+      SELECT p, n,
+             SUM((CAST(np AS DOUBLE) / p) * (CAST(ctp AS DOUBLE) / cn))
+               OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ap_run
+      FROM cum
+    )
+    SELECT CASE WHEN MAX(p) > 0 THEN ROUND(MAX(ap_run), 6) END AS pr_auc,
+           CAST(MAX(p) AS BIGINT) AS n_pos,
+           CAST(MAX(n) AS BIGINT) AS n_neg
+    FROM ap
+    """,
+)
+def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (PR-AUC) of the serving-path quality scorer
+    — the class-imbalance-honest companion to q_classifier_auc (ROC-AUC
+    is blind to the positive rate; AP is what the quality-filter papers
+    report when curated positives are rare). Step-wise AP over distinct
+    4-dp score blocks in descending order; both engines sum the SAME
+    IEEE doubles in the SAME order (a running-SUM window over the
+    model-sized per-score frame, terms written `(np/P)·(ctp/cn)`
+    token-for-token on both sides), so the hash gate certifies the whole
+    curve computation, not just the headline number."""
+    return TX.classifier_pr_auc(_serving_path_scored(spark, sf_dir), "y", "s")
+
+
+@query(
+    "q_classifier_calibration",
+    oracle=_SCORED_CTES + """
+    , binned AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin, y,
+             CAST(ROUND(s * 10000) AS BIGINT) AS sm
+      FROM scored
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(sm) AS DOUBLE) / (COUNT(*) * 10000.0), 6)
+             AS mean_score,
+           ROUND(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table for the serving-path scorer: 10 score
+    bins × (count, positives, mean predicted score, empirical positive
+    rate) — the calibration check that tells a pipeline whether its
+    quality scores can be thresholded as probabilities. Bin means of
+    double scores would be summation-order-dependent, so the operator
+    sums integer 4-dp score units (the serving path's own quantization)
+    and divides once — exact on both engines by construction."""
+    return TX.classifier_calibration(
+        _serving_path_scored(spark, sf_dir), "y", "s", num_bins=10
+    )
 
 
 @query(
@@ -3526,7 +3640,7 @@ def q_incremental_dedup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") < 250)
     surv1, banded1 = D.incremental_lsh_dedup(
-        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32, bands=16
+        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
     )
     store = D.group_banded_store(banded1, "doc_id").localCheckpoint(eager=True)
     copies = (
@@ -3540,7 +3654,7 @@ def q_incremental_dedup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = copies.unionByName(novel)
     surv2, _ = D.incremental_lsh_dedup(
         batch2, surv1, None, "text", "doc_id", threshold=0.7,
-        num_hashes=32, bands=16, master_banded_grouped=store,
+        num_hashes=32, bands=None, master_banded_grouped=store,
     )
     return surv2.select("doc_id")
 

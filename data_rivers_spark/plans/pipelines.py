@@ -256,11 +256,15 @@ def corpus_curation_pipeline(
         para.filter(F.col("n_kept") > 0)
         .select(F.col(id_col), F.col("dedup_text").alias(text_col))
     )
-    # 16 bands of 2 rows: per-pair miss <= (1-J^2)^16 ~ 2e-5 at J=0.7 —
-    # recall near the threshold is a design bound, not corpus luck
+    # bands=None → lsh_plan-derived banding at config time (r13, closing
+    # the r12 verdict's composite-banding note): at the default
+    # threshold=0.7 / 32 hashes the planner returns 16 bands × 2 rows —
+    # per-pair miss (1-J^2)^16 ≈ 2e-5, a design bound, not corpus luck —
+    # and a caller overriding dedup_threshold now gets a re-derived split
+    # instead of a stale literal (planner parity is test-pinned).
     deduped = D.minhash_lsh_dedup(
         para_docs, text_col, id_col, threshold=dedup_threshold,
-        num_hashes=32, bands=16,
+        num_hashes=32, bands=None,
     )
     if benchmark is not None:
         flagged = TX.flag_contaminated(deduped, benchmark, text_col, id_col)

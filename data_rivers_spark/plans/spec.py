@@ -266,6 +266,8 @@ OPS: dict[str, Callable[[DataFrame, dict], Callable]] = {
         TX.evaluate_classifier_thresholds
     ),
     "classifier_auc": _simple(TX.classifier_auc),
+    "classifier_pr_auc": _simple(TX.classifier_pr_auc),
+    "classifier_calibration": _simple(TX.classifier_calibration),
     # --- reference transform stragglers
     "account_code_conversion": _simple(T.account_code_conversion),
     "convert_geography": _simple(T.convert_geography),

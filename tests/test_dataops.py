@@ -1812,6 +1812,15 @@ def test_lsh_plan_codifies_standing_banding():
     # explicit int passes through untouched
     assert D._resolve_bands(0.7, 32, None) == 16
     assert D._resolve_bands(0.7, 32, 8) == 8
+    # r13: the composites now pass bands=None everywhere the standing
+    # literal WAS the planner's default-budget answer; the one deliberate
+    # divergence (q_char_lsh_dedup's 16x4 at t=0.8/64 hashes) is itself
+    # the planner's answer at the measured-safe 3e-4 budget — while the
+    # default budget would pick the candidate-explosion 32x2 the query's
+    # docstring measured at 1.36M candidates.
+    p_char = D.lsh_plan(0.8, 64, miss_budget=3e-4)
+    assert (p_char["bands"], p_char["rows"]) == (16, 4)
+    assert D._resolve_bands(0.8, 64, None) == 32
 
 
 def test_minhash_lsh_dedup_planner_banding_matches_explicit(spark):

@@ -113,7 +113,14 @@ def test_sequential_pack_scalable_equals_window_form(spark):
     import random
 
     rng = random.Random(7)
-    rows = [(i, str(i % 5), rng.randint(1, 40)) for i in range(500)]
+    # r13 (closing the r12 high advice): ~1/5 of rows carry a NULL group —
+    # the window form packs NULL as a real group (partitionBy semantics),
+    # and the scalable twin must NOT drop them (a plain inner equi-join on
+    # the group key would: NULL never equals NULL).
+    rows = [
+        (i, str(i % 5) if i % 5 else None, rng.randint(1, 40))
+        for i in range(500)
+    ]
     df = spark.createDataFrame(rows, "k long, g string, tok int").repartition(13)
     for grp in ("g", None):
         want = {
@@ -139,6 +146,41 @@ def test_sequential_pack_scalable_equals_window_form(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 0, 3: 0}
+    # the r12 advice's exact repro: NULL-group rows must survive and pack
+    repro = spark.createDataFrame(
+        [(1, "a", 3), (2, "a", 3), (3, None, 3), (4, None, 3), (5, "b", 3)],
+        "k long, g string, tok int",
+    )
+    want = {
+        r.k: r.chunk_idx
+        for r in TX.sequential_pack(repro, "tok", "k", 5, "g").collect()
+    }
+    got = {
+        r.k: r.chunk_idx
+        for r in TX.sequential_pack_scalable(
+            repro, "tok", "k", 5, "g", num_partitions=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5} and got == want
+
+
+def test_sequential_pack_scalable_materialize_false(spark):
+    # r13 (closing the r12 low advice): materialize=False now persists the
+    # locally-cumsum'd frame instead of recomputing two independent range
+    # exchanges, so it is safe (one partition assignment) — output must
+    # equal the exact window form, NULL groups included.
+    rows = [
+        (i, ["a", "b", None][i % 3], 1 + i % 7) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, tok int").repartition(11)
+    want = {
+        r.k: r.chunk_idx for r in TX.sequential_pack(df, "tok", "k", 16, "g").collect()
+    }
+    got_df = TX.sequential_pack_scalable(
+        df, "tok", "k", 16, "g", num_partitions=5, materialize=False
+    )
+    got = {r.k: r.chunk_idx for r in got_df.collect()}
+    assert got == want
 
 
 def test_quantize_int8_roundtrip(spark):
@@ -564,6 +606,101 @@ def test_classifier_auc_hand_computed(spark):
     # a single class has no ranking to measure: NULL, not 0.5
     onec = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y int, s double")
     assert TX.classifier_auc(onec, "y", "s").collect()[0].auc is None
+
+
+def test_classifier_pr_auc_hand_computed(spark):
+    # r13: step-wise AP over distinct-score blocks, descending. pos=[0.9,
+    # 0.7,0.5], neg=[0.7,0.3]: terms (1/3)(1/1) + (1/3)(2/3) + (1/3)(3/4)
+    # = 29/36 -> 0.805556.
+    scored = spark.createDataFrame(
+        [(1, 0.9), (1, 0.7), (1, 0.5), (0, 0.7), (0, 0.3)],
+        "y int, s double",
+    )
+    row = TX.classifier_pr_auc(scored, "y", "s").collect()[0]
+    assert (row.pr_auc, row.n_pos, row.n_neg) == (round(29 / 36, 6), 3, 2)
+    sep = spark.createDataFrame([(1, 0.9), (0, 0.1)], "y int, s double")
+    assert TX.classifier_pr_auc(sep, "y", "s").collect()[0].pr_auc == 1.0
+    # reversed ranking: the one positive sits under the negative -> 0.5
+    rev = spark.createDataFrame([(1, 0.1), (0, 0.9)], "y int, s double")
+    assert TX.classifier_pr_auc(rev, "y", "s").collect()[0].pr_auc == 0.5
+    # no positives: AP undefined -> NULL, not 0
+    negs = spark.createDataFrame([(0, 0.9), (0, 0.1)], "y int, s double")
+    assert TX.classifier_pr_auc(negs, "y", "s").collect()[0].pr_auc is None
+    # guard parity with classifier_auc: bad rows raise
+    import pytest
+
+    bad = spark.createDataFrame([(1, 0.9), (None, 0.5)], "y int, s double")
+    with pytest.raises(ValueError, match="1/"):
+        TX.classifier_pr_auc(bad, "y", "s")
+
+
+def test_classifier_calibration_hand_computed(spark):
+    # r13: 10-bin reliability table; 1.0 clamps into the top bin; bin means
+    # are integer 4-dp score units divided once (order-free exact).
+    scored = spark.createDataFrame(
+        [(1, 0.95), (0, 0.92), (1, 0.5), (0, 0.45), (1, 1.0)],
+        "y int, s double",
+    )
+    out = {
+        r.bin: r for r in TX.classifier_calibration(scored, "y", "s").collect()
+    }
+    assert set(out) == {4, 5, 9}
+    b9 = out[9]
+    assert (b9.n, b9.n_pos) == (3, 2)
+    assert b9.mean_score == round(28700 / 30000.0, 6)
+    assert b9.pos_rate == round(2 / 3, 6)
+    assert (out[5].n, out[5].n_pos, out[5].mean_score, out[5].pos_rate) == (
+        1, 1, 0.5, 1.0
+    )
+    assert (out[4].n, out[4].n_pos, out[4].mean_score, out[4].pos_rate) == (
+        1, 0, 0.45, 0.0
+    )
+
+
+def test_eval_and_auc_raise_on_bad_rows(spark):
+    # r13 (closing the r12 low advice): NULL labels/scores and labels
+    # outside {0,1} would evaluate NULL->0 in every when/otherwise branch
+    # and silently vanish from all confusion/rank counts — mirror the
+    # train-side guard and raise with the count instead.
+    import pytest
+
+    null_label = spark.createDataFrame(
+        [(1, 0.9), (None, 0.5), (0, 0.1)], "y int, s double"
+    )
+    null_score = spark.createDataFrame(
+        [(1, 0.9), (0, None)], "y int, s double"
+    )
+    off_domain = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (0, 0.1)], "y int, s double"
+    )
+    for bad in (null_label, null_score, off_domain):
+        with pytest.raises(ValueError, match="1/"):
+            TX.evaluate_classifier_thresholds(bad, "y", "s", [0.5]).collect()
+        with pytest.raises(ValueError, match="1/"):
+            TX.classifier_auc(bad, "y", "s")
+    # clean frames still evaluate (the guard adds no false positives)
+    ok = spark.createDataFrame([(1, 0.9), (0, 0.1)], "y int, s double")
+    assert TX.classifier_auc(ok, "y", "s").collect()[0].auc == 1.0
+
+
+def test_classifier_auc_distinct_score_guard(spark):
+    # r13 (verdict #6): the exact-AUC rank window is single-partition over
+    # one row per DISTINCT score — model-sized only when scores are
+    # quantized. Unrounded doubles past max_distinct_scores must raise
+    # instead of silently degrading to a corpus-sized one-task sort.
+    import pytest
+
+    raw = spark.createDataFrame(
+        [(i % 2, 1.0 / (1.0 + 2.718281828 ** -(i * 0.001357)))
+         for i in range(400)],
+        "y int, s double",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        TX.classifier_auc(raw, "y", "s", max_distinct_scores=100)
+    # the same frame rounded to 2 dp collapses under the bound and runs
+    rounded = raw.select("y", F.round("s", 2).alias("s"))
+    assert TX.classifier_auc(rounded, "y", "s", max_distinct_scores=100) \
+        .collect()[0].n_pos == 200
 
 
 def test_train_hashed_classifier_raises_on_null_labels(spark):

@@ -648,8 +648,28 @@ def test_spec_verb_inventory_covers_operator_modules():
         sampling, similarity, textnorm, textstats, transforms,
     )
     from data_rivers_spark.plans import spec as SP
+    from data_rivers_spark.streaming import events, stateful
 
     EXCLUSIONS = {
+        # streaming/ (r13, closing the r12 verdict's silent-boundary note):
+        # these operate on UNBOUNDED readStream frames — a batch spec
+        # serializes a bounded plan (source parquet → steps → result), and a
+        # streaming query additionally needs sink/checkpoint/trigger config
+        # that lives outside the frame algebra, so streaming transforms are
+        # enumerated here but deliberately not spec verbs. The batch
+        # equivalents ARE verbs (sessionize, dedup_latest, windowed aggs).
+        "windowed_event_counts": "streaming frame; batch verb: hourly rollup/window aggs",
+        "streaming_dedup": "streaming frame; batch verb: deduplicate/dedup_latest",
+        "streaming_dedup_within_watermark": "streaming frame (watermarked state)",
+        "stream_static_enrich": "streaming frame; batch verb: crosswalk_join/join",
+        "stream_stream_attribution_join": "streaming frame (two unbounded sides)",
+        "sessionized_event_counts": "streaming frame; batch verb: sessionize",
+        "latest_state_per_user": "streaming frame; batch verb: dedup_latest",
+        "running_user_totals": "streaming stateful (applyInPandasWithState)",
+        "closed_user_sessions": "streaming stateful (applyInPandasWithState)",
+        # (sink programs like stream_dedup_into_corpus / write_stream_to_*
+        # fall outside the DataFrame->DataFrame walk mechanically — no
+        # exclusion entry needed; the walk's annotation filter covers them)
         # intermediate shingle set/row frames: building blocks consumed via
         # the operators' sets=/banded= fast-path params, not pipeline stages
         "shingle_sets": "dedup building block (sets= param of the LSH verbs)",
@@ -681,7 +701,8 @@ def test_spec_verb_inventory_covers_operator_modules():
     }
     covered = set(SP.OPS) | set(SP.CTX_OPS)
     mods = [chunking, dedup, geo, geocode, importance, multimodal,
-            relational, sampling, similarity, textnorm, textstats, transforms]
+            relational, sampling, similarity, textnorm, textstats, transforms,
+            events, stateful]
     frame_ops = set()
     for mod in mods:
         for fn_name, fn in inspect.getmembers(mod, inspect.isfunction):

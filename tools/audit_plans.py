@@ -117,6 +117,8 @@ EXPLAINED = {
     "q_quality_classifier_train": "scoring sweep only: feature explode + id join-back — the GD iterations run eagerly via model-sized collects and never appear in the final plan",
     # round-12 review of the round-12 additions:
     "q_classifier_auc": "serving featurize (text+id) + the id spine inside hashed_linear_score's join-back + the label projection (id+lang) — three column-pruned parquet scans, each reading only its 1-2 columns; cheaper than materializing a corpus-sized scored frame for a one-row output",
+    "q_classifier_pr_auc": "same _serving_path_scored shape as q_classifier_auc (featurize + join-back spine + label projection, all column-pruned); the AP windows run over the model-sized per-distinct-score frame, not the corpus",
+    "q_classifier_calibration": "same _serving_path_scored shape as q_classifier_auc (featurize + join-back spine + label projection, all column-pruned); the bin aggregate is one map-side-combined pass to ≤10 rows",
     "q_classifier_eval": "held-out scoring sweep: test-split featurize + label/id spine (the training side's feature and label frames are eagerly checkpointed inside train_hashed_classifier and never appear in the final plan — same class as q_quality_classifier_train)",
     "q_spec_two_frame_merge": "upsert over one table playing both roles: master anti-join spine + incoming key-distinct + incoming union branch — three column-pruned scans of the same parquet; in production master and incoming are different tables and the shape is one scan each",
 }
