@@ -69,24 +69,66 @@ def hashed_ngram_features(
     Scale: grams stay inside one whole-stage-codegen explode (no UDF); the
     only shuffle is the (id, bucket) count aggregate, map-side combined.
     Empty/whitespace-only docs contribute no rows (restored as weight 0 by
-    dsir_importance_weights)."""
-    ws = words(F.col(text_col))
+    dsir_importance_weights).
 
-    def _ngram_lambda(n: int):
+    The input is projected to (id, text) and FANNED OUT before the explode
+    (session.fan_out: round-robin repartition only when the input is
+    under-partitioned, a no-op on a well-split corpus scan): the per-row
+    work — gram explode plus an md5+conv per gram — dominates the scan by
+    orders of magnitude, and a single-split parquet input would otherwise
+    run the whole featurize in ONE task (r13 stage profile: 9.9 s
+    single-task featurize stages accounted for ~90% of q_dsir_weights'
+    11.2 s wall; fanned out the same work runs at core parallelism)."""
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
+
+    def _ngram_lambda(ws, n: int):
         # single-parameter lambda: PySpark's HOF bridge passes (element,
         # index) to TWO-parameter lambdas, so binding n via a default arg
         # would receive the index Column instead
         return lambda i: F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)])
 
-    gram_arrays = [ws]
-    for n in range(2, n_max + 1):
-        gram_arrays.append(
-            F.when(
-                F.size(ws) >= n,
-                F.transform(F.sequence(F.lit(0), F.size(ws) - n), _ngram_lambda(n)),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-    grams = F.flatten(F.array(*gram_arrays))
+    def _grams(ws):
+        gram_arrays = [ws]
+        for n in range(2, n_max + 1):
+            if n == 2:
+                # bigrams via zip_with over two shifted slices — identical
+                # strings to the transform+get form ('w1 w2'), but ~7x
+                # cheaper: transform(sequence(...), i -> concat_ws(get(ws,i),
+                # get(ws,i+1))) is an interpreted HOF whose per-element
+                # get() re-walks the array machinery; the r13 stage profile
+                # put the gram construction (not the md5) at ~85% of the
+                # 9.9 s featurize stage, while hashed_feature_rows'
+                # zip_with form did the same volume in 1.4 s. Empty/1-word
+                # docs: both slices are empty, so zip_with yields [] —
+                # same as the old when(size>=2) guard.
+                gl = F.greatest(F.size(ws) - 1, F.lit(0))
+                gram_arrays.append(
+                    F.zip_with(
+                        F.slice(ws, 1, gl),
+                        F.slice(ws, 2, gl),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    )
+                )
+            else:
+                gram_arrays.append(
+                    F.when(
+                        F.size(ws) >= n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(ws) - n),
+                            _ngram_lambda(ws, n),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+        return F.flatten(F.array(*gram_arrays))
+
+    # NOTE on let_bound: wrapping ws in dedup.let_bound (evaluate-once) was
+    # tried and REJECTED — measured 3.9 s vs 1.6 s for the bare form at
+    # sf0.1; the extra array wrap/copy per row costs more than the repeated
+    # split saves here (the repeated subexpression is the cheap tokenize,
+    # not an expensive fold)
+    grams = _grams(words(F.col(text_col)))
     return (
         df.select(F.col(id_col), F.explode(grams).alias("__gram"))
         .select(

@@ -1147,7 +1147,18 @@ def hashed_feature_rows(
     interpreted gram construction PER OUTPUT ROW (measured 53 s for what
     the explode alone does in 2.6 s), so per-doc totals are left to the
     consumer to re-aggregate (hashed_feature_fracs' window). Docs with
-    zero features emit no rows (explode of an empty array)."""
+    zero features emit no rows (explode of an empty array).
+
+    The input is projected to (id, text) and FANNED OUT before the explode
+    (session.fan_out: round-robin repartition only when under-partitioned,
+    a no-op on a well-split corpus scan): the gram explode plus an md5+conv
+    per occurrence dominates the scan, and a single-split input would run
+    the whole featurize in one task (the r13 stage profile measured the
+    single-task featurize at 1.4 s inside every classifier train/score/
+    serve query; same finding as importance.hashed_ngram_features)."""
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
     ws = words(F.col(text_col))
     bigrams = F.zip_with(
         F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
@@ -1297,8 +1308,13 @@ def train_hashed_classifier(
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("int").alias("__y")
     ).localCheckpoint(eager=True)
-    n_docs = labels.count()
-    n_null = labels.filter(F.col("__y").isNull()).count()
+    # one combined pass for the size + NULL-label guard (was two sequential
+    # jobs over the checkpointed frame — r13 job-count audit)
+    crow = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__y").isNull(), 1).otherwise(0)).alias("nn"),
+    ).collect()[0]
+    n_docs, n_null = crow["n"], crow["nn"] or 0
     if n_null:
         raise ValueError(
             f"train_hashed_classifier: {n_null}/{n_docs} rows have a NULL "
@@ -1334,15 +1350,38 @@ def train_hashed_classifier(
         )
         pmy = scored.select(
             id_col, F.round(F.col("__pmy") * mu).cast("long").alias("__pm")
-        )
-        gb = pmy.agg(F.sum("__pm").alias("s")).collect()[0]["s"] or 0
-        grows = (
+        ).persist()
+        # ONE collect per epoch for both gradients: the bucket gradient and
+        # the bias gradient union into a single frame (bias rides synthetic
+        # bucket -1 carrying the RAW sum(__pm) — unscaled, so the bias sum
+        # keeps its full n_docs*mu long headroom; integer arithmetic,
+        # bit-identical trajectory). Before r13 this was
+        # two collects whose shared pmy lineage — the full feats-join +
+        # id-keyed aggregate + label join, a corpus pass — was recomputed
+        # per consumer (lineage reuse is not computation reuse; the r13
+        # stage profile showed the two ~6 s aggregate stages per epoch
+        # twice). persist() makes the first consumer compute pmy once;
+        # unpersisted right after the collect so epochs don't accumulate
+        # executor blocks.
+        combined = (
             feats.join(pmy, id_col)
             .groupBy("bucket")
             .agg(F.sum(F.col("__fm") * F.col("__pm")).alias("gm"))
+            .unionByName(
+                pmy.agg(
+                    F.lit(-1).alias("bucket"), F.sum("__pm").alias("gm")
+                )
+            )
             .collect()
         )
-        g = {r["bucket"]: r["gm"] / (mu * mu) for r in grows}
+        pmy.unpersist()
+        gb = 0
+        g = {}
+        for r in combined:
+            if r["bucket"] == -1:
+                gb = r["gm"] or 0
+            else:
+                g[r["bucket"]] = r["gm"] / (mu * mu)
         w = [
             round(w[b] - lr * g.get(b, 0.0) / n_docs, ndigits)
             for b in range(num_buckets)
