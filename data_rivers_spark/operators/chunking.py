@@ -44,7 +44,14 @@ def chunk_documents(
 
     All integer math stays integral (``(n - chunk + step - 1) div step``)
     so the DuckDB oracle replays it hash-exactly.
+
+    Fanned out before the per-row work (session.fan_out, a no-op on a
+    well-split input): tokenize + per-chunk array slicing dominates the
+    scan, and a single-split input would run it all in one task (r13).
     """
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df)
     if overlap_tokens >= chunk_tokens:
         raise ValueError(
             f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens"
@@ -225,9 +232,14 @@ def chunk_by_sentences(
 
     Scale: one Generate (posexplode of the sentence array), one window +
     hash aggregate, both partitioned by the doc id — a single shuffle, no
-    UDF, no all-pairs anything."""
+    UDF, no all-pairs anything. Fanned out before the per-row work
+    (session.fan_out, a no-op on a well-split input): the sentence-regex
+    extraction dominates the scan (r13)."""
     from pyspark.sql import Window
 
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df)
     src = F.col(text_col)
     if abbrev_aware:
         src = _mask_abbrev_periods(src)

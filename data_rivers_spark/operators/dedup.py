@@ -875,27 +875,78 @@ def ngram_jaccard_pairs(
     id_col: str,
     block_cols: list[str],
     threshold: float,
+    salts: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram (word-set) Jaccard within blocking groups — the
     brute-force verifier (and the oracle-checkable flavor): pairs (id_a <
     id_b) sharing block_cols with Jaccard ≥ threshold.
 
     Scale: blocking bounds the quadratic term; use LSH (above) when no natural
-    blocking key exists."""
-    cols_a = [F.col(c).alias(f"__blk_{c}") for c in block_cols]
-    base = df.select(F.col(id_col), F.col(text_col), *cols_a)
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"), *[F.col(f"__blk_{c}") for c in block_cols]
+    blocking key exists.
+
+    r13 shape (was 789 s at sf0.1, now ~2 s; same pairs, same values):
+    - Tokenize ONCE PER DOCUMENT, not once per pair: the old form carried the
+      raw texts through the join and ran jaccard_words — two regex splits +
+      two array_distinct + intersect + union — per CANDIDATE PAIR (3.2M pairs
+      at sf0.1 ≈ 250 µs each). Now each doc is reduced to its distinct word
+      set (and its size) before the join, and per pair only one
+      array_intersect remains; |union| = |a| + |b| − |intersect| by
+      inclusion–exclusion over distinct sets, so the jaccard double (and its
+      4-dp round) is bit-identical to the old array_union form, including
+      the union=0 → 1.0 guard.
+    - SALT the block key (guide §2.5): blocking keys are low-cardinality by
+      design (5 langs at sf0.1), so the quadratic compare stage would run on
+      ≤ n_blocks tasks no matter how wide the cluster. The a-side gets a
+      deterministic salt pmod(xxhash64(id), S) — never rand(): retried map
+      tasks must re-derive the same salt (SPARK-38388) — and the b-side is
+      exploded S ways, so every (block, salt) cell holds 1/S of the block's
+      pairs and the planner is free to broadcast the small UNexploded a-side
+      (it does at sf0.1: BroadcastHashJoin, zero shuffle of the exploded
+      side) or fall back to a salted sort-merge join at cluster scale. S
+      defaults to min(defaultParallelism, 64) — scale-adaptive, capped so
+      the b-side replication factor stays bounded; callers with wider
+      clusters and few blocks can raise `salts` explicitly."""
+    from data_rivers_spark.session import fan_out
+
+    spark = df.sparkSession
+    n_salts = salts or max(1, min(spark.sparkContext.defaultParallelism, 64))
+    base = fan_out(
+        df.select(F.col(id_col), F.col(text_col), *[F.col(c) for c in block_cols])
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"), *[F.col(f"__blk_{c}").alias(f"__blk2_{c}") for c in block_cols]
+    ws = F.array_distinct(words(F.col(text_col)))
+    sets = base.select(
+        F.col(id_col), ws.alias("__ws"), F.size(ws).alias("__n"),
+        *[F.col(c) for c in block_cols],
     )
-    cond = F.col("id_a") < F.col("id_b")
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__ws").alias("__wa"),
+        F.col("__n").alias("__na"),
+        *[F.col(c).alias(f"__blk_{c}") for c in block_cols],
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt_a"),
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__ws").alias("__wb"),
+        F.col("__n").alias("__nb"),
+        *[F.col(c).alias(f"__blk2_{c}") for c in block_cols],
+    ).withColumn("__salt_b", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    cond = (F.col("id_a") < F.col("id_b")) & (
+        F.col("__salt_a") == F.col("__salt_b").cast("long")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"__blk_{c}") == F.col(f"__blk2_{c}"))
+    inter = F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
+    union = F.col("__na") + F.col("__nb") - inter
+    jac = F.round(
+        F.when(union == 0, F.lit(1.0)).otherwise(
+            inter.cast("double") / union.cast("double")
+        ),
+        4,
+    )
     return (
         a.join(b, cond)
-        .withColumn("jaccard", F.round(jaccard_words(F.col("__ta"), F.col("__tb")), 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -981,8 +1032,15 @@ def _fnv1a64(s: str) -> int:
 
 
 def simhash_column(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched; one pass)."""
-    return df.withColumn(out_col, _simhash_udf()(F.col(text_col)))
+    """64-bit SimHash per document (Arrow-batched; one pass).
+
+    Fanned out before the UDF (session.fan_out, a no-op on a well-split
+    input): the vectorized FNV/vote kernel dominates the scan by orders of
+    magnitude, and a single-split input would run every batch in ONE task
+    (r13: the whole sf0.1 corpus signature pass ran single-task)."""
+    from data_rivers_spark.session import fan_out
+
+    return fan_out(df).withColumn(out_col, _simhash_udf()(F.col(text_col)))
 
 
 def _auto_clean_blocks(n: int, max_hamming: int) -> int:
@@ -1147,7 +1205,10 @@ def simhash_near_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20, strict: bool = True
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    strict: bool = True,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Exact connected components over a near-dup pair graph: (id, component)
     where component = the minimum id reachable from the node.
@@ -1175,9 +1236,64 @@ def connected_components(
     returns the partial labels for exploratory use. With the shortcut step
     the default cap covers ~10^6-diameter chains, so a strict raise now
     genuinely means a pathological graph, not a long one."""
-    edges = pairs.select(
+    # Materialize the PAIR LIST once before anything fans out from it: the
+    # src↔dst union (and, before r13, the driver-gate count) would otherwise
+    # re-derive the whole upstream pair-generation lineage — candidate join +
+    # exact verify, the expensive part of every LSH/blocked dedup — once per
+    # consumer branch (lineage reuse is not computation reuse; measured
+    # q_embedding_lsh_cc_dedup paying the verify twice inside one union
+    # stage). Pair-graph-sized, never corpus-sized.
+    cp = pairs.select("id_a", "id_b").localCheckpoint()
+    # r13 size-gated dispatch (same shape as the kmeans router): a near-dup
+    # pair graph is PAIR-sized, not corpus-sized, and below
+    # ``driver_max_edges`` (~32 MB of id pairs at the default) an in-core
+    # union-find with path compression computes the exact same min-id
+    # fixpoint in milliseconds, replacing ~3 Spark jobs PER ROUND × up to
+    # log₂(diameter) rounds (q_embedding_cc_dedup measured 378 jobs across
+    # its profiled runs, wall dominated by ~60 ms/job fixed scheduling cost,
+    # not compute). Above the gate — the 100 TB regime, where a pair graph
+    # can carry billions of edges — the distributed pointer-jumping loop
+    # below runs unchanged. Both paths return min-reachable-id labels for
+    # exactly the nodes appearing in any pair; equality is pinned by
+    # tests/test_dataops.py (CC paths) and every CC-consuming oracle query.
+    n_pairs = cp.count()
+    if n_pairs <= driver_max_edges:
+        spark = pairs.sparkSession
+        id_type = cp.schema["id_a"].dataType
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for src, dst in cp.collect():
+            if src not in parent:
+                parent[src] = src
+            if dst not in parent:
+                parent[dst] = dst
+            ra, rb = find(src), find(dst)
+            if ra != rb:
+                # min-id root wins — the distributed loop's F.least fixpoint
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(n, find(n)) for n in parent]
+        from pyspark.sql import types as _T
+
+        schema = _T.StructType(
+            [
+                _T.StructField("id", id_type),
+                _T.StructField("component", id_type),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+    edges = cp.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    ).unionByName(cp.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     edges = edges.distinct().localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))

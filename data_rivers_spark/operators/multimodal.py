@@ -193,7 +193,12 @@ def extract_features(
                     out["decode_ok"].append(False)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    # fan out before the Python decode boundary (session.fan_out, no-op on
+    # a well-split input): per-row decode dominates the scan and a single-
+    # split input runs every Arrow batch in one task (r13)
+    from data_rivers_spark.session import fan_out
+
+    return fan_out(df).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def resize_images(
@@ -227,7 +232,9 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(run, out_schema)
+    from data_rivers_spark.session import fan_out
+
+    return fan_out(df).mapInPandas(run, out_schema)  # fan out: see extract_features (r13)
 
 
 def sample_video_frames(
@@ -362,7 +369,9 @@ def perceptual_hash(
                 }
             )
 
-    return df.mapInPandas(run, PHASH_SCHEMA)
+    from data_rivers_spark.session import fan_out
+
+    return fan_out(df).mapInPandas(run, PHASH_SCHEMA)  # fan out: see extract_features (r13)
 
 
 def media_near_dup_pairs(

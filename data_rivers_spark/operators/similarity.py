@@ -271,17 +271,39 @@ def embedding_near_dup_pairs(
     oracle-checkable verifier at test scale)."""
     if block_col is None and not exact_all_pairs:
         return embedding_near_dup_pairs_lsh(df, vec_col, id_col, threshold)
-    a = df.select(
+    from data_rivers_spark.session import fan_out
+
+    # r13: SALT the block key (guide §2.5) — block columns are
+    # low-cardinality by design (the sf0.1 fixture has a handful of labels),
+    # so without a salt the whole quadratic compare stage lands on
+    # ≤ n_blocks tasks (measured: the per-pair cosine ran 12.2 s of executor
+    # time on TWO tasks inside q_embedding_cc_dedup). The a-side salt is
+    # deterministic (pmod(xxhash64(id), S) — rand() would re-draw under task
+    # retry, SPARK-38388); the b-side is exploded S ways so each
+    # (block, salt) cell holds 1/S of the block's pairs. Identical pair set,
+    # identical per-pair cosine expression. S = min(defaultParallelism, 64),
+    # scale-adaptive with a bounded replication factor.
+    spark = df.sparkSession
+    n_salts = max(1, min(spark.sparkContext.defaultParallelism, 64))
+    base = fan_out(
+        df.select(
+            F.col(id_col), F.col(vec_col), *([F.col(block_col)] if block_col else [])
+        )
+    )
+    a = base.select(
         F.col(id_col).alias("id_a"),
         _as_double(F.col(vec_col)).alias("__va"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt_a"),
     )
-    b = df.select(
+    b = base.select(
         F.col(id_col).alias("id_b"),
         _as_double(F.col(vec_col)).alias("__vb"),
         *([F.col(block_col).alias("__blk2")] if block_col else []),
+    ).withColumn("__salt_b", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    cond = (F.col("id_a") < F.col("id_b")) & (
+        F.col("__salt_a") == F.col("__salt_b").cast("long")
     )
-    cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("__blk") == F.col("__blk2"))
     return (
@@ -355,7 +377,12 @@ def _bucket_arrays_vectorized(
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
 
-    proj = df.select(id_col, vec_col, *extra_cols)
+    from data_rivers_spark.session import fan_out
+
+    # fan out before the Arrow boundary (no-op on a well-split input): the
+    # per-batch BLAS matmul dominates the scan, and a single-split input
+    # would run every batch in one task (r13)
+    proj = fan_out(df.select(id_col, vec_col, *extra_cols))
     return proj.mapInPandas(run, out_schema)
 
 
@@ -438,20 +465,39 @@ def embedding_near_dup_pairs_lsh(
             *blk_sel,
         ).localCheckpoint(eager=True)
     keys = ["__tbl", "__bkt"] + (["__blk"] if block_col else [])
+    # r13 (guide §8: decide with small rows, move big rows once): the
+    # candidate join and the (id_a, id_b) dropDuplicates used to carry BOTH
+    # 64-double vectors through the ×L posexplode on both sides — measured
+    # 1.85 GB shuffled (926 MB per side) on the sf0.1 twin corpus, with the
+    # dedup+verify stage reading it all back (922 s of executor time).
+    # Candidates are now generated and deduplicated on (id, table, bucket)
+    # METADATA only (~24 bytes/row), and the vectors are attached to the
+    # surviving unique pairs afterwards by two id-keyed joins against the
+    # already-checkpointed bucketed frame — each vector crosses per unique
+    # pair, never per (pair × shared-table) occurrence. Same pair set, same
+    # exact-cosine verify expression, same output.
     side = bucketed.select(
-        "__id", "__v", *(["__blk"] if block_col else []),
+        "__id", *(["__blk"] if block_col else []),
         F.posexplode("__bkts").alias("__tbl", "__bkt"),
     )
-    a = side.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), *keys
-    )
-    b = side.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), *keys
-    )
-    return (
+    a = side.select(F.col("__id").alias("id_a"), *keys)
+    b = side.select(F.col("__id").alias("id_b"), *keys)
+    cand = (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = bucketed.select("__id", "__v")
+    return (
+        cand.join(
+            vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")),
+            "id_b",
+        )
         .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

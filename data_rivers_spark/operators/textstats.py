@@ -43,7 +43,16 @@ def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
 
 def quality_features(df: DataFrame, text_col: str, prefix: str = "q_") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length quality
-    signals (the standard pre-training corpus filters)."""
+    signals (the standard pre-training corpus filters).
+
+    Fanned out before the per-row work (session.fan_out, a no-op on a
+    well-split input): the regex + word-split + HOF expressions here are
+    orders of magnitude heavier than the scan, and a single-split parquet
+    input would otherwise evaluate them all in ONE task (r13 profile:
+    q_corpus_prep spent its wall in 4.5-8 s single-task expression stages)."""
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df)
     text = F.col(text_col)
     n_chars = F.length(text)
     ws = words(text)
@@ -75,7 +84,14 @@ def language_scores(text: Column) -> Column:
 
 def detect_language(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language-ID: argmax stopword-hit ratio; 'und' when nothing
-    hits. Ties resolve by language-code order for determinism."""
+    hits. Ties resolve by language-code order for determinism.
+
+    Fanned out before the per-row work (see quality_features): one
+    stopword_ratio per configured language = n_langs word-splits + set-probe
+    filters per row — scan-dominating by far."""
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df)
     text = F.col(text_col)
     best = None
     best_score = None
@@ -124,7 +140,13 @@ def normalize_text(
     """Corpus text normalization (the standard pre-tokenization cleanup
     pipeline): lowercase → strip control chars → optional punctuation strip /
     digit masking → whitespace collapse + trim. Pure regexp expressions;
-    composable with fingerprint() for normalized-dedup keys."""
+    composable with fingerprint() for normalized-dedup keys.
+
+    Fanned out before the per-row work (see quality_features): 3-4 regex
+    passes over the full text per row dominate the scan."""
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df)
     out_col = out_col or text_col
     c = F.col(text_col)
     if lowercase:
@@ -408,7 +430,14 @@ def line_repetition_stats(
 
     Docs with no separator are a single line (dup fractions 0.0) — mirrors
     ``split()`` semantics on both engines.
+
+    Fanned out before the per-row work (see quality_features): the
+    split+explode+partial-agg map side runs in the scan stage, single-task
+    on a single-split input.
     """
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df)
     ex = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("__line")
     )
@@ -838,7 +867,12 @@ def c4_quality_filter(
 
     Scale: the whole operator is a Catalyst higher-order-function pipeline
     over the line array — per-row, no explode, no aggregation, so it
-    composes with any partitioning and pushes through joins untouched."""
+    composes with any partitioning and pushes through joins untouched.
+    Fanned out first (see quality_features): per-row HOF line filtering
+    dominates the scan, and single-split inputs would run it in one task."""
+    from data_rivers_spark.session import fan_out
+
+    df = fan_out(df)
     lines = F.split(F.col(text_col), line_sep)
     keep_line = (
         lambda x: F.rtrim(x).rlike(r'[.!?"]$')

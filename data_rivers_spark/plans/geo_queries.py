@@ -330,7 +330,12 @@ def q_convert_geography_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # parse WKT once on the broadcast side (25 rows), not per probe pair
     zones = zones.select("zone", wkt_polygon_vertices(F.col("geo")).alias("verts"))
-    pts = _order_points(t["orders"])
+    from data_rivers_spark.session import fan_out
+
+    # ray casting per (point × zone) is the expensive map — spread the
+    # single-split orders scan first, same as revgeo (r13; was 10.7 s at
+    # the sf0.1 gate with the whole cast on the scan's task count)
+    pts = fan_out(_order_points(t["orders"]))
     joined = pts.join(
         F.broadcast(zones),
         point_in_polygon(F.col("px"), F.col("py"), F.col("verts")),

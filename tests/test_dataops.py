@@ -352,6 +352,36 @@ def test_simhash_pairs_invariant_to_clean_blocks(spark):
     assert hinted == outs[0]
 
 
+def test_ngram_jaccard_pairs_salt_invariance(spark):
+    """r13: the block-key salt only partitions the pair space — the output
+    (pairs AND 4-dp jaccard values) must be identical at any salt count,
+    including S=1 (the unsalted join), and empty/NULL texts must keep
+    their pre-r13 behavior (filtered by callers; NULL jaccard drops)."""
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "the quick brown fox jumps", "en"),
+        (3, "the quick brown fox", "en"),
+        (4, "der schnelle braune fuchs", "de"),
+        (5, "der schnelle braune fuchs", "de"),
+        (6, "unrelated words entirely here", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    outs = []
+    for s in (1, 7, None):
+        out = sorted(
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                df, "text", "doc_id", ["lang"], 0.8, salts=s
+            ).collect()
+        )
+        outs.append(out)
+    assert outs[0] == outs[1] == outs[2]
+    got = {(a, b): j for a, b, j in outs[0]}
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (4, 5) in got and got[(4, 5)] == 1.0
+    assert (2, 6) not in got
+
+
 def test_connected_components_chain(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9), (3, 4)], "id_a long, id_b long"
@@ -373,16 +403,23 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
     )
+    # driver_max_edges=0 pins the DISTRIBUTED loop (r13: small graphs
+    # otherwise dispatch to the exact driver union-find, which never
+    # iterates and so can never be non-convergent)
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(pairs, max_iterations=2)
+        D.connected_components(pairs, max_iterations=2, driver_max_edges=0)
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        partial = D.connected_components(pairs, max_iterations=2, strict=False)
+        partial = D.connected_components(
+            pairs, max_iterations=2, strict=False, driver_max_edges=0
+        )
         partial.collect()
     assert any("did not converge" in str(w.message) for w in rec)
     # and with enough rounds the same graph converges silently
     full = {r.id: r.component
-            for r in D.connected_components(pairs, max_iterations=10).collect()}
+            for r in D.connected_components(
+                pairs, max_iterations=10, driver_max_edges=0
+            ).collect()}
     assert full == {i: 1 for i in range(1, 7)}
 
 
@@ -1784,8 +1821,33 @@ def test_connected_components_long_chain_converges_in_default_cap(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 121)], "id_a long, id_b long"
     )
-    comps = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    comps = {r.id: r.component
+             for r in D.connected_components(pairs, driver_max_edges=0).collect()}
     assert comps == {i: 1 for i in range(1, 122)}
+
+
+def test_connected_components_driver_gate_matches_distributed(spark):
+    """r13 size-gated dispatch: below driver_max_edges an in-core
+    union-find replaces the pointer-jumping loop. Both paths must return
+    the identical min-reachable-id labels — chain, star, duplicate-edge,
+    and singleton-pair shapes, including a >2-round-diameter chain."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # 6-chain
+         (10, 11), (11, 10), (10, 12),                # star + dup edge
+         (20, 21)],                                   # singleton pair
+        "id_a long, id_b long",
+    )
+    via_driver = {r.id: r.component
+                  for r in D.connected_components(pairs).collect()}
+    via_loop = {r.id: r.component
+                for r in D.connected_components(
+                    pairs, driver_max_edges=0
+                ).collect()}
+    assert via_driver == via_loop
+    assert via_driver == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+    }
 
 
 def test_lsh_plan_codifies_standing_banding():
