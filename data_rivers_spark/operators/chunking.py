@@ -45,13 +45,13 @@ def chunk_documents(
     All integer math stays integral (``(n - chunk + step - 1) div step``)
     so the DuckDB oracle replays it hash-exactly.
 
-    Fanned out before the per-row work (session.fan_out, a no-op on a
-    well-split input): tokenize + per-chunk array slicing dominates the
-    scan, and a single-split input would run it all in one task (r13).
+    Deliberately NOT fanned out (r13 A/B): tokenize + slice is cheap
+    enough per row that the round-robin exchange costs more than the
+    parallelism buys (measured 0.60 s -> 0.85 s at sf0.1), and the
+    zero-shuffle single-codegen-stage plan contract is part of this
+    operator's scale design — unlike the regex-heavy sentence chunker,
+    which keeps its fan_out on a measured win.
     """
-    from data_rivers_spark.session import fan_out
-
-    df = fan_out(df)
     if overlap_tokens >= chunk_tokens:
         raise ValueError(
             f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens"

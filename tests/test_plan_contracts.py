@@ -39,8 +39,20 @@ def _plan(spark, name: str) -> str:
 
 def _exchanges(plan: str) -> int:
     # numbered physical nodes only — not BroadcastExchange (broadcasts are
-    # asserted separately; they don't repartition the fact side)
-    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+    # asserted separately; they don't repartition the fact side). The
+    # conditional fan_out round-robin (session.fan_out, r13) is also
+    # excluded: it fires ONLY when the input is under-partitioned — true at
+    # this fixture's single-split sf0.001 parquet, a no-op on a well-split
+    # production scan — so it is not a scale-relevant shuffle. Hash/range
+    # exchanges (the ones a join/agg/window regression would add) always
+    # count: an accidental repartition(n, key) is hashpartitioning, and an
+    # orderBy is rangepartitioning, neither matches the REPARTITION_BY_NUM
+    # round-robin signature.
+    total = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    fanout = len(
+        re.findall(r"RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM", plan)
+    )
+    return total - fanout
 
 
 # per-row / shuffle-free operators: ANY Exchange is a regression
