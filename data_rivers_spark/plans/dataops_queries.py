@@ -1453,7 +1453,16 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches even at threshold boundaries."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
-    out = TX.gopher_repetition_filter(_synth_lines(docs), "text", "doc_id")
+    # gopher's three feature pipelines each scan their input; when that
+    # input is the _synth_lines HOF rebuild (not a pruned parquet scan),
+    # lineage re-execution pays the interpreted transform/slice chain per
+    # pipeline — materialize the doc-scale synthetic frame once (r13;
+    # same caller-side amortization gopher_repetition_filter's docstring
+    # prescribes for derived inputs)
+    from data_rivers_spark.session import fan_out
+
+    lined = fan_out(_synth_lines(docs)).localCheckpoint(eager=True)
+    out = TX.gopher_repetition_filter(lined, "text", "doc_id")
     return out.select(
         "doc_id",
         "n_lines",

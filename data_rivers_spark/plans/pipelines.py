@@ -247,6 +247,13 @@ def corpus_curation_pipeline(
         c4.filter(F.col("keep"))
         .select(F.col(id_col), F.col("kept_text").alias(text_col))
     )
+    # stage boundary (r13): gopher's three feature pipelines plus the
+    # left-semi below would each re-execute the C4 regex chain through
+    # lineage — four corpus passes of per-row regex work. One doc-scale
+    # checkpoint of the cleaned batch pays it once (the same
+    # materialize-the-cleaned-batch posture as `deduped` below and
+    # q_curation_select_mix's prefix).
+    cleaned = cleaned.localCheckpoint(eager=True)
     gopher = TX.gopher_repetition_filter(cleaned, text_col, id_col)
     kept = cleaned.join(
         gopher.filter(F.col("keep")).select(id_col), id_col, "left_semi"
