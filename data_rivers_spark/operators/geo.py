@@ -56,6 +56,7 @@ def revgeo_timebound_join(
     grid: bool | str = "auto",
     grid_threshold: int = 512,
     zone_count_hint: int | None = None,
+    zone_stats=None,
 ) -> DataFrame:
     """LEFT OUTER spatial-interval join: attach the zone containing each point
     whose validity interval covers the point's date; non-matching points keep
@@ -113,9 +114,15 @@ def revgeo_timebound_join(
         & (pdate <= F.coalesce(z["__zend"], F.current_timestamp()))
         & point_in_polygon(px, py, z["__verts"])
     )
-    stats = None
+    # ``zone_stats``: precomputed (n, w, h) for THIS zone table — any object
+    # with .n/.w/.h (e.g. a Row from revgeo_multi_zone's single folded
+    # stats job, r13). Skips the per-join stats job entirely: an N-way
+    # multi-zone enrichment otherwise pays N driver-blocking collect jobs.
+    stats = zone_stats
     if isinstance(grid, bool):
         use_grid = grid
+    elif stats is not None:
+        use_grid = stats.n > grid_threshold
     elif zone_count_hint is not None:
         use_grid = zone_count_hint > grid_threshold
     else:
@@ -165,11 +172,40 @@ def revgeo_multi_zone(
 ) -> DataFrame:
     """The 8-way enrichment: one timebound revgeo join per zone type, each
     broadcast (geo_queries.py:4-108 joins neighborhoods, council_districts,
-    wards, fire/police zones, dpw_* in a single statement)."""
+    wards, fire/police zones, dpw_* in a single statement).
+
+    Stats folding (r13): each per-zone join in auto/grid mode needs a
+    count+bbox aggregation of its (tiny) zone table — N driver-blocking
+    collect jobs for an N-way enrichment, pure latency since each job is
+    milliseconds of work. One tagged-union aggregation answers all N at
+    once; the per-join stats job is skipped via ``zone_stats``. grid=False
+    needs no stats, so nothing is collected there."""
     out = points
+    stats_by_zone: dict[str, object] = {}
+    if kwargs.get("grid", "auto") is not False and len(zone_tables) > 1:
+        wkt_col = kwargs.get("wkt_col", "geometry")
+        tagged = None
+        for out_col, zones in zone_tables.items():
+            z = _prepared_zones(zones, wkt_col).select(
+                F.lit(out_col).alias("__ztag"),
+                (F.col("__xmax") - F.col("__xmin")).alias("__w"),
+                (F.col("__ymax") - F.col("__ymin")).alias("__h"),
+            )
+            tagged = z if tagged is None else tagged.unionByName(z)
+        stats_by_zone = {
+            r["__ztag"]: r
+            for r in tagged.groupBy("__ztag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("__w").alias("w"),
+                F.max("__h").alias("h"),
+            )
+            .collect()
+        }
     for out_col, zones in zone_tables.items():
         out = revgeo_timebound_join(
-            out, zones, x_col, y_col, point_date_col, out_col=out_col, **kwargs
+            out, zones, x_col, y_col, point_date_col, out_col=out_col,
+            zone_stats=stats_by_zone.get(out_col), **kwargs
         )
     return out
 

@@ -1249,8 +1249,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") < 250)
+    # batch_min_id passed explicitly (r13): the bound only needs to sit
+    # above every master id (< 250) and at-or-below every batch id (0 /
+    # >= 100000 by construction), so the fixture constants are exact and
+    # each call skips its driver-blocking min() probe job — the documented
+    # production hook (watermark/explicit) exercised under the gate.
     surv1, banded1 = D.incremental_lsh_dedup(
-        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
+        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32,
+        bands=None, batch_min_id=0,
     )
     copies = (
         b1.filter(F.col("doc_id") % 7 == 0)
@@ -1263,7 +1269,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch2 = copies.unionByName(novel)
     surv2, _ = D.incremental_lsh_dedup(
         batch2, surv1, banded1, "text", "doc_id", threshold=0.7,
-        num_hashes=32, bands=None,
+        num_hashes=32, bands=None, batch_min_id=100000,
     )
     return surv2.select("doc_id")
 
@@ -1336,9 +1342,14 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fraction of characters in repeated lines, per document. Reference
     semantics: Rae et al. 2021 table A1 / Dolma gopher tagger; Spark shape is
     explode → (id,line) count → per-id re-aggregate, all map-side combinable."""
+    from data_rivers_spark.session import fan_out
+
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
-    out = TX.line_repetition_stats(_synth_lines(docs), "text", "doc_id")
+    # fan out the RAW docs, not the synth output: the operator's internal
+    # fan_out sits above the projection, leaving the HOF rebuild on the
+    # one-task scan side (r13)
+    out = TX.line_repetition_stats(_synth_lines(fan_out(docs)), "text", "doc_id")
     return out.select(
         "doc_id",
         "n_lines",
@@ -1458,10 +1469,12 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage re-execution pays the interpreted transform/slice chain per
     # pipeline — materialize the doc-scale synthetic frame once (r13;
     # same caller-side amortization gopher_repetition_filter's docstring
-    # prescribes for derived inputs)
+    # prescribes for derived inputs). fan_out sits BELOW the synth
+    # projection: applied above it, the one-task scan side would compute
+    # the whole HOF chain before the exchange spreads anything.
     from data_rivers_spark.session import fan_out
 
-    lined = fan_out(_synth_lines(docs)).localCheckpoint(eager=True)
+    lined = _synth_lines(fan_out(docs)).localCheckpoint(eager=True)
     out = TX.gopher_repetition_filter(lined, "text", "doc_id")
     return out.select(
         "doc_id",
@@ -1621,9 +1634,12 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation, doc_id%11 docs get a "javascript" first line, doc_id%13
     docs get a trailing "lorem ipsum {" line. The operator is a pure per-row
     higher-order-function pipeline — no shuffle anywhere in the plan."""
+    from data_rivers_spark.session import fan_out
+
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
-    lined = _synth_lines(docs)
+    # fan out below the synth rebuild (see q_line_repetition)
+    lined = _synth_lines(fan_out(docs))
     arr = F.split(F.col("text"), "\n")
     pl = F.transform(
         arr,
@@ -1675,9 +1691,12 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window keys on xxhash64 of the normalized paragraph (8-byte shuffle
     key); the oracle keys on the normalized text itself — identical cluster
     structure barring a 2^-64 collision."""
+    from data_rivers_spark.session import fan_out
+
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
-    return D.paragraph_dedup(_synth_lines(docs), "text", "doc_id")
+    # fan out below the synth rebuild (see q_line_repetition)
+    return D.paragraph_dedup(_synth_lines(fan_out(docs)), "text", "doc_id")
 
 
 @query(
@@ -1989,14 +2008,19 @@ def _curation_pdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = base.unionByName(copies)
     c4 = TX.c4_quality_filter(aug, "text", "doc_id")
+    # checkpoint the audit frame BEFORE the keep-filter (r13): the `keep`
+    # predicate embeds the whole synthetic-fixture HOF chain, and Catalyst
+    # pushes the filter below fan_out's round-robin exchange — the SQL-tab
+    # decomposition measured the chain re-evaluated per row on the
+    # SINGLE-TASK scan side (3.0 s + 2.0 s one-task jobs inside the kept
+    # checkpoint, ~half its 5.0 s wall), then again at 64-way above for
+    # kept_text. The barrier pins evaluation above the exchange, at full
+    # width, exactly once; `kept` is then a trivial filter over the cached
+    # frame, so it no longer needs its own checkpoint.
+    c4 = c4.select("doc_id", "kept_text", "keep").localCheckpoint(eager=True)
     kept = c4.filter(F.col("keep")).select(
         "doc_id", F.col("kept_text").alias("text")
     )
-    # the synthetic fixture + C4 expression chain is the expensive map here
-    # (~3 s of interpreted HOFs at sf0.1) and three later stages consume
-    # `kept`; one doc-scale checkpoint pays it once — exactly what a real
-    # pipeline does by materializing the cleaned batch
-    kept = kept.localCheckpoint(eager=True)
     dd = D.minhash_lsh_dedup(
         kept, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
     )
@@ -2537,9 +2561,14 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document survives — contrast q_decontaminate, which flags whole
     documents. Hash-equi probe against the broadcast benchmark shingle set;
     reassembly preserves span order."""
+    from data_rivers_spark.session import fan_out
+
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text").filter(F.trim(F.col("text")) != "")
-    lined = _synth_lines(docs)
+    # fan out below the synth rebuild, and materialize it once: the corpus
+    # and benchmark sides are two consumers of the same HOF-built frame
+    # (r13, see q_line_repetition / q_gopher_filter)
+    lined = _synth_lines(fan_out(docs)).localCheckpoint(eager=True)
     bench = lined.filter(F.col("doc_id") % 25 == 0).select(
         "doc_id", F.split(F.col("text"), "\n").getItem(0).alias("text")
     )
@@ -3649,7 +3678,8 @@ def q_incremental_dedup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") < 250)
     surv1, banded1 = D.incremental_lsh_dedup(
-        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32, bands=None
+        b1, None, None, "text", "doc_id", threshold=0.7, num_hashes=32,
+        bands=None, batch_min_id=0,  # fixture bound, see q_incremental_dedup
     )
     store = D.group_banded_store(banded1, "doc_id").localCheckpoint(eager=True)
     copies = (
@@ -3664,6 +3694,7 @@ def q_incremental_dedup_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv2, _ = D.incremental_lsh_dedup(
         batch2, surv1, None, "text", "doc_id", threshold=0.7,
         num_hashes=32, bands=None, master_banded_grouped=store,
+        batch_min_id=100000,  # fixture bound, see q_incremental_dedup
     )
     return surv2.select("doc_id")
 

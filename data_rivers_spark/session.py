@@ -100,13 +100,47 @@ def fan_out(df, min_frac: float = 0.5):
     """
     spark = df.sparkSession
     cpus = spark.sparkContext.defaultParallelism
-    try:
-        current = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 - planning failure; let the query surface it
+    current = plan_partitions(df)
+    if current is None:  # planning failure; let the query surface it
         return df
     if current < max(int(cpus * min_frac), 1):
         return df.repartition(cpus)
     return df
+
+
+_PARTS_MEMO: dict[tuple[str, int], int] = {}
+
+
+def plan_partitions(df) -> int | None:
+    """Partition count of ``df``'s physical plan, memoized on
+    (applicationId, semanticHash).
+
+    The naive probe (``df.rdd.getNumPartitions()``) runs full analysis +
+    optimization + physical planning plus Python-RDD wrapper setup —
+    measured 130-190 ms of driver time per call on HOF-heavy plans, paid at
+    PLAN TIME by every fan_out/shingle caller, once per query construction
+    (bench iterations and composite operators rebuild semantically
+    identical frames over and over). Two fixes (r13): go through
+    ``queryExecution().toRdd()`` directly (~40% cheaper, no Python RDD),
+    and memoize on the frame's semantic hash so repeats cost one analysis
+    pass (~20-60 ms). The memo holds plan METADATA (an int), never data or
+    results, and is keyed per Spark application; a hash collision could
+    only skip/add a repartition — a performance decision, not a
+    correctness one. Returns None when planning itself fails (caller
+    passes the frame through untouched and lets the action surface the
+    real error)."""
+    try:
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+        n = _PARTS_MEMO.get(key)
+        if n is None:
+            n = df._jdf.queryExecution().toRdd().getNumPartitions()
+            _PARTS_MEMO[key] = n
+        return n
+    except Exception:  # noqa: BLE001 - fall back to the public API once
+        try:
+            return df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001
+            return None
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
