@@ -1303,6 +1303,7 @@ def train_hashed_classifier(
     lr: float = 5.0,
     seed: int | str = "w",
     ndigits: int = 6,
+    return_feats: bool = False,
 ):
     """TRAIN the hashed linear quality classifier — the learning half of
     hashed_linear_score's serving path, and the public recipe behind
@@ -1331,7 +1332,13 @@ def train_hashed_classifier(
     from both gradient sums while n_docs still counted it, quietly training
     the model on a different effective dataset (r11 advice).
 
-    Returns (weights DataFrame (bucket, weight) dense over 0..B-1, bias)."""
+    Returns (weights DataFrame (bucket, weight) dense over 0..B-1, bias);
+    with ``return_feats=True``, (weights, bias, feats) where feats is the
+    CHECKPOINTED micro-unit feature frame (id, bucket, frac, __fm) this
+    training ran on — hand it to ``score_hashed_classifier(feats=...)`` to
+    score the same ``df`` without a second full-corpus featurize pass (the
+    featurize is the single most expensive stage of the train+score
+    recipe; r13)."""
     spark = df.sparkSession
     mu = 10**ndigits
     feats = (
@@ -1424,6 +1431,8 @@ def train_hashed_classifier(
     weights = spark.createDataFrame(
         [(b, w[b]) for b in range(num_buckets)], "bucket int, weight double"
     )
+    if return_feats:
+        return weights, bias, feats
     return weights, bias
 
 
@@ -1438,16 +1447,24 @@ def score_hashed_classifier(
     ndigits: int = 6,
     out_col: str = "clf_score",
     out_digits: int = 4,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Serve train_hashed_classifier's model with ITS quantization contract
     (micro-unit frac·weight sums → identical doubles on every engine) —
     score = σ(bias + Σ frac_b·w_b), rounded to ``out_digits``. Same plan
     shape as hashed_linear_score: broadcast B-row weights, explode+count
-    features, one id-keyed aggregate. Zero-feature docs score σ(bias)."""
+    features, one id-keyed aggregate. Zero-feature docs score σ(bias).
+
+    ``feats``: the precomputed micro-unit frame from
+    ``train_hashed_classifier(return_feats=True)`` — MUST have been built
+    from the same df/num_buckets/seed/ndigits, in which case the scores
+    are identical by construction and the second full-corpus featurize
+    pass is skipped (r13)."""
     mu = 10**ndigits
-    feats = hashed_feature_fracs(
-        df, text_col, id_col, num_buckets, seed, ndigits
-    ).withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
+    if feats is None:
+        feats = hashed_feature_fracs(
+            df, text_col, id_col, num_buckets, seed, ndigits
+        ).withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
     wq = weights.select(
         "bucket", F.round(F.col("weight") * mu).cast("long").alias("__wm")
     )

@@ -873,11 +873,27 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text")
     norm = TX.normalize_text(docs, "text", out_col="norm", mask_digits=True).drop("text")
+    # all per-row derivations run UNCONDITIONALLY and the frame is
+    # checkpointed once BEFORE any filter (r13): the quality filter's
+    # predicate embeds the normalize chain, and Catalyst pushed it below
+    # fan_out's exchange — the stage profile measured the whole chain
+    # re-evaluated per row on the ONE-TASK scan side (a 4.4 s single-task
+    # stage) and then again at full width above, with the dedup aggregation
+    # and semi-join left side re-running the lineage twice more. Per-row
+    # filters commute with per-row columns, so filtering AFTER the
+    # checkpoint is result-identical; the chain now evaluates exactly once,
+    # at full width. (The bench slice stays on the raw norm lineage by
+    # design — it samples BEFORE the quality gate, and its doc_id%10
+    # filter pushes to the scan, ~1/10 of a pass.)
     q = TX.quality_features(norm, "norm")
-    filt = q.filter((F.col("q_n_words") >= 5) & (F.col("q_punct_ratio") <= 0.25))
-    lang = TX.detect_language(filt, "norm").filter(F.col("lang_pred") != "und")
-    keep = lang.join(
-        lang.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
+    lang = TX.detect_language(q, "norm").localCheckpoint(eager=True)
+    keep_rows = lang.filter(
+        (F.col("q_n_words") >= 5)
+        & (F.col("q_punct_ratio") <= 0.25)
+        & (F.col("lang_pred") != "und")
+    )
+    keep = keep_rows.join(
+        keep_rows.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
         "doc_id",
         "left_semi",
     )
@@ -2917,12 +2933,17 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
     )
-    wts, bias = TX.train_hashed_classifier(
+    # return_feats/feats (r13): the scoring sweep reuses training's
+    # checkpointed feature frame instead of re-featurizing the corpus —
+    # identical micro-unit fracs by construction, one full corpus pass
+    # saved (the featurize is the recipe's most expensive stage)
+    wts, bias, feats = TX.train_hashed_classifier(
         docs, "text", "doc_id", "label",
-        num_buckets=1024, iterations=2, lr=5.0, seed="w",
+        num_buckets=1024, iterations=2, lr=5.0, seed="w", return_feats=True,
     )
     out = TX.score_hashed_classifier(
-        docs, "text", "doc_id", wts, bias, num_buckets=1024, seed="w"
+        docs, "text", "doc_id", wts, bias, num_buckets=1024, seed="w",
+        feats=feats,
     )
     return out.select("doc_id", "label", "clf_score")
 

@@ -243,17 +243,20 @@ def corpus_curation_pipeline(
     from data_rivers_spark.operators import textstats as TX
 
     c4 = TX.c4_quality_filter(docs, text_col, id_col)
+    # stage boundary (r13): checkpoint the C4 audit frame BEFORE the
+    # keep-filter — the predicate embeds the whole C4 expression chain and
+    # Catalyst pushes it below fan_out's exchange, re-evaluating the chain
+    # per row on the one-task scan side of an under-partitioned input
+    # (the q_curation_pipeline SQL-tab decomposition). The checkpoint also
+    # pays the chain once for gopher's three feature pipelines plus the
+    # left-semi below, which would otherwise each re-execute it through
+    # lineage — the materialize-the-cleaned-batch posture of `deduped`
+    # below and q_curation_select_mix's prefix.
+    c4 = c4.select(id_col, "kept_text", "keep").localCheckpoint(eager=True)
     cleaned = (
         c4.filter(F.col("keep"))
         .select(F.col(id_col), F.col("kept_text").alias(text_col))
     )
-    # stage boundary (r13): gopher's three feature pipelines plus the
-    # left-semi below would each re-execute the C4 regex chain through
-    # lineage — four corpus passes of per-row regex work. One doc-scale
-    # checkpoint of the cleaned batch pays it once (the same
-    # materialize-the-cleaned-batch posture as `deduped` below and
-    # q_curation_select_mix's prefix).
-    cleaned = cleaned.localCheckpoint(eager=True)
     gopher = TX.gopher_repetition_filter(cleaned, text_col, id_col)
     kept = cleaned.join(
         gopher.filter(F.col("keep")).select(id_col), id_col, "left_semi"

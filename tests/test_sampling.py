@@ -568,6 +568,28 @@ def test_train_hashed_classifier_separates_and_is_partition_invariant(spark):
     assert abs(out[99] - round(1.0 / (1.0 + math.exp(-b1)), 4)) < 1e-9
 
 
+def test_score_hashed_classifier_feats_reuse_identical(spark):
+    # r13: scoring with training's returned feature frame must be
+    # bit-identical to scoring from scratch (the reuse skips the second
+    # full-corpus featurize pass; same micro-unit fracs by construction).
+    rows = [(i, ("good clean prose here " * 3) + f"doc {i}", i % 2)
+            for i in range(30)]
+    rows.append((99, "   ", 1))  # zero-feature doc: absent from feats
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b, feats = TX.train_hashed_classifier(
+        df, "text", "doc_id", "y", num_buckets=64, iterations=2, lr=5.0,
+        return_feats=True)
+    fresh = {r.doc_id: r.clf_score for r in TX.score_hashed_classifier(
+        df, "text", "doc_id", w, b, num_buckets=64).collect()}
+    reused = {r.doc_id: r.clf_score for r in TX.score_hashed_classifier(
+        df, "text", "doc_id", w, b, num_buckets=64, feats=feats).collect()}
+    assert fresh == reused and 99 in reused
+    # the flag-less return stays a 2-tuple (API unchanged for callers)
+    w2, b2 = TX.train_hashed_classifier(
+        df, "text", "doc_id", "y", num_buckets=64, iterations=2, lr=5.0)
+    assert b2 == b
+
+
 def test_evaluate_classifier_thresholds(spark):
     # r12: hand-computable confusion table; undefined ratios are NULL.
     scored = spark.createDataFrame(
