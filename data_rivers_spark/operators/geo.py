@@ -289,17 +289,20 @@ def nearest_zone_fallback(
     )
     # argmin as array_min over (distance, zone) structs — linear expression
     # size; a chained when(closer, …) fold doubles the tree per zone (OOMs
-    # past ~20 zones)
-    candidates = F.array(
-        *[
-            F.struct(
-                (
-                    (F.col(x_col) - F.lit(r.cx)) * (F.col(x_col) - F.lit(r.cx))
-                    + (F.col(y_col) - F.lit(r.cy)) * (F.col(y_col) - F.lit(r.cy))
-                ).alias("d"),
-                F.lit(r[zone_col]).alias("z"),
-            )
-            for r in cents
-        ]
+    # past ~20 zones). Built as one SQL string (r13): the Column-API form
+    # paid ~10 py4j roundtrips per zone at plan time (see
+    # similarity._assign_to_centroids for the exact-literal argument).
+    def _dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    def _slit(s: str) -> str:
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    entries = ",".join(
+        "named_struct('d', "
+        f"(`{x_col}` - {_dlit(r.cx)}) * (`{x_col}` - {_dlit(r.cx)}) + "
+        f"(`{y_col}` - {_dlit(r.cy)}) * (`{y_col}` - {_dlit(r.cy)}), "
+        f"'z', {_slit(r[zone_col])})"
+        for r in cents
     )
-    return points.withColumn(out_col, F.array_min(candidates)["z"])
+    return points.withColumn(out_col, F.expr(f"(array_min(array({entries}))).z"))

@@ -166,12 +166,20 @@ def signlsh_buckets(
     the same buckets reproduce across runs/engines."""
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0)
+    # one parsed SQL expression instead of num_planes x dim F.lit Column
+    # builds (r13 plan-time audit; same rationale and exact-literal
+    # round-trip argument as _assign_to_centroids) — the parsed tree is
+    # expression-identical to the old lit(0) + when(dot > 0, 1<<i) chain
+    v_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    terms = ["0"]
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+        plane = "array(" + ",".join(_dlit(x) for x in p) + ")"
+        d = (
+            f"aggregate(zip_with({v_sql}, {plane}, (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
+    return df.withColumn("bucket", F.expr(" + ".join(terms)))
 
 
 def signlsh_topk(
@@ -612,12 +620,16 @@ def train_ivf_centroids(
             vectorized=assign_vectorized, hierarchical=assign_hierarchical,
             n_hint=n_hint,
         )
+        # one parsed expression instead of dim x (avg + getItem) Column
+        # builds (r13 plan-time audit); SQL `__v[i]` is 0-based like getItem
         means = (
             assigned.groupBy("centroid_id")
             .agg(
-                F.array(*[
-                    F.avg(F.col("__v").getItem(i)) for i in range(cents.shape[1])
-                ]).alias("mean")
+                F.expr(
+                    "array("
+                    + ",".join(f"avg(__v[{i}])" for i in range(cents.shape[1]))
+                    + ")"
+                ).alias("mean")
             )
             .collect()
         )
@@ -630,6 +642,13 @@ def cmat_rows(cmat):
     """Enumerate centroid-matrix rows; tiny helper shared by assignment and
     probe ranking."""
     return list(enumerate(cmat))
+
+
+def _dlit(x) -> str:
+    """Exact SQL double literal: repr(float) is the shortest string that
+    round-trips the IEEE-754 value, and Spark's parser is correctly-rounded,
+    so `repr(x) + 'D'` denotes the same double F.lit(float(x)) would."""
+    return repr(float(x)) + "D"
 
 
 # auto-dispatch boundary for the three-level tree router: under SemDeDup's
@@ -720,16 +739,25 @@ def _assign_to_centroids(
     use_vec = vectorized if vectorized is not None else len(cents) > 64
     if use_vec:
         return _assign_to_centroids_vectorized(df, vec_col, cents)
+    # One SQL string instead of per-centroid Column building (r13): the
+    # Column-API form issued ~7k py4j roundtrips for 16 centroids x 64 dims
+    # (measured 1.2 s of plan-time driver latency PER assignment — x6 per
+    # ivf_topk run with 5 Lloyd iterations). repr(float) round-trips the
+    # exact IEEE double and Spark's literal parser is correctly-rounded, so
+    # the parsed plan is expression-identical to the old one (same
+    # zip_with/aggregate fold, same (d, i) struct tiebreak) — oracle replay
+    # unchanged.
     entries = []
     for i, c in enumerate(cents):
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        plane = "array(" + ",".join(_dlit(x) for x in c) + ")"
+        d = (
+            f"aggregate(zip_with(`{vec_col}`, {plane}, "
+            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"
         )
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return df.withColumn("centroid_id", F.array_min(F.array(*entries))["i"])
+        entries.append(f"named_struct('d', {d}, 'i', {i})")
+    return df.withColumn(
+        "centroid_id", F.expr(f"(array_min(array({','.join(entries)}))).i")
+    )
 
 
 def ivf_topk(
@@ -803,24 +831,28 @@ def ivf_topk(
         probes = F.broadcast(q_prep.mapInPandas(probe_run, probe_schema))
     else:
         # per-query top-nprobe centroids as expressions over the embedded
-        # centroid literals: distance structs -> array_sort -> slice -> explode
+        # centroid literals: distance structs -> array_sort -> slice ->
+        # explode. Built as ONE SQL string (r13): the Column-API form paid
+        # n_centroids x dim F.lit py4j roundtrips per construction — see
+        # _assign_to_centroids.
         dist_structs = []
         for i, c in cmat_rows(cmat):
-            plane = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(qv, plane, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            plane = "array(" + ",".join(_dlit(x) for x in c) + ")"
+            d = (
+                "aggregate(zip_with(__qv, " + plane + ", "
+                "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, v) -> acc + v)"
             )
-            dist_structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-        top_cids = F.slice(F.array_sort(F.array(*dist_structs)), 1, nprobe)
+            dist_structs.append(f"named_struct('d', {d}, 'i', {i})")
+        top_cids = (
+            f"slice(array_sort(array({','.join(dist_structs)})), 1, {int(nprobe)})"
+        )
         probes = F.broadcast(
             queries.select(
-                F.col(id_col).alias("query_id"),
-                qv.alias("__qv"),
-                F.explode(F.transform(top_cids, lambda s: s["i"])).alias(
-                    "centroid_id"
-                ),
+                F.col(id_col).alias("query_id"), qv.alias("__qv")
+            ).selectExpr(
+                "query_id",
+                "__qv",
+                f"explode(transform({top_cids}, s -> s.i)) as centroid_id",
             )
         )
     pairs = lists.join(probes, "centroid_id")
