@@ -343,8 +343,8 @@ def main() -> None:
         "unit": "sec",
         "bench_runs": runs,
         "sf": _sf_of(sf_dir),
-        # bulky diagnostics FIRST: the driver retains only a stdout tail,
-        # so the aggregates that matter must be at the END of the line
+        # bulky diagnostics live in the bench_out/ artifact only (see the
+        # stdout-line note below)
         "iters": all_iters,
         "telemetry": all_telem,
         "runs": per_run,
@@ -375,7 +375,33 @@ def main() -> None:
         path = _tag_artifact_path(out_dir, tag)
         with open(path, "w") as f:
             json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    # The stdout contract line must be TAIL-PROOF: the driver keeps only a
+    # 2,000-char stdout tail and parses the last line, and a full-result
+    # line (tens of KB of iters/telemetry) survives that tail only by luck
+    # — r12's record printed aggregates last yet still lost its "queries"
+    # dict mid-tail, so PERF_r13's whole round-over-round table came up
+    # null. Measurement-methodology unchanged (same queries, same timing,
+    # same aggregates); only the stdout SHAPE changes: the last line now
+    # carries the aggregates alone (~1.6 KB — metric/value/unit/queries/
+    # sf/calib_sec), while iters/telemetry/runs/outliers/min stay in the
+    # bench_out/ artifact (gitignored latest.json + the committed
+    # round-tagged record).
+    print(json.dumps(_stdout_line(result)))
+
+
+def _stdout_line(result: dict) -> dict:
+    """Aggregates-only stdout record (see the tail-proof note in main):
+    the per-query headline numbers plus scalars, NEVER the bulky
+    per-sample diagnostics — the whole line must fit the driver's
+    2,000-char stdout tail with room to spare."""
+    return {
+        k: result[k]
+        for k in (
+            "metric", "unit", "bench_runs", "sf", "queries",
+            "calib_sec", "value",
+        )
+        if k in result
+    }
 
 
 def _tag_artifact_path(out_dir: str, tag: str) -> str:

@@ -262,8 +262,13 @@ def _banded_from_sets(
     # query construction); one selectExpr call ships all N strings in a
     # single roundtrip and parses them JVM-side. xxhash64(a, b) is the same
     # function either way — identical hashes, identical stores.
+    # backtick-quote the interpolated id column (escaping embedded
+    # backticks) so ids named with spaces/reserved words parse exactly as
+    # the Column API did — the quoting discipline similarity.py/geo.py's
+    # SQL builders already follow (r14 advice)
+    idq = "`" + id_col.replace("`", "``") + "`"
     hashed = sets.select(id_col, F.explode("__set").alias("__hb")).selectExpr(
-        id_col,
+        idq,
         *[f"xxhash64(__hb, {i}) as __h{i}" for i in range(num_hashes)],
     )
     sig_df = hashed.groupBy(id_col).agg(
@@ -276,7 +281,7 @@ def _banded_from_sets(
         for b in range(bands)
     )
     return sig_df.selectExpr(
-        id_col,
+        idq,
         f"posexplode(array({band_exprs})) as (band_idx, band_hash)",
     )
 

@@ -18,6 +18,8 @@ residual — per-point work drops from O(zones) to O(zones sharing the cell)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -292,10 +294,25 @@ def nearest_zone_fallback(
     # past ~20 zones). Built as one SQL string (r13): the Column-API form
     # paid ~10 py4j roundtrips per zone at plan time (see
     # similarity._assign_to_centroids for the exact-literal argument).
-    def _dlit(x: float) -> str:
-        return repr(float(x)) + "D"
+    # degenerate zone rows (NULL/NaN centroid coordinate, NULL zone name —
+    # empty or malformed WKT) must keep the Column-API semantics this SQL
+    # build replaced (r14 advice): F.lit(None) was a SQL NULL, so map None
+    # and non-finite floats to explicit NULL/NaN/Infinity literals instead
+    # of crashing plan construction (float(None) → TypeError) or emitting
+    # unparseable 'nanD' / the string 'None'
+    def _dlit(x) -> str:
+        if x is None:
+            return "CAST(NULL AS DOUBLE)"
+        x = float(x)
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(x):
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(x) + "D"
 
-    def _slit(s: str) -> str:
+    def _slit(s) -> str:
+        if s is None:
+            return "CAST(NULL AS STRING)"
         return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     entries = ",".join(

@@ -647,8 +647,18 @@ def cmat_rows(cmat):
 def _dlit(x) -> str:
     """Exact SQL double literal: repr(float) is the shortest string that
     round-trips the IEEE-754 value, and Spark's parser is correctly-rounded,
-    so `repr(x) + 'D'` denotes the same double F.lit(float(x)) would."""
-    return repr(float(x)) + "D"
+    so `repr(x) + 'D'` denotes the same double F.lit(float(x)) would.
+    None / non-finite values map to the literals F.lit produced (NULL /
+    NaN / Infinity) instead of unparseable 'nanD'/'infD' tokens (r14
+    advice, same hardening as geo.nearest_zone_fallback)."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 # auto-dispatch boundary for the three-level tree router: under SemDeDup's

@@ -109,6 +109,16 @@ def fan_out(df, min_frac: float = 0.5):
 
 
 _PARTS_MEMO: dict[tuple[str, int], int] = {}
+# bounded (r14 advice): the memo grew without limit across a long-lived
+# application, and a stale entry can outlive a file-layout change on the
+# same path (appended files under an identical semantic plan), letting
+# fan_out skip a repartition exactly when the input became under-
+# partitioned. The cap bounds the driver-memory footprint and guarantees
+# eventual turnover; long-lived sessions re-reading GROWING paths should
+# pass explicit partition hints (num_partitions=...) rather than rely on
+# the probe (perf-only either way — the memo holds plan metadata, never
+# data).
+_PARTS_MEMO_MAX = 4096
 
 
 def plan_partitions(df) -> int | None:
@@ -134,6 +144,11 @@ def plan_partitions(df) -> int | None:
         n = _PARTS_MEMO.get(key)
         if n is None:
             n = df._jdf.queryExecution().toRdd().getNumPartitions()
+            if len(_PARTS_MEMO) >= _PARTS_MEMO_MAX:
+                # FIFO eviction (insertion-ordered dict): drop the oldest
+                # half so turnover is amortized, not per-insert
+                for k in list(_PARTS_MEMO)[: _PARTS_MEMO_MAX // 2]:
+                    del _PARTS_MEMO[k]
             _PARTS_MEMO[key] = n
         return n
     except Exception:  # noqa: BLE001 - fall back to the public API once

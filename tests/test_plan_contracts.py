@@ -37,7 +37,7 @@ def _plan(spark, name: str) -> str:
     return buf.getvalue()
 
 
-def _exchanges(plan: str) -> int:
+def _exchanges(plan: str, dp: int | None = None) -> int:
     # numbered physical nodes only — not BroadcastExchange (broadcasts are
     # asserted separately; they don't repartition the fact side). The
     # conditional fan_out round-robin (session.fan_out, r13) is also
@@ -47,10 +47,15 @@ def _exchanges(plan: str) -> int:
     # exchanges (the ones a join/agg/window regression would add) always
     # count: an accidental repartition(n, key) is hashpartitioning, and an
     # orderBy is rangepartitioning, neither matches the REPARTITION_BY_NUM
-    # round-robin signature.
+    # round-robin signature. ``dp`` narrows the exclusion to fan_out's
+    # EXACT signature — RoundRobinPartitioning(defaultParallelism) — so an
+    # accidental unconditional df.repartition(n) at any other count still
+    # fails the contract (r14 advice; an unconditional repartition at
+    # exactly defaultParallelism remains the one invisible case).
     total = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    n = r"\d+" if dp is None else str(int(dp))
     fanout = len(
-        re.findall(r"RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM", plan)
+        re.findall(rf"RoundRobinPartitioning\({n}\), REPARTITION_BY_NUM", plan)
     )
     return total - fanout
 
@@ -90,13 +95,15 @@ NO_CARTESIAN = ZERO_SHUFFLE + ONE_SHUFFLE + [
 @pytest.mark.parametrize("name", ZERO_SHUFFLE)
 def test_zero_shuffle(spark, name):
     plan = _plan(spark, name)
-    assert _exchanges(plan) == 0, f"{name} gained a shuffle:\n{plan}"
+    dp = spark.sparkContext.defaultParallelism
+    assert _exchanges(plan, dp) == 0, f"{name} gained a shuffle:\n{plan}"
 
 
 @pytest.mark.parametrize("name", ONE_SHUFFLE)
 def test_single_shuffle(spark, name):
     plan = _plan(spark, name)
-    assert _exchanges(plan) == 1, f"{name} shuffle count changed:\n{plan}"
+    dp = spark.sparkContext.defaultParallelism
+    assert _exchanges(plan, dp) == 1, f"{name} shuffle count changed:\n{plan}"
 
 
 @pytest.mark.parametrize("name", NO_CARTESIAN)
@@ -119,7 +126,7 @@ def test_q01_agg_shape(spark):
     # most 2 exchanges total (agg + result ordering)
     plan = _plan(spark, "q01_pricing_summary")
     assert "partial_sum" in plan
-    assert _exchanges(plan) <= 2, plan
+    assert _exchanges(plan, spark.sparkContext.defaultParallelism) <= 2, plan
 
 
 def test_broadcast_joins_forced(spark):

@@ -87,6 +87,42 @@ def test_bench_round_artifact_is_write_once(tmp_path, monkeypatch):
     assert bench._tag_artifact_path(d, "r99").endswith("r99.json")
 
 
+def test_bench_stdout_line_is_tail_proof():
+    """The driver keeps only a 2,000-char stdout tail and parses the LAST
+    line; a full-result line (tens of KB of per-sample diagnostics)
+    survives that tail only by luck — r12's record lost its "queries" dict
+    mid-tail and PERF_r13's entire round-over-round table came up null.
+    The stdout line must carry the aggregates alone and stay comfortably
+    under the tail for the full headline set."""
+    import json
+
+    import bench
+
+    result = {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "bench_runs": 3,
+        "sf": 0.1,
+        "iters": {q: [1.234] * 9 for q in bench.HEADLINE},
+        "telemetry": {q: [{"sec": 1.2, "gc_sec": 0.1}] for q in bench.HEADLINE},
+        "runs": [{q: 1.234 for q in bench.HEADLINE}] * 3,
+        "outliers": {},
+        "queries": {q: 123.456 for q in bench.HEADLINE},
+        "min": {q: 123.456 for q in bench.HEADLINE},
+        "calib_sec": 0.269,
+        "value": 9999.999,
+    }
+    line = json.dumps(bench._stdout_line(result))
+    assert len(line) < 2000, f"stdout line {len(line)} chars >= 2000"
+    parsed = json.loads(line)
+    # the driver contract fields survive; the bulky diagnostics do not
+    for key in ("metric", "value", "unit", "queries", "sf", "calib_sec"):
+        assert key in parsed
+    for key in ("iters", "telemetry", "runs", "min", "outliers"):
+        assert key not in parsed
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
 def test_bytes_norm_top_normalizes_char_growth():
     # a char-proportional op whose raw top ratio is 5.3 must read ~4 once
     # normalized to the fixture's measured byte growth
