@@ -657,8 +657,20 @@ def minhash_lsh_verified_pairs(
     else:
         sets = shingle_sets(df, text_col, id_col, shingle_n)
     if materialize:
-        sets = sets.localCheckpoint(eager=True)
+        # LAZY sets + EAGER banded (r14): the eager sets barrier was one of
+        # two sequential driver-blocking jobs per dedup run. The banded
+        # frame's checkpoint job now materializes sets inside itself —
+        # sets' first consumer is banded's narrow derive, so the cache
+        # populates race-free before the verify branches (which read sets
+        # through the SAME truncated-lineage blocks) ever touch it. An
+        # all-lazy variant was measured SLOWER on the incremental twin
+        # (within one job the verify-side stages raced the banded stage on
+        # the uncached sets partitions and recomputed the tokenize
+        # concurrently); this shape keeps one barrier and zero recompute.
+        sets = sets.localCheckpoint(eager=False)
     banded = _banded_from_sets(sets, id_col, num_hashes, bands)
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     cands = _expand_buckets(banded, id_col, bucket_cap)
     return verify_pairs_jaccard(
         df, cands, text_col, id_col, threshold, shingle_n=shingle_n, sets=sets
@@ -777,7 +789,19 @@ def incremental_lsh_dedup(
         )
     sets_b = shingle_sets(batch, text_col, id_col, shingle_n)
     if materialize:
-        sets_b = sets_b.localCheckpoint(eager=True)
+        # LAZY sets + EAGER banded (r14): the eager sets_b barrier was one
+        # of ~7 sequential driver-blocking jobs per composite run
+        # (profile_construct measured the barriers at ~60% of
+        # q_incremental_dedup_grouped's per-iteration wall, with the noop
+        # save at 0.3 s). Lazy marking persists + truncates the same
+        # lineage, and banded_b's eager job materializes sets_b inside
+        # itself — sets_b's first consumer is banded_b's narrow derive, so
+        # the cache populates race-free before the verify branches read
+        # it. An ALL-lazy variant (banded_b lazy too) was measured SLOWER:
+        # inside the dupes job the verify-side stages raced the banding
+        # stage on the uncached sets partitions and recomputed the batch
+        # tokenize concurrently.
+        sets_b = sets_b.localCheckpoint(eager=False)
     banded_b = _banded_from_sets(sets_b, id_col, num_hashes, bands)
     if materialize:
         banded_b = banded_b.localCheckpoint(eager=True)
