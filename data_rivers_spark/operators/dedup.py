@@ -355,9 +355,25 @@ def _expand_buckets(
     admit a batch doc that duplicates a non-hub corpus doc."""
     # bucket-group instead of self-join: a self-join would evaluate the
     # signature pipeline twice; grouping shuffles each (id, band) row once and
-    # expands pairs inside the (small) bucket with array combinatorics
-    grouped = banded.groupBy("band_idx", "band_hash").agg(
-        F.collect_list(F.col(id_col)).alias("__ids")
+    # expands pairs inside the (small) bucket with array combinatorics.
+    # The bucket exchange is PINNED to an explicit width (r14): banded rows
+    # are ~20 bytes each, so AQE's byte-based coalescing collapsed the
+    # whole expansion — interpreted HOF pair combinatorics whose compute is
+    # quadratic in bucket occupancy, the opposite of byte-proportional —
+    # onto ONE task (measured: the q_char_lsh_dedup candidate stage ran
+    # 1.2-1.6 s single-task; the same byte-vs-compute mismatch
+    # word_shingle_rows/char_shingle_rows document). groupBy on the same
+    # keys reuses the pinned partitioning, so this replaces the AQE-sized
+    # exchange rather than adding one; the width never drops below the
+    # input's own partition count, so a wide production banding stays wide.
+    spark_dp = banded.sparkSession.sparkContext.defaultParallelism
+    from data_rivers_spark.session import plan_partitions
+
+    width = max(spark_dp, plan_partitions(banded) or 0)
+    grouped = (
+        banded.repartition(width, "band_idx", "band_hash")
+        .groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
     )
     return _expand_grouped_buckets(grouped, bucket_cap, min_id_b)
 
@@ -841,8 +857,19 @@ def incremental_lsh_dedup(
         )
         hit_docs = master_docs.join(hit_ids, id_col, "left_semi")
         sets = sets_b.unionByName(shingle_sets(hit_docs, text_col, id_col, shingle_n))
+    # explicit verify width from the checkpoint-backed batch sets (a
+    # trivial-plan probe): letting verify probe the batch ∪ hit-docs union
+    # would re-plan the hit-docs shingle lineage per call (~0.2 s driver
+    # latency per batch, and unstable across runs so the memo never hits)
+    from data_rivers_spark.session import plan_partitions
+
+    vw = max(
+        batch.sparkSession.sparkContext.defaultParallelism,
+        plan_partitions(sets_b) or 0,
+    )
     verified = verify_pairs_jaccard(
-        batch, cands, text_col, id_col, threshold, shingle_n=shingle_n, sets=sets
+        batch, cands, text_col, id_col, threshold, shingle_n=shingle_n,
+        sets=sets, width=vw,
     )
     dupes = verified.select(F.col("id_b").alias(id_col)).distinct()
     if materialize:
@@ -863,6 +890,7 @@ def verify_pairs_jaccard(
     flavor: str = "shingle",
     shingle_n: int = 3,
     sets: DataFrame | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, set-join formulation:
     each doc's DISTINCT token/shingle set is built ONCE (codegen explode
@@ -896,8 +924,34 @@ def verify_pairs_jaccard(
     # intersect it duplicates)
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = F.size("__sa") + F.size("__sb") - F.size(F.array_intersect("__sa", "__sb"))
+    # Join widths PINNED (r14): the pair list and the set frame are both
+    # tiny in BYTES (8-byte ids; arrays of longs) but the per-pair
+    # array_intersect is the whole verify cost, and AQE's byte-based
+    # coalescing ran the probe side on ONE task (measured 1.9 s of the
+    # q_char_lsh_dedup iteration; 0.77 s pinned). Explicit
+    # repartition(width, key) on each join side replaces the join's own
+    # AQE-sized exchange (same-key pre-partitioning satisfies the join's
+    # distribution requirement), so no exchange is added — only its width
+    # is pinned compute-proportionally. Join STRATEGY stays the planner's:
+    # locally it broadcasts the small side; at corpus scale the row-scaled
+    # estimates flip both joins to SMJ over these same pinned exchanges.
+    # A forced broadcast(pairs) variant measured slower AND caps at the
+    # 8 GB broadcast limit, so the hint is deliberately absent.
+    spark_dp = pairs.sparkSession.sparkContext.defaultParallelism
+    from data_rivers_spark.session import plan_partitions
+
+    # width from SETS, not pairs: sets is (in every pipeline caller) a
+    # checkpoint-backed frame whose partition probe is a trivial-plan
+    # lookup, while the pairs lineage re-plans the whole expansion per
+    # probe (~0.2 s of driver latency per call, paid per construction);
+    # sets' count is also the corpus-proportional scale signal. Callers
+    # whose sets frame is NOT checkpoint-backed (incremental's
+    # batch ∪ hit-docs union) pass ``width`` explicitly to skip the probe.
+    if width is None:
+        width = max(spark_dp, plan_partitions(sets) or 0)
     return (
-        pairs.join(
+        pairs.repartition(width, "id_a")
+        .join(
             sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")), "id_a"
         )
         .join(
