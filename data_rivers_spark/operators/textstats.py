@@ -1304,6 +1304,7 @@ def train_hashed_classifier(
     seed: int | str = "w",
     ndigits: int = 6,
     return_feats: bool = False,
+    feats: DataFrame | None = None,
 ):
     """TRAIN the hashed linear quality classifier — the learning half of
     hashed_linear_score's serving path, and the public recipe behind
@@ -1341,11 +1342,19 @@ def train_hashed_classifier(
     recipe; r13)."""
     spark = df.sparkSession
     mu = 10**ndigits
-    feats = (
-        hashed_feature_fracs(df, text_col, id_col, num_buckets, seed, ndigits)
-        .withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    if feats is None:
+        feats = (
+            hashed_feature_fracs(df, text_col, id_col, num_buckets, seed, ndigits)
+            .withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    # else: the caller supplies the micro-unit (id, bucket, frac, __fm)
+    # frame for EXACTLY df's rows, built with the same
+    # num_buckets/seed/ndigits — the featurize-once-filter-per-split hook
+    # (r14): per-doc fracs are independent across documents, so filtering a
+    # full-corpus feature frame to df's ids is identical to featurizing df.
+    # The caller is responsible for it being checkpoint-backed (each GD
+    # epoch replays it).
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("int").alias("__y")
     ).localCheckpoint(eager=True)

@@ -3083,12 +3083,29 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = SA.train_test_split(docs, "doc_id", 0.1, seed="split")
     train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
+    # featurize ONCE over the full corpus, filter per split (r14, the r13
+    # verdict's deferred item): train-side and held-out featurizes were two
+    # separate corpus passes; per-doc fracs are independent across docs, so
+    # filtering a full-corpus feature frame by the SAME content-hash split
+    # predicate is identical to featurizing each split — one explode/agg
+    # pass instead of two, one checkpoint instead of two
+    mu = 10**6
+    full_feats = (
+        TX.hashed_feature_fracs(docs, "text", "doc_id", 1024, "w")
+        .withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    is_test = SA.hash_bucket(F.col("doc_id"), "split") < F.lit(
+        SA.fraction_threshold(0.1)
+    )
     wts, bias = TX.train_hashed_classifier(
         train, "text", "doc_id", "label",
         num_buckets=1024, iterations=2, lr=5.0, seed="w",
+        feats=full_feats.filter(~is_test),
     )
     scored = TX.score_hashed_classifier(
-        test, "text", "doc_id", wts, bias, num_buckets=1024, seed="w"
+        test, "text", "doc_id", wts, bias, num_buckets=1024, seed="w",
+        feats=full_feats.filter(is_test),
     )
     return TX.evaluate_classifier_thresholds(
         scored, "label", "clf_score", [0.3, 0.4, 0.5, 0.6, 0.7]

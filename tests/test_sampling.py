@@ -590,6 +590,33 @@ def test_score_hashed_classifier_feats_reuse_identical(spark):
     assert b2 == b
 
 
+def test_train_hashed_classifier_feats_param_identical(spark):
+    # r14: training on a pre-filtered full-corpus feature frame must walk
+    # the bit-identical trajectory as the internal featurize (per-doc fracs
+    # are independent across docs, so a full-corpus featurize filtered to
+    # df's ids == featurizing df) — the featurize-once-filter-per-split
+    # hook q_classifier_eval rides.
+    from pyspark.sql import functions as F
+
+    rows = [(i, ("good clean prose here " * 3) + f"doc {i}", i % 2)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    train = df.filter(F.col("doc_id") % 3 != 0)
+    w_ref, b_ref = TX.train_hashed_classifier(
+        train, "text", "doc_id", "y", num_buckets=64, iterations=2, lr=5.0)
+    mu = 10**6
+    full = (TX.hashed_feature_fracs(df, "text", "doc_id", 64, "w")
+            .withColumn("__fm", F.round(F.col("frac") * mu).cast("long"))
+            .localCheckpoint(eager=True))
+    w_f, b_f = TX.train_hashed_classifier(
+        train, "text", "doc_id", "y", num_buckets=64, iterations=2, lr=5.0,
+        feats=full.filter(F.col("doc_id") % 3 != 0))
+    assert b_f == b_ref
+    ref = {r.bucket: r.weight for r in w_ref.collect()}
+    got = {r.bucket: r.weight for r in w_f.collect()}
+    assert got == ref
+
+
 def test_evaluate_classifier_thresholds(spark):
     # r12: hand-computable confusion table; undefined ratios are NULL.
     scored = spark.createDataFrame(
