@@ -232,14 +232,17 @@ def chunk_by_sentences(
 
     Scale: one Generate (posexplode of the sentence array), one window +
     hash aggregate, both partitioned by the doc id — a single shuffle, no
-    UDF, no all-pairs anything. Fanned out before the per-row work
-    (session.fan_out, a no-op on a well-split input): the sentence-regex
-    extraction dominates the scan (r13)."""
+    UDF, no all-pairs anything. NOT fanned out: r13 added a conditional
+    fan_out here on an "≈ neutral" single-run A/B, but the r13 bench read
+    it −12% and the r14 bench-protocol A/B (cold-JVM envelope,
+    tools/rebench_one.py, 3 attempts × 3 samples per arm) confirmed the
+    regression — 1.79 s envelope / ~2.14 s mean without vs 1.93 / ~2.51
+    with: the sentence regex is too cheap per row to pay for the exchange,
+    the same verdict chunk_documents got in r13. Single-split inputs run
+    the extraction in one task (documented in SCALING.md with
+    chunk_documents); callers with pathological inputs can pre-repartition."""
     from pyspark.sql import Window
 
-    from data_rivers_spark.session import fan_out
-
-    df = fan_out(df)
     src = F.col(text_col)
     if abbrev_aware:
         src = _mask_abbrev_periods(src)
