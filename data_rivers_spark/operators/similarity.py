@@ -298,17 +298,24 @@ def embedding_near_dup_pairs(
             F.col(id_col), F.col(vec_col), *([F.col(block_col)] if block_col else [])
         )
     )
+    # per-doc norms hoisted out of the per-pair cosine (r14): the
+    # interpreted norm fold ran twice per compared pair; carrying it as a
+    # side column evaluates the bit-identical doubles (same subexpression,
+    # same operation order — only the evaluation site moves from pair to
+    # doc), and the per-pair work drops to the dot fold alone
     a = base.select(
         F.col(id_col).alias("id_a"),
         _as_double(F.col(vec_col)).alias("__va"),
         *([F.col(block_col).alias("__blk")] if block_col else []),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt_a"),
-    )
+    ).withColumn("__na", norm(F.col("__va")))
     b = base.select(
         F.col(id_col).alias("id_b"),
         _as_double(F.col(vec_col)).alias("__vb"),
         *([F.col(block_col).alias("__blk2")] if block_col else []),
-    ).withColumn("__salt_b", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    ).withColumn("__nb", norm(F.col("__vb"))).withColumn(
+        "__salt_b", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
     cond = (F.col("id_a") < F.col("id_b")) & (
         F.col("__salt_a") == F.col("__salt_b").cast("long")
     )
@@ -316,7 +323,14 @@ def embedding_near_dup_pairs(
         cond = cond & (F.col("__blk") == F.col("__blk2"))
     return (
         a.join(b, cond)
-        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -496,17 +510,46 @@ def embedding_near_dup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = bucketed.select("__id", "__v")
+    # Verify-stage shape (r14): per-doc NORMS are computed once on the
+    # doc-scale vecs frame and carried as columns — the interpreted
+    # aggregate-HOF norm fold used to run per PAIR (twice per candidate;
+    # the norms are ~2/3 of the cosine's three array folds), and
+    # dot/(__na*__nb) evaluates the bit-identical doubles the inline
+    # cosine did (same subexpressions, same operation order, only the
+    # evaluation site moves from pair to doc). Measured: the verify
+    # checkpoint stage dropped 35-36 s -> 25-26 s of executor time.
+    # Width-pinning the pair-attach exchanges was TRIED and REJECTED:
+    # pinning the candidate side alone forced the vector joins out of
+    # their broadcast shape (shuffle 32 -> 59 MB, every stage slower), and
+    # pinning both sides re-created the 426 MB pairs-with-vectors payload
+    # exchange this operator's r13 metadata-only redesign removed.
+    vecs = bucketed.select("__id", "__v").withColumn("__nrm", norm(F.col("__v")))
     return (
-        cand.join(
-            vecs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")),
+        cand
+        .join(
+            vecs.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__nrm").alias("__na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")),
+            vecs.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__nrm").alias("__nb"),
+            ),
             "id_b",
         )
-        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
