@@ -57,7 +57,14 @@ def quality_features(df: DataFrame, text_col: str, prefix: str = "q_") -> DataFr
     n_chars = F.length(text)
     ws = words(text)
     n_words = F.size(ws)
-    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    # count punctuation by MATCHING, not by stripping: the negated-class
+    # regexp_replace materialized a stripped copy of every document just to
+    # take its length — measured 18.7 s of the 19.3 s quality_features pass
+    # on the 64x scaling fixture (320k docs), vs 0.50 s for regexp_count
+    # (37x; r14). Each punctuation char is a single-char non-overlapping
+    # match, so the count is the identical integer (equivalence
+    # property-tested incl. NULL/empty/unicode).
+    punct = F.regexp_count(text, F.lit(r"[!-/:-@\[-`{-~]"))
     mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
         F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n_words
     )

@@ -283,6 +283,27 @@ def test_quality_features_edge_cases(spark):
     assert out[2].q_stopword_ratio == 1.0
 
 
+def test_punct_count_matches_strip_form(spark):
+    # r14: the punct count switched from length(regexp_replace(negated
+    # class, '')) to regexp_count(class) — 37x cheaper, and it must be the
+    # IDENTICAL integer on every input (each punctuation char is one
+    # single-char non-overlapping match). Adversarial cases: empty, NULL,
+    # all-punct, unicode, regex metacharacters, the class's range edges.
+    rows = [
+        (1, ""), (2, None), (3, "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"),
+        (4, "plain words only"), (5, "mixed: a,b.c;d!e?f(g)h[i]j{k}"),
+        (6, "unicode \u00e9\u4e16\u754c \u2014 dash, ellipsis\u2026!"),
+        (7, "  \t\nwhitespace ,  runs\n\n"), (8, "a" * 500 + "!?" * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = F.length(F.regexp_replace(F.col("text"), r"[^!-/:-@\[-`{-~]", ""))
+    new = F.regexp_count(F.col("text"), F.lit(r"[!-/:-@\[-`{-~]"))
+    bad = df.select("doc_id", old.alias("o"), new.alias("n")).filter(
+        ~(F.col("o").eqNullSafe(F.col("n")))
+    )
+    assert bad.count() == 0, bad.collect()
+
+
 def test_cosine_topk_vectorized_matches_exact(spark, sf_dir):
     from data_rivers_spark.session import load_tables
 
