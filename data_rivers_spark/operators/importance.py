@@ -59,6 +59,7 @@ def hashed_ngram_features(
     num_buckets: int = 10_000,
     n_max: int = 2,
     seed: int | str = 0,
+    flag: Column | None = None,
 ) -> DataFrame:
     """(id, bucket, cnt) hashed n-gram OCCURRENCE counts per document —
     DSIR's feature map. Unigrams plus word n-grams up to ``n_max`` (DSIR
@@ -78,10 +79,20 @@ def hashed_ngram_features(
     orders of magnitude, and a single-split parquet input would otherwise
     run the whole featurize in ONE task (r13 stage profile: 9.9 s
     single-task featurize stages accounted for ~90% of q_dsir_weights'
-    11.2 s wall; fanned out the same work runs at core parallelism)."""
+    11.2 s wall; fanned out the same work runs at core parallelism).
+
+    ``flag`` (r14): an optional per-row boolean Column evaluated against
+    ``df`` and carried through the explode as ``__tgt`` (per-doc constant,
+    so the count aggregate carries it via max). Lets
+    dsir_importance_weights derive the TARGET LM counts from the pool's
+    one feature frame when the target is a predicate-subset of the pool —
+    one corpus featurize pass instead of two."""
     from data_rivers_spark.session import fan_out
 
-    df = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    cols = [F.col(id_col), F.col(text_col)]
+    if flag is not None:
+        cols.append(flag.alias("__tgt"))
+    df = fan_out(df.select(*cols))
 
     def _ngram_lambda(ws, n: int):
         # single-parameter lambda: PySpark's HOF bridge passes (element,
@@ -129,14 +140,18 @@ def hashed_ngram_features(
     # split saves here (the repeated subexpression is the cheap tokenize,
     # not an expensive fold)
     grams = _grams(words(F.col(text_col)))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("__gram"))
-        .select(
-            id_col, _gram_bucket(F.col("__gram"), num_buckets, seed).alias("bucket")
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    tgt_sel = [F.col("__tgt")] if flag is not None else []
+    exploded = df.select(
+        F.col(id_col), *tgt_sel, F.explode(grams).alias("__gram")
+    ).select(
+        id_col, *tgt_sel,
+        _gram_bucket(F.col("__gram"), num_buckets, seed).alias("bucket"),
     )
+    agg = [F.count(F.lit(1)).alias("cnt")]
+    if flag is not None:
+        # per-doc constant, so max() just carries the value through
+        agg.append(F.max("__tgt").alias("__tgt"))
+    return exploded.groupBy(id_col, "bucket").agg(*agg)
 
 
 def dsir_log_ratios(
@@ -197,11 +212,46 @@ def dsir_log_ratios(
     )
 
 
+def _dsir_log_ratios_from_joint(
+    joint: DataFrame, num_buckets: int, alpha: float, ndigits: int = 6
+) -> DataFrame:
+    """dsir_log_ratios' tail over a JOINT (bucket, __cs, __ct) count frame
+    (one aggregate produced both sides — the target_flag path). Identical
+    arithmetic: dense 0..B-1 rows, coalesce-0 counts, single-partition
+    window totals, 6-dp-rounded log ratio — the smoothed ratios are the
+    same doubles the two-frame form computes from the same integers."""
+    from pyspark.sql import Window
+
+    spark = joint.sparkSession
+    dense = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+    ab = float(alpha) * num_buckets
+    w = Window.partitionBy()
+    joined = dense.join(joint, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct"),
+        F.coalesce(F.col("__cs"), F.lit(0)).alias("__cs"),
+    )
+    return joined.select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("__ct") + F.lit(float(alpha)))
+                / (F.sum("__ct").over(w) + F.lit(ab))
+            )
+            - F.log(
+                (F.col("__cs") + F.lit(float(alpha)))
+                / (F.sum("__cs").over(w) + F.lit(ab))
+            ),
+            ndigits,
+        ).alias("log_ratio"),
+    )
+
+
 def dsir_importance_weights(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    target: DataFrame,
+    target: DataFrame | None,
     num_buckets: int = 10_000,
     n_max: int = 2,
     alpha: float = 1.0,
@@ -209,6 +259,7 @@ def dsir_importance_weights(
     out_col: str = "log_weight",
     ndigits: int = 6,
     materialize: bool = False,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """``df`` plus a ``log_weight`` column: the DSIR log importance weight of
     each document toward ``target`` (a DataFrame of exemplar documents with
@@ -233,13 +284,40 @@ def dsir_importance_weights(
     that a second scan dominates the checkpoint round-trip (cluster jobs
     reading remote storage, not local warm-cache parquet), or when the
     caller wants the eager pin for its own reuse."""
-    src_feats = hashed_ngram_features(df, text_col, id_col, num_buckets, n_max, seed)
-    if materialize:
-        src_feats = src_feats.localCheckpoint(eager=True)
-    tgt_feats = hashed_ngram_features(
-        target, text_col, id_col, num_buckets, n_max, seed
-    )
-    ratios = dsir_log_ratios(tgt_feats, src_feats, num_buckets, alpha)
+    if target_flag is not None:
+        if target is not None:
+            raise ValueError("pass exactly one of target / target_flag")
+        # predicate-subset target (r14): the target LM counts derive from
+        # the POOL's one feature frame — the flag rides the explode as a
+        # per-doc boolean and ONE joint aggregate produces both count
+        # columns, so the target subset is never featurized as a second
+        # corpus pass. Counts are identical integers to featurizing the
+        # filtered subset (per-doc feature rows are independent across
+        # docs), so the smoothed ratios — and every downstream weight —
+        # are bit-identical.
+        src_feats = hashed_ngram_features(
+            df, text_col, id_col, num_buckets, n_max, seed, flag=target_flag
+        )
+        if materialize:
+            src_feats = src_feats.localCheckpoint(eager=True)
+        joint = src_feats.groupBy("bucket").agg(
+            F.sum("cnt").alias("__cs"),
+            F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))).alias(
+                "__ct"
+            ),
+        )
+        ratios = _dsir_log_ratios_from_joint(joint, num_buckets, alpha, ndigits)
+        src_feats = src_feats.drop("__tgt")
+    else:
+        src_feats = hashed_ngram_features(
+            df, text_col, id_col, num_buckets, n_max, seed
+        )
+        if materialize:
+            src_feats = src_feats.localCheckpoint(eager=True)
+        tgt_feats = hashed_ngram_features(
+            target, text_col, id_col, num_buckets, n_max, seed
+        )
+        ratios = dsir_log_ratios(tgt_feats, src_feats, num_buckets, alpha)
     # sum in exact integer micro-units of the (already 6dp-rounded) ratios:
     # float summation is order-dependent, and Spark's partial aggregation
     # order vs any other engine's flipped the 4th decimal on boundary rows

@@ -2324,8 +2324,8 @@ def q_curation_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posture as the prefix's `kept` checkpoint
     corpus = corpus.localCheckpoint(eager=True)
     weighted = IMP.dsir_importance_weights(
-        corpus, "text", "doc_id", corpus.filter(F.col("lang") == "en"),
-        num_buckets=4096, n_max=2, alpha=1.0, seed=0,
+        corpus, "text", "doc_id", None, target_flag=F.col("lang") == "en",
+        num_buckets=4096, n_max=2, alpha=1.0, seed=0,  # one-pass target (r14)
     )
     sel = IMP.dsir_resample(weighted, "doc_id", "log_weight", 300, seed="mix")
     toks = sel.select(
@@ -3665,8 +3665,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text", "lang")
+    # target_flag (r14): the English target is a predicate-subset of the
+    # pool, so its LM counts ride the pool's ONE featurize pass (a carried
+    # boolean + joint aggregate) instead of a second explode+md5 pass over
+    # the en subset — identical integer counts, identical ratios/weights
     out = IMP.dsir_importance_weights(
-        docs, "text", "doc_id", docs.filter(F.col("lang") == "en"),
+        docs, "text", "doc_id", None, target_flag=F.col("lang") == "en",
         num_buckets=4096, n_max=2, alpha=1.0, seed=0,
     )
     return out.select("doc_id", "lang", "log_weight")
@@ -3695,8 +3699,8 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select("doc_id", "text", "lang")
     weighted = IMP.dsir_importance_weights(
-        docs, "text", "doc_id", docs.filter(F.col("lang") == "en"),
-        num_buckets=4096, n_max=2, alpha=1.0, seed=0,
+        docs, "text", "doc_id", None, target_flag=F.col("lang") == "en",
+        num_buckets=4096, n_max=2, alpha=1.0, seed=0,  # one-pass target (r14)
     )
     return IMP.dsir_resample(weighted, "doc_id", "log_weight", 120, seed=31).select(
         "doc_id", "lang", "log_weight"

@@ -78,3 +78,40 @@ def test_dsir_log_ratios_dense_and_rounded(spark):
     # bucket 0 seen in both: log((10+1)/19) - log((10+1)/44)
     assert rows[0] == round(math.log(11.0 / 19.0) - math.log(11.0 / 44.0), 6)
     assert all(x == round(x, 6) for x in rows.values())
+
+
+def test_dsir_target_flag_matches_target_frame(spark):
+    # r14: the predicate-subset target path (target_flag — one featurize
+    # pass, joint count aggregate) must produce bit-identical weights to
+    # passing the filtered target frame (two featurize passes). Includes a
+    # NULL-flag doc (NULL group membership counts as non-target on both
+    # paths) and an empty doc (weight 0 on both).
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "le renard brun rapide saute", "fr"),
+        (3, "the lazy dog sleeps all day", "en"),
+        (4, "der schnelle braune fuchs", "de"),
+        (5, "   ", "en"),
+        (6, "mixed the le der words here", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ref = IMP.dsir_importance_weights(
+        df, "text", "doc_id", df.filter(F.col("lang") == "en"),
+        num_buckets=64, n_max=2, alpha=1.0, seed=0,
+    )
+    flagged = IMP.dsir_importance_weights(
+        df, "text", "doc_id", None, target_flag=F.col("lang") == "en",
+        num_buckets=64, n_max=2, alpha=1.0, seed=0,
+    )
+    r = {x.doc_id: x.log_weight for x in ref.collect()}
+    g = {x.doc_id: x.log_weight for x in flagged.collect()}
+    assert g == r
+    assert r[5] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        IMP.dsir_importance_weights(
+            df, "text", "doc_id", df, target_flag=F.col("lang") == "en"
+        )
